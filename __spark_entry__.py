@@ -1,38 +1,443 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry in ``queries()`` is an implemented operator from SURVEY.md §2
+(or a training-data-pipeline operator), and ``oracle_sql()`` carries the
+equivalent DuckDB SQL the driver runs side-by-side at sf=0.01.
+
+Float results are quantized as ``floor(x * 1e6)`` bigints in BOTH engines
+(rounding-mode-free), so value hashes compare exactly.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+import sys
+
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from fluent_plugin_elasticsearch_spark.operators import bm25 as _bm25  # noqa: E402
+from fluent_plugin_elasticsearch_spark.operators import dedup as _dedup  # noqa: E402
+from fluent_plugin_elasticsearch_spark.operators import similarity as _sim  # noqa: E402
+from fluent_plugin_elasticsearch_spark.operators import textquality as _tq  # noqa: E402
+from fluent_plugin_elasticsearch_spark.functions import genid as _genid  # noqa: E402
+from fluent_plugin_elasticsearch_spark.functions import transforms as _tr  # noqa: E402
+from fluent_plugin_elasticsearch_spark.sinks import write_ops as _wo  # noqa: E402
+
+# flagship BM25 query over the documents table
+FLAGSHIP_TERMS = ["data", "query", "join"]
+BM25_TERMS_2 = ["spark", "the", "slow"]
+IDS_SET = [3, 17, 42, 99, 250, 499]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- query implementations --------------------------------------------------
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25.bm25_topk_df(_read(spark, sf_dir, "documents"), FLAGSHIP_TERMS, k=10)
+
+
+def q_bm25_topk_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25.bm25_topk_df(_read(spark, sf_dir, "documents"), BM25_TERMS_2, k=10)
+
+
+def q_ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — ids point lookup: broadcast semi-join on doc ids."""
+    docs = _read(spark, sf_dir, "documents")
+    ids_df = spark.createDataFrame([(i,) for i in IDS_SET], "doc_id long")
+    return docs.join(F.broadcast(ids_df), "doc_id", "left_semi").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_scan_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — scroll-style pagination: snapshot order + range predicate."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") > 100)
+        .orderBy("doc_id")
+        .limit(50)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_sorted_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 — sort on metadata field, descending (affinity lookup order)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(20).select("doc_id", "n_chars")
+
+
+def q_genid_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 — deterministic id generation, md5 + base64 (genid filter)."""
+    ev = _read(spark, sf_dir, "events")
+    seed = _genid.genid_seed(["user_id", "event_type"], separator="_")
+    return ev.select(F.col("event_id"), _genid.genid_hash(seed, "md5").alias("_hash"))
+
+
+def q_genid_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    seed = _genid.genid_seed(["user_id", "event_type"], separator="_")
+    return ev.select(F.col("event_id"), _genid.genid_hash(seed, "sha256").alias("_hash"))
+
+
+def q_target_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — logstash date-index naming as partition column (+count/agg)."""
+    ev = _read(spark, sf_dir, "events")
+    named = _tr.target_index(ev, time_col="__none__", event_time_col="ts")
+    return named.groupBy("index_name").agg(F.count("*").alias("n_docs"))
+
+
+def q_placeholder_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 — `${tag}`/strftime placeholder template compiled to columns."""
+    ev = _read(spark, sf_dir, "events").withColumn("tag", F.concat(F.lit("app."), F.col("event_type")))
+    tmpl = _tr.expand_placeholders("logs-${tag_parts[1]}-%Y%m%d", tag_col="tag", time_col="ts")
+    return ev.select("event_id", tmpl.alias("expanded"))
+
+
+def q_affinity_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11 — affinity-targeted routing: updates routed to the OLDEST index
+    holding each id (min over existing index names per user)."""
+    ev = _read(spark, sf_dir, "events")
+    hist = _tr.target_index(ev.filter(F.col("event_id") % 2 == 0), time_col="__n__", event_time_col="ts")
+    batch = _tr.target_index(ev.filter(F.col("event_id") % 2 == 1), time_col="__n__", event_time_col="ts")
+    routed = _wo.affinity_target_index(
+        batch.select(F.col("user_id").alias("doc_id"), "event_id", "index_name"),
+        hist.select(F.col("user_id").alias("doc_id"), "index_name"),
+    )
+    return routed.groupBy("index_name").agg(F.count("*").alias("n"))
+
+
+def q_error_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 — bulk partial-failure triage classes (statuses derived
+    deterministically from the data)."""
+    ev = _read(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", 400)
+        .when(F.col("event_type") == "purchase", 409)
+        .when(F.col("event_type") == "login", 503)
+        .otherwise(201)
+    )
+    et = F.when(F.col("value") > 195, "es_rejected_execution_exception").otherwise(F.lit(None))
+    tagged = ev.withColumn("status", status).withColumn("error_type", et)
+    return _wo.triage_stats(tagged)
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 — upsert MERGE semantics: target=even events, batch=late events
+    (update value where matched, insert where not)."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    target = ev.filter(F.col("event_id") % 2 == 0)
+    batch = ev.filter(F.col("event_id") % 3 == 0).withColumn("value", F.col("value") * 2.0)
+    merged = _wo.op_upsert(target, batch, "event_id")
+    return merged.select(
+        "event_id", "user_id", F.floor(F.col("value") * 1e6).cast("long").alias("value_u")
+    )
+
+
+def q_create_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 — create op: insert-if-absent; duplicates rejected not written."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    target = ev.filter(F.col("event_id") % 2 == 0)
+    batch = ev.filter(F.col("event_id") % 3 == 0).withColumn("value", F.col("value") * 2.0)
+    merged, _dup = _wo.op_create(target, batch, "event_id")
+    return merged.select(
+        "event_id", F.floor(F.col("value") * 1e6).cast("long").alias("value_u")
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tq.token_counts(_read(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tq.fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tq.lang_id_scores(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "predicted_lang", "en_hits", "de_hits", "es_hits", "fr_hits"
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _tq.quality_score(_read(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id", "n_tokens", F.floor(F.col("quality") * 1e6).cast("long").alias("quality_u"), "keep"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 embedding (float64 math)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    top = _sim.cosine_topk(emb.filter(F.col("vec_id") != 0), qdf, k=10)
+    return top.select(
+        "vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_u"), "rank"
+    )
+
+
+def q_tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 group-by agg coverage (TPC-H Q1 shape)."""
+    li = _read(spark, sf_dir, "lineitem")
+    # per-row quantization BEFORE the sum: identical float64 per row in both
+    # engines → exact integer sums (summing doubles first would expose
+    # engine-specific addition order at the floor boundary)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 1e2).cast("long")).alias("sum_qty_u"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e2).cast("long")
+            ).alias("revenue_u"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 join coverage: broadcast dim join + top-k with tie-break."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 1e2).cast("long")).alias("rev_u"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "rev_u")
+    )
+    return rev.orderBy(F.desc("rev_u"), F.asc("c_custkey")).limit(25)
+
+
+def q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 window coverage: row_number per key (affinity pick pattern)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# --- registry ----------------------------------------------------------------
+
+def _fmt_terms(terms: list[str]) -> str:
+    return ", ".join(f"'{t}'" for t in sorted(set(terms)))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_mixed": q_bm25_topk_mixed,
+        "ids_query": q_ids_query,
+        "scan_page": q_scan_page,
+        "sorted_scan_desc": q_sorted_scan_desc,
+        "genid_md5": q_genid_md5,
+        "genid_sha256": q_genid_sha256,
+        "target_index": q_target_index,
+        "placeholder_expansion": q_placeholder_expansion,
+        "affinity_routing": q_affinity_routing,
+        "error_triage": q_error_triage,
+        "upsert_merge": q_upsert_merge,
+        "create_insert_only": q_create_insert_only,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "tpch_q1_agg": q_tpch_q1_agg,
+        "join_topk_customers": q_join_topk_customers,
+        "window_latest_event": q_window_latest_event,
+    }
+
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def oracle_sql() -> dict[str, str]:
+    from fluent_plugin_elasticsearch_spark.operators.bm25 import bm25_topk_sql
+
+    ids_list = ", ".join(str(i) for i in IDS_SET)
+    return {
+        "bm25_topk": bm25_topk_sql("documents", FLAGSHIP_TERMS, k=10),
+        "bm25_topk_mixed": bm25_topk_sql("documents", BM25_TERMS_2, k=10),
+        "ids_query": f"SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN ({ids_list})",
+        "scan_page": "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id > 100 ORDER BY doc_id LIMIT 50",
+        "sorted_scan_desc": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20",
+        "genid_md5": (
+            "SELECT event_id, to_base64(unhex(md5(concat_ws('_', CAST(user_id AS VARCHAR), event_type)))) AS _hash FROM events"
+        ),
+        "genid_sha256": (
+            "SELECT event_id, to_base64(unhex(sha256(concat_ws('_', CAST(user_id AS VARCHAR), event_type)))) AS _hash FROM events"
+        ),
+        "target_index": (
+            "SELECT lower('logstash-' || strftime(ts, '%Y.%m.%d')) AS index_name, count(*) AS n_docs "
+            "FROM events GROUP BY 1"
+        ),
+        "placeholder_expansion": (
+            "SELECT event_id, 'logs-' || event_type || '-' || strftime(ts, '%Y%m%d') AS expanded FROM events"
+        ),
+        "affinity_routing": """
+WITH named AS (
+  SELECT event_id, user_id, lower('logstash-' || strftime(ts, '%Y.%m.%d')) AS index_name
+  FROM events
+), hist AS (SELECT * FROM named WHERE event_id % 2 = 0),
+   batch AS (SELECT * FROM named WHERE event_id % 2 = 1),
+   aff AS (SELECT user_id, min(index_name) AS existing FROM hist GROUP BY user_id)
+SELECT coalesce(a.existing, b.index_name) AS index_name, count(*) AS n
+FROM batch b LEFT JOIN aff a USING (user_id)
+GROUP BY 1
+""",
+        "error_triage": """
+WITH tagged AS (
+  SELECT CASE WHEN event_type='error' THEN 400 WHEN event_type='purchase' THEN 409
+              WHEN event_type='login' THEN 503 ELSE 201 END AS status,
+         CASE WHEN value > 195 THEN 'es_rejected_execution_exception' END AS error_type
+  FROM events
+)
+SELECT CASE WHEN status >= 200 AND status < 300 THEN 'success'
+            WHEN status = 409 THEN 'duplicate'
+            WHEN error_type IN ('out_of_memory_error','es_rejected_execution_exception') THEN 'abort'
+            WHEN status = 400 THEN 'dead_letter'
+            ELSE 'retry' END AS class,
+       count(*) AS n
+FROM tagged GROUP BY 1
+""",
+        "upsert_merge": """
+WITH target AS (SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0),
+     batch  AS (SELECT event_id, user_id, value * 2.0 AS value FROM events WHERE event_id % 3 = 0)
+SELECT coalesce(t.event_id, b.event_id) AS event_id,
+       coalesce(t.user_id, b.user_id) AS user_id,
+       CAST(floor(coalesce(b.value, t.value) * 1e6) AS BIGINT) AS value_u
+FROM target t FULL OUTER JOIN batch b ON t.event_id = b.event_id
+""",
+        "create_insert_only": """
+WITH target AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+     batch  AS (SELECT event_id, value * 2.0 AS value FROM events WHERE event_id % 3 = 0)
+SELECT event_id, CAST(floor(value * 1e6) AS BIGINT) AS value_u FROM target
+UNION ALL
+SELECT event_id, CAST(floor(value * 1e6) AS BIGINT) AS value_u
+FROM batch WHERE event_id NOT IN (SELECT event_id FROM target)
+""",
+        "exact_dedup": (
+            "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, "
+            "min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY 1"
+        ),
+        "token_counts": f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       len({_TOKS}) AS word_tokens,
+       (SELECT sum(CASE WHEN len(t) <= 4 THEN 1 ELSE CAST(ceil(len(t)/4.0) AS BIGINT) END)
+        FROM unnest({_TOKS}) AS u(t)) AS bpe_est_tokens
+FROM documents
+""",
+        "fingerprints": (
+            "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, "
+            "CAST(concat('0x', substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp60 "
+            "FROM documents"
+        ),
+        "lang_id": _lang_id_sql(),
+        "quality_score": _quality_sql(),
+        "ann_cosine_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+)
+SELECT vec_id, CAST(floor(cosine * 1e6) AS BIGINT) AS cosine_u,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "tpch_q1_agg": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity * 1e2) AS BIGINT)) AS sum_qty_u,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT)) AS revenue_u,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "join_topk_customers": """
+SELECT c_custkey, c_name, sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS rev_u
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY rev_u DESC, c_custkey ASC LIMIT 25
+""",
+        "window_latest_event": """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    }
+
+
+def _lang_id_sql() -> str:
+    from fluent_plugin_elasticsearch_spark.operators.textquality import LANG_MARKERS
+
+    hits = []
+    for lang in LANG_MARKERS:
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        hits.append(
+            f"len(list_filter({_TOKS}, t -> t IN ({lst}))) AS {lang}_hits"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"{lang}_hits" for lang in langs) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN {lang}_hits = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH h AS (SELECT doc_id, {', '.join(hits)} FROM documents)
+SELECT doc_id, {pred} AS predicted_lang, en_hits, de_hits, es_hits, fr_hits FROM h
+"""
+
+
+def _quality_sql() -> str:
+    from fluent_plugin_elasticsearch_spark.operators.textquality import LANG_MARKERS
+
+    en = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len({_TOKS}) AS n_tokens,
+         length(text) * 1.0 / greatest(len({_TOKS}), 1) AS mean_tok_len,
+         len(list_filter({_TOKS}, t -> t IN ({en}))) * 1.0 / greatest(len({_TOKS}), 1) AS stopword_ratio,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS alnum_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((least(n_tokens / 100.0, 1.0) * 0.4
+                   + least(stopword_ratio * 4.0, 1.0) * 0.3
+                   + alnum_ratio * 0.3) * 1e6) AS BIGINT) AS quality_u,
+       (n_tokens >= 10 AND mean_tok_len <= 12.0) AS keep
+FROM feats
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
-
-
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")

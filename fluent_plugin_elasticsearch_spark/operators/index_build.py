@@ -1,0 +1,338 @@
+"""Inverted-index build — the engine-side half of the reference's
+`client.bulk` indexing path (out_elasticsearch.rb:1158, SURVEY.md Q6).
+
+Design (Spark-first, sized for 10^12 docs / 1000 executors):
+
+  * **Doc-sharded layout.** Documents are hash-sharded (``shard =
+    pmod(xxhash64(id), n_shards)``); each shard holds complete posting
+    lists for its documents. Queries fan out per shard, compute a local
+    top-k, then merge — the classic distributed-search architecture, and
+    the layout that keeps query-time work proportional to query terms.
+  * **Salted two-phase build.** Head terms (stopword-scale lists) would
+    make a single ``groupBy(term)`` reducer a straggler. Phase 1 groups by
+    ``(shard, term, salt)`` with ``salt = pmod(xxhash64(doc_id), n_salts)``
+    and emits *compressed sorted partials*; phase 2 merges the (already
+    compact) partials per ``(shard, term)`` and re-blocks. The heavy
+    token-level shuffle is therefore always split ``n_salts`` ways —
+    explicit skew handling per the north rule; AQE skew-join does not
+    cover aggregation skew.
+  * **Posting blocks** of 128 entries: delta-gap+varint doc ids, varint
+    tfs, varint doc lengths (dl inline ⇒ query needs NO doc_stats join),
+    and ``max_tfn`` — the idf-independent BM25 upper-bound factor — so
+    block-max WAND bounds are ``idf × max_tfn`` with idf resolved at query
+    time from the tiny per-term df lookup.
+  * **Everything vectorized**: tokenization via Arrow pandas UDFs
+    (extraction.py), tf/df/doc-len via Catalyst hash aggregates,
+    encode/merge via numpy inside ``applyInPandas`` (no per-row Python).
+  * **Resumable**: ``build_index`` can run shard-batch by shard-batch; a
+    ``_manifest`` parquet records per-shard lineage (run id, app id,
+    timestamps) + metrics (docs, postings, blocks, bytes, wall seconds);
+    completed shards are skipped on restart (north rule: "resumable from
+    checkpoint with per-partition lineage + metrics").
+
+Storage layout under ``out_dir`` (parquet; Iceberg DDL is the cluster
+path — the sandbox image has no Iceberg runtime jar, the layout maps 1:1
+onto an Iceberg table partitioned by ``shard``):
+
+    postings/shard=K/*.parquet   (term, block_id, n_docs, first_doc,
+                                  last_doc, docs_enc, tfs_enc, dls_enc,
+                                  max_tfn)   sorted by (term, first_doc)
+    doc_stats/shard=K/*.parquet  (doc_id, doc_len)
+    docmap/shard=K/*.parquet     (doc_id, url)        [if url column given]
+    term_stats/*.parquet         (term, df)           sorted by term
+    _manifest/*.parquet          per-shard lineage + metrics rows
+    meta.json                    corpus stats + codec/scoring params
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import BM25_B, BM25_K1
+from ..extraction import extract_text_udf, simple_tokens_col, tokenize_simple_udf, tokenize_unicode_udf
+from .codec import BLOCK_SIZE, delta_encode, varint_encode
+
+PARTIAL_SCHEMA = (
+    "shard int, term string, term_bucket int, salt int, n_docs int, "
+    "docs_enc binary, tfs_enc binary, dls_enc binary"
+)
+N_TERM_BUCKETS = 64  # phase-2 merge granularity within a shard
+BLOCK_SCHEMA = (
+    "shard int, term string, block_id int, n_docs int, first_doc long, "
+    "last_doc long, docs_enc binary, tfs_enc binary, dls_enc binary, max_tfn double"
+)
+
+TOKENIZERS = {
+    "unicode": lambda c: tokenize_unicode_udf(c),
+    "simple_udf": lambda c: tokenize_simple_udf(c),
+    "simple": simple_tokens_col,  # pure-JVM fast path
+}
+
+
+def with_doc_id(docs: DataFrame, url_col: str = "url", out_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic non-negative 63-bit doc id from the natural
+    key (url — the reference's `id_key`, out_elasticsearch.rb:103). Same
+    (url → id) mapping on any cluster size; used by both engine and oracle."""
+    return docs.withColumn(out_col, F.shiftrightunsigned(F.xxhash64(F.col(url_col)), 1))
+
+
+def tokens_df(docs: DataFrame, id_col: str, text_col: str | None = None,
+              html_col: str | None = None, tokenizer: str = "unicode") -> DataFrame:
+    """(id, tokens) with text extracted from html if needed. Extraction and
+    tokenization both Arrow-vectorized."""
+    if text_col is None:
+        if html_col is None:
+            raise ValueError("need text_col or html_col")
+        docs = docs.withColumn("__text", extract_text_udf(F.col(html_col)))
+        text_col = "__text"
+    return docs.withColumn("tokens", TOKENIZERS[tokenizer](F.col(text_col)))
+
+
+def _hash_bucket(terms: np.ndarray, n_buckets: int = N_TERM_BUCKETS) -> np.ndarray:
+    # deterministic cross-process string bucket (python hash() is salted
+    # per worker — it would scatter one term's partials across buckets)
+    from zlib import crc32
+
+    return np.array([crc32(t.encode("utf-8")) for t in terms], dtype=np.int64) % n_buckets
+
+
+def _encode_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Phase 1 applyInPandas over one (shard, salt) group: sort by
+    (term, doc_id) with np.lexsort, slice per-term runs via np.unique
+    boundaries, emit one compressed sorted partial row per term. One Python
+    invocation per (shard, salt) — per-term work is numpy slicing, so group
+    count (not term count) bounds interpreter overhead."""
+    terms = pdf["term"].to_numpy()
+    ids = pdf["doc_id"].to_numpy().astype(np.uint64)
+    tfs = pdf["tf"].to_numpy().astype(np.uint64)
+    dls = pdf["doc_len"].to_numpy().astype(np.uint64)
+    order = np.lexsort((ids, terms))
+    terms, ids, tfs, dls = terms[order], ids[order], tfs[order], dls[order]
+    uniq_terms, starts = np.unique(terms, return_index=True)
+    bounds = np.append(starts, terms.size)
+    shard = int(pdf["shard"].iloc[0])
+    salt = int(pdf["salt"].iloc[0])
+    buckets = _hash_bucket(uniq_terms)
+    rows = {
+        "shard": np.full(uniq_terms.size, shard, dtype=np.int64),
+        "term": uniq_terms,
+        "term_bucket": buckets,
+        "salt": np.full(uniq_terms.size, salt, dtype=np.int64),
+        "n_docs": np.diff(bounds),
+        "docs_enc": [delta_encode(ids[s:e]) for s, e in zip(bounds[:-1], bounds[1:])],
+        "tfs_enc": [varint_encode(tfs[s:e]) for s, e in zip(bounds[:-1], bounds[1:])],
+        "dls_enc": [varint_encode(dls[s:e]) for s, e in zip(bounds[:-1], bounds[1:])],
+    }
+    return pd.DataFrame(rows)
+
+
+def _make_merge_fn(avgdl: float, k1: float, b: float, block_size: int):
+    from .codec import encode_blocks, varint_decode, delta_decode
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Phase 2 applyInPandas over one (shard, term_bucket) group: for
+        each term, decode its salted partials (compact, compressed inputs),
+        merge-sort, re-block, compute per-block max_tfn. Group memory is
+        bounded by one term-bucket of one shard."""
+        shard = int(pdf["shard"].iloc[0])
+        out: list[dict] = []
+        for term, sub in pdf.groupby("term", sort=False):
+            ids_l, tfs_l, dls_l = [], [], []
+            for n, de, te, le in zip(sub["n_docs"], sub["docs_enc"], sub["tfs_enc"], sub["dls_enc"]):
+                n = int(n)
+                ids_l.append(delta_decode(de, n))
+                tfs_l.append(varint_decode(te, n))
+                dls_l.append(varint_decode(le, n))
+            ids = np.concatenate(ids_l)
+            tfs = np.concatenate(tfs_l)
+            dls = np.concatenate(dls_l)
+            order = np.argsort(ids, kind="stable")
+            ids, tfs, dls = ids[order], tfs[order], dls[order]
+            tff = tfs.astype(np.float64)
+            tfns = (k1 + 1.0) * tff / (tff + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+            blocks = encode_blocks(ids, tfs, tfns, block_size)
+            pos = 0
+            for i, blk in enumerate(blocks):
+                e = pos + blk["n_docs"]
+                out.append(
+                    {
+                        "shard": shard,
+                        "term": term,
+                        "block_id": i,
+                        "n_docs": blk["n_docs"],
+                        "first_doc": blk["first_doc"],
+                        "last_doc": blk["last_doc"],
+                        "docs_enc": blk["docs_enc"],
+                        "tfs_enc": blk["tfs_enc"],
+                        "dls_enc": varint_encode(dls[pos:e]),
+                        "max_tfn": blk["max_tfn"],
+                    }
+                )
+                pos = e
+        return pd.DataFrame(out, columns=[
+            "shard", "term", "block_id", "n_docs", "first_doc", "last_doc",
+            "docs_enc", "tfs_enc", "dls_enc", "max_tfn",
+        ])
+
+    return merge
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    html_col: str | None = None,
+    url_col: str | None = None,
+    tokenizer: str = "unicode",
+    n_shards: int = 8,
+    n_salts: int = 8,
+    block_size: int = BLOCK_SIZE,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    shard_batches: int = 1,
+    run_id: str | None = None,
+) -> dict:
+    """Build the full index at ``out_dir``. ``shard_batches>1`` splits the
+    build into resumable per-shard-group jobs (manifest-checkpointed); a
+    re-run with the same out_dir skips completed shards."""
+    run_id = run_id or f"run-{int(time.time())}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    toks = tokens_df(docs, id_col, text_col, html_col, tokenizer)
+    if url_col:
+        toks = toks.select(F.col(id_col).alias("doc_id"), F.col(url_col).alias("url"), "tokens")
+    else:
+        toks = toks.select(F.col(id_col).alias("doc_id"), "tokens")
+    toks = (
+        toks.withColumn("doc_len", F.size("tokens"))
+        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
+        .withColumn("salt", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(n_salts)).cast("int"))
+    )
+    toks.persist()
+
+    # corpus stats (one cheap agg over doc lens)
+    stats = toks.agg(
+        F.count("*").alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_tokens"),
+        F.min("doc_id").alias("min_id"),
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    if stats["min_id"] is not None and int(stats["min_id"]) < 0:
+        # codec stores uint64 gaps; signed/unsigned order must agree for
+        # rank-identical tie-breaks — derive ids via with_doc_id() instead
+        raise ValueError("doc ids must be non-negative (use with_doc_id for url-keyed corpora)")
+
+    manifest_path = os.path.join(out_dir, "_manifest")
+    done: set[int] = set()
+    if os.path.exists(manifest_path):
+        done = {
+            int(r["shard"])
+            for r in spark.read.parquet(manifest_path).filter(F.col("status") == "done").collect()
+        }
+
+    merge_fn = _make_merge_fn(avgdl, k1, b, block_size)
+    all_shards = [s for s in range(n_shards) if s not in done]
+    groups = [all_shards[i::shard_batches] for i in range(shard_batches)] if shard_batches > 1 else [all_shards]
+    groups = [g for g in groups if g]
+
+    metrics = []
+    for group in groups:
+        t0 = time.time()
+        part = toks.filter(F.col("shard").isin(group)) if len(group) < n_shards else toks
+        tf = (
+            part.select("shard", "salt", "doc_id", "doc_len", F.explode("tokens").alias("term"))
+            .groupBy("shard", "salt", "doc_id", "doc_len", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        partials = tf.groupBy("shard", "salt").applyInPandas(_encode_partials, PARTIAL_SCHEMA)
+        blocks = partials.groupBy("shard", "term_bucket").applyInPandas(merge_fn, BLOCK_SCHEMA)
+        (
+            blocks.repartition("shard")
+            .sortWithinPartitions("term", "first_doc")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(os.path.join(out_dir, "postings"))
+        )
+        ds = part.select("shard", "doc_id", "doc_len")
+        ds.repartition("shard").write.mode("append").partitionBy("shard").parquet(
+            os.path.join(out_dir, "doc_stats")
+        )
+        if url_col:
+            part.select("shard", "doc_id", "url").repartition("shard").write.mode("append").partitionBy(
+                "shard"
+            ).parquet(os.path.join(out_dir, "docmap"))
+
+        wall = time.time() - t0
+        shard_metrics = (
+            spark.read.parquet(os.path.join(out_dir, "postings"))
+            .filter(F.col("shard").isin(group))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_blocks"),
+                F.sum("n_docs").alias("n_postings"),
+                F.sum(F.length("docs_enc") + F.length("tfs_enc") + F.length("dls_enc")).alias("enc_bytes"),
+            )
+            .collect()
+        )
+        rows = [
+            {
+                "shard": int(r["shard"]),
+                "status": "done",
+                "run_id": run_id,
+                "app_id": spark.sparkContext.applicationId,
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "n_blocks": int(r["n_blocks"]),
+                "n_postings": int(r["n_postings"]),
+                "enc_bytes": int(r["enc_bytes"]),
+                "wall_s": wall,
+            }
+            for r in shard_metrics
+        ]
+        if rows:
+            spark.createDataFrame(pd.DataFrame(rows)).write.mode("append").parquet(manifest_path)
+            metrics.extend(rows)
+
+    # term stats: global df per term. (doc_id, term) pairs are deduped by
+    # the inner groupBy (partial/map-side agg), outer count = exact df.
+    if all_shards:
+        tf_all = (
+            toks.select("doc_id", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id")
+            .count()
+        )
+        (
+            tf_all.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .repartitionByRange(max(1, n_shards // 2), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "term_stats"))
+        )
+
+    toks.unpersist()
+    meta = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "total_tokens": int(stats["total_tokens"]),
+        "n_shards": n_shards,
+        "n_salts": n_salts,
+        "block_size": block_size,
+        "k1": k1,
+        "b": b,
+        "tokenizer": tokenizer,
+        "run_id": run_id,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"meta": meta, "shard_metrics": metrics}

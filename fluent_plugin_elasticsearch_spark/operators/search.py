@@ -1,0 +1,109 @@
+"""Query engine over a built index: BM25 top-k (`match`), ids query,
+sorted/paged scans — the search surface the reference drives through
+`client.search` (in_elasticsearch.rb:272-294, out_elasticsearch.rb:947-957).
+
+Distributed plan for ``search``:
+    term_stats lookup (≤ query-term rows, parquet min/max pruned)
+  → postings.filter(term ∈ terms)            [scan limited to query terms]
+  → groupBy(shard).applyInPandas(local top-k) [WAND or exhaustive numpy]
+  → global orderBy(score desc, doc_id asc).limit(k)   [TakeOrderedAndProject]
+
+Doc lengths ride inside the posting blocks, so query time touches no
+doc-side table; the final (≤ k rows) result can be broadcast-joined back to
+``docmap``/docs for materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..textproc import bm25_idf, tokenize_simple, tokenize_unicode
+from . import wand as _wand
+
+_TOKENIZE = {"unicode": tokenize_unicode, "simple": tokenize_simple, "simple_udf": tokenize_simple}
+
+TOPK_SCHEMA = "doc_id long, score double"
+
+
+class InvertedIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+
+    # --- table accessors -------------------------------------------------
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "doc_stats"))
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "term_stats"))
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "docmap"))
+
+    def manifest(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "_manifest"))
+
+    # --- full-text search --------------------------------------------------
+    def query_terms(self, query_text: str) -> list[str]:
+        return sorted(set(_TOKENIZE[self.meta["tokenizer"]](query_text)))
+
+    def search(self, query_text: str, k: int = 10, mode: str = "wand") -> DataFrame:
+        """Top-k BM25. mode='wand' (block-max skipping) or 'exhaustive'
+        (vectorized decode-all). Both rank-identical to brute force."""
+        terms = self.query_terms(query_text)
+        spark = self.spark
+        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        if not terms:
+            return empty
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in self.term_stats().filter(F.col("term").isin(terms)).collect()
+        }
+        if not dfs:
+            return empty
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        idfs = {t: bm25_idf(df, n_docs) for t, df in dfs.items()}
+        scorer = _wand.score_shard_wand if mode == "wand" else _wand.score_shard_exhaustive
+
+        def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+            return scorer(pdf, idfs, k, avgdl, k1, b)
+
+        blocks = self.postings().filter(F.col("term").isin(list(dfs)))
+        local = blocks.groupBy("shard").applyInPandas(shard_topk, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_with_urls(self, query_text: str, k: int = 10, mode: str = "wand") -> DataFrame:
+        topk = self.search(query_text, k, mode)
+        return (
+            self.docmap()
+            .join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "url", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    # --- ES-style structural queries (SURVEY.md §2.5) ----------------------
+    def ids_query(self, ids: list[int]) -> DataFrame:
+        """Q1: point lookup by doc ids — broadcast semi-join, shard-pruned."""
+        ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+        return self.doc_stats().join(F.broadcast(ids_df), "doc_id", "left_semi")
+
+    def scan_page(self, after_doc_id: int = -1, page_size: int = 1000) -> DataFrame:
+        """Q7 scroll-style pagination: stable order + range predicate (the
+        Spark/Iceberg analogue of a scroll cursor over a snapshot)."""
+        return (
+            self.doc_stats()
+            .filter(F.col("doc_id") > after_doc_id)
+            .orderBy("doc_id")
+            .limit(page_size)
+        )

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * brute-force cosine top-k — the exactness baseline. Dot product via
+    JVM-side higher-order functions (zip_with + aggregate): stays in
+    codegen, no Python.
+  * LSH-bucketed ANN (random hyperplanes) — the scale path: signatures
+    via one vectorized pandas UDF (numpy matmul per Arrow batch), candidate
+    generation by bucket equi-join, exact re-rank of candidates only.
+
+At 100 TB the brute-force path is a full scan per query — acceptable for
+batched offline query sets (queries broadcast, one pass scores all);
+the LSH path bounds work per query by bucket size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_df: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "query_id") -> DataFrame:
+    """Brute-force cosine top-k per query. query_df: (query_id, embedding).
+    Queries are broadcast — one scan of the corpus scores every query;
+    per-query top-k via window row_number (rank-deterministic tie-break
+    sim desc, vec_id asc)."""
+    from pyspark.sql import Window
+
+    joined = embeddings.alias("e").crossJoin(F.broadcast(query_df.alias("q")))
+    scored = joined.select(
+        F.col(f"q.{qid_col}").alias("query_id"),
+        F.col(f"e.{id_col}").alias("vec_id"),
+        cosine_col(F.col(f"e.{vec_col}"), F.col(f"q.{vec_col}")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+# --- LSH (random hyperplane signatures) -------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def lsh_signatures(embeddings: DataFrame, dim: int, n_planes: int = 16, seed: int = 42,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket:int) — sign pattern of `n_planes` random projections,
+    packed into one int. One numpy matmul per Arrow batch."""
+    planes = _hyperplanes(dim, n_planes, seed)  # captured, shipped once per task
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("bucket", T.LongType())]
+    )
+
+    def batch_sig(it):
+        for pdf in it:
+            mat = np.stack(pdf["vec"].to_numpy())  # (batch, dim) float32
+            bits = (mat @ planes.T) > 0
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": bits @ weights})
+
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    return base.mapInPandas(batch_sig, schema)
+
+
+def lsh_cosine_topk(embeddings: DataFrame, query_df: DataFrame, dim: int, k: int = 10,
+                    n_planes: int = 12, n_tables: int = 4, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "query_id") -> DataFrame:
+    """ANN: union of `n_tables` independent hyperplane tables; candidates =
+    bucket equi-join (shuffle on bucket), exact cosine re-rank of the
+    candidate set only. Recall grows with n_tables; per-query cost is the
+    matched buckets, not the corpus."""
+    from pyspark.sql import Window
+
+    cands = None
+    for t in range(n_tables):
+        sig_e = lsh_signatures(embeddings, dim, n_planes, seed + t, id_col, vec_col)
+        sig_q = lsh_signatures(query_df, dim, n_planes, seed + t, qid_col, vec_col
+                               ).withColumnRenamed("vec_id", "query_id")
+        c = sig_e.join(F.broadcast(sig_q), "bucket").select("query_id", "vec_id")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    pairs = (
+        cands.join(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__ev")), "vec_id")
+        .join(F.broadcast(query_df.select(F.col(qid_col).alias("query_id"), F.col(vec_col).alias("__qv"))), "query_id")
+        .select("query_id", "vec_id", cosine_col(F.col("__ev"), F.col("__qv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_nneardup_pairs(embeddings: DataFrame, dim: int, threshold: float = 0.95,
+                             n_planes: int = 12, n_tables: int = 4, seed: int = 42,
+                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup by semantic identity):
+    LSH self-join candidates, exact cosine filter ≥ threshold."""
+    cands = None
+    for t in range(n_tables):
+        sig = lsh_signatures(embeddings, dim, n_planes, seed + t, id_col, vec_col)
+        a, b = sig.alias("a"), sig.alias("b")
+        c = a.join(
+            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+        ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    ev = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    return (
+        cands.join(ev.withColumnRenamed("__id", "id_a").withColumnRenamed("__v", "__va"), "id_a")
+        .join(ev.withColumnRenamed("__id", "id_b").withColumnRenamed("__v", "__vb"), "id_b")
+        .select("id_a", "id_b", cosine_col(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

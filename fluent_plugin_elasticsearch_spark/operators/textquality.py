@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (JVM codegen, SQL-oracle-reproducible):
+the heuristics are deliberately simple and deterministic — the value at
+100 TB is that each is a single projection over the scan with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..extraction import simple_tokens_col
+from .dedup import normalize_text_col
+
+# small per-language stopword marker sets (n-gram heuristic, FIXTURES-style)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+}
+
+
+def _marker_hits(tokens: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, predicted_lang, <lang>_hits...) — argmax of stopword-marker
+    hit counts; 'und' (undetermined) when nothing matches. Deterministic
+    tie-break: language name ascending."""
+    toks = simple_tokens_col(F.col(text_col))
+    out = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"{lang}_hits", _marker_hits(F.col("__toks"), markers))
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"{lang}_hits") for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:  # ascending name order = deterministic tie-break
+        pred = pred.when(F.col(f"{lang}_hits") == best, F.lit(lang))
+    return out.withColumn("predicted_lang", pred).drop("__toks")
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: char/token counts, mean token length,
+    stopword ratio, alnum ratio, uppercase ratio — the standard cheap
+    quality filters for web corpora."""
+    c = F.col(text_col)
+    toks = simple_tokens_col(c)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_chars = F.length(c)
+    n_alnum = F.length(F.regexp_replace(c, r"[^a-zA-Z0-9]", ""))
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (n_chars / F.greatest(n_tok, F.lit(1))).alias("mean_tok_len"),
+        (n_stop / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+        (n_alnum / F.greatest(n_chars, F.lit(1))).alias("alnum_ratio"),
+        (n_upper / F.greatest(n_chars, F.lit(1))).alias("upper_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  min_tokens: int = 10, max_mean_tok_len: float = 12.0) -> DataFrame:
+    """Composite 0-1 quality score + keep flag (the filter a pretraining
+    pipeline applies before tokenization)."""
+    feats = quality_features(docs, id_col, text_col)
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
+        + F.col("alnum_ratio") * 0.3
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("quality"),
+        (
+            (F.col("n_tokens") >= min_tokens) & (F.col("mean_tok_len") <= max_mean_tok_len)
+        ).alias("keep"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (≈ chars/4 for long
+    words — the usual quick corpus-size estimator)."""
+    c = F.col(text_col)
+    toks = simple_tokens_col(c)
+    ws = F.size(F.split(F.trim(c), r"\s+"))
+    bpe_est = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.when(F.length(t) <= 4, 1).otherwise(
+            F.ceil(F.length(t) / 4.0).cast("long")
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        F.size(toks).alias("word_tokens"),
+        bpe_est.alias("bpe_est_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stable document fingerprints: full-text md5 over normalized text +
+    a 64-bit prefix as bigint (cheap join/shuffle key)."""
+    norm = normalize_text_col(F.col(text_col))
+    fp = F.md5(norm)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp60"),
+    )

@@ -1,0 +1,101 @@
+"""End-to-end rank-identity: compressed index + WAND == exhaustive ==
+pure-Python brute-force oracle, on the reference query set (FIXTURES.md §3:
+rare terms, head/stopword terms, Unicode terms, multi-term mixes).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
+from fluent_plugin_elasticsearch_spark.textproc import bm25_topk_oracle, extract_text, tokenize_unicode
+
+# reference query set: rare / head / unicode / mixed / absent
+QUERIES = [
+    "the",                      # stopword-scale head term (WAND stress)
+    "of and to",                # multiple head terms
+    "baba",                     # frequent zipf body term
+    "the baba café",            # mixed head + body + unicode
+    "日 本",                     # CJK unigrams
+    "bizogi the",               # rarer body term + head
+    "zzzznotaterm",             # absent term → empty
+    "café über naïve",          # accented
+]
+K = 10
+
+
+@pytest.fixture(scope="module")
+def oracle_docs(corpus_pdf):
+    """{doc_id: tokens} with the SAME doc-id derivation as the engine
+    (xxhash64(url) >>> 1) — computed via Spark to share the hash impl."""
+    return None  # filled by fixture below
+
+
+@pytest.fixture(scope="module")
+def docs_tokens(spark, corpus_pdf, index_dir):
+    idx_docmap = InvertedIndex(spark, index_dir).docmap().select("doc_id", "url").collect()
+    url2id = {r["url"]: r["doc_id"] for r in idx_docmap}
+    return {
+        url2id[row["url"]]: tokenize_unicode(extract_text(row["html"]))
+        for _, row in corpus_pdf.iterrows()
+    }
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_and_exhaustive_match_oracle(spark, index_dir, docs_tokens, query):
+    idx = InvertedIndex(spark, index_dir)
+    expected = bm25_topk_oracle(docs_tokens, tokenize_unicode(query), K)
+    for mode in ("exhaustive", "wand"):
+        got = idx.search(query, k=K, mode=mode).collect()
+        got_ids = [r["doc_id"] for r in got]
+        exp_ids = [d for d, _ in expected]
+        assert got_ids == exp_ids, f"mode={mode} q={query!r}"
+        for (eid, escore), row in zip(expected, got):
+            assert abs(row["score"] - escore) < 1e-9, f"mode={mode} q={query!r} doc={eid}"
+
+
+def test_index_stats_match_oracle(spark, index_dir, docs_tokens):
+    idx = InvertedIndex(spark, index_dir)
+    assert idx.meta["n_docs"] == len(docs_tokens)
+    avgdl = sum(len(t) for t in docs_tokens.values()) / len(docs_tokens)
+    assert idx.meta["avgdl"] == pytest.approx(avgdl, rel=1e-12)
+    # df spot check for a head term
+    df_the = idx.term_stats().filter(F.col("term") == "the").collect()[0]["df"]
+    assert df_the == sum(1 for t in docs_tokens.values() if "the" in t)
+
+
+def test_postings_partitioned_and_blocked(spark, index_dir):
+    idx = InvertedIndex(spark, index_dir)
+    posts = idx.postings()
+    # doc-sharded layout with per-shard complete lists
+    assert posts.select("shard").distinct().count() == idx.meta["n_shards"]
+    # block size respected
+    assert posts.agg(F.max("n_docs")).collect()[0][0] <= idx.meta["block_size"]
+    # sorted, non-overlapping blocks per (shard, term)
+    bad = posts.filter(F.col("first_doc") > F.col("last_doc")).count()
+    assert bad == 0
+    w = (
+        posts.groupBy("shard", "term")
+        .agg(F.sum("n_docs").alias("n"))
+        .join(idx.term_stats(), "term")
+    )
+    # sum of per-shard posting counts == global df
+    tot = w.groupBy("term").agg(F.sum("n").alias("n"), F.first("df").alias("df"))
+    assert tot.filter(F.col("n") != F.col("df")).count() == 0
+
+
+def test_ids_query_and_pagination(spark, index_dir):
+    idx = InvertedIndex(spark, index_dir)
+    some = [r["doc_id"] for r in idx.doc_stats().limit(5).collect()]
+    got = idx.ids_query(some)
+    assert got.count() == len(set(some))
+    # scroll-style pagination covers all docs exactly once
+    seen, last = 0, -1
+    while True:
+        page = idx.scan_page(after_doc_id=last, page_size=200).collect()
+        if not page:
+            break
+        ids = [r["doc_id"] for r in page]
+        assert ids == sorted(ids)
+        seen += len(ids)
+        last = ids[-1]
+    assert seen == idx.meta["n_docs"]

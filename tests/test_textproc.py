@@ -1,0 +1,97 @@
+"""Extraction + tokenization unit tests (pure Python, no Spark).
+
+Byte-identity is the per-row invariant from BASELINE.json input_hint:
+extract_text(html) == text for every corpus row.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fluent_plugin_elasticsearch_spark.corpus import generate_corpus, _wrap_html
+from fluent_plugin_elasticsearch_spark.operators.codec import (
+    decode_block,
+    delta_decode,
+    delta_encode,
+    encode_blocks,
+    varint_decode,
+    varint_encode,
+)
+from fluent_plugin_elasticsearch_spark.textproc import (
+    bm25_topk_oracle,
+    extract_text,
+    tokenize_simple,
+    tokenize_unicode,
+)
+
+
+def test_extract_byte_identity_corpus(corpus_pdf):
+    for _, row in corpus_pdf.iterrows():
+        assert extract_text(row["html"]) == row["text"]
+
+
+def test_extract_strips_noise():
+    html = b"<html><head><title>T</title></head><body><script>x<y</script><p>a &amp; b</p><!-- c --><div>&lt;tag&gt;</div></body></html>"
+    assert extract_text(html) == "a & b <tag>"
+
+
+def test_tokenize_unicode_cjk_and_accents():
+    assert tokenize_unicode("Café über ALL") == ["café", "über", "all"]
+    assert tokenize_unicode("日本語 ok") == ["日", "本", "語", "ok"]
+    assert tokenize_unicode("") == []
+
+
+def test_tokenize_simple():
+    assert tokenize_simple("Hello, World-42!") == ["hello", "world", "42"]
+    assert tokenize_simple("  ") == []
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert (varint_decode(varint_encode(arr), len(values)) == arr).all()
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=400))
+@settings(max_examples=50, deadline=None)
+def test_delta_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.uint64)
+    assert (delta_decode(delta_encode(arr), len(arr)) == arr).all()
+
+
+def test_encode_blocks_roundtrip_and_maxscore():
+    rng = np.random.default_rng(7)
+    ids = np.unique(rng.integers(0, 10**9, 1000).astype(np.uint64))
+    tfs = rng.integers(1, 50, ids.size).astype(np.uint64)
+    tfns = rng.random(ids.size)
+    blocks = encode_blocks(ids, tfs, tfns, block_size=128)
+    pos = 0
+    for blk in blocks:
+        d_ids, d_tfs = decode_block(blk["docs_enc"], blk["tfs_enc"], blk["n_docs"])
+        e = pos + blk["n_docs"]
+        assert (d_ids == ids[pos:e]).all()
+        assert (d_tfs == tfs[pos:e]).all()
+        assert blk["max_tfn"] == pytest.approx(tfns[pos:e].max())
+        assert blk["first_doc"] == ids[pos] and blk["last_doc"] == ids[e - 1]
+        pos = e
+    assert pos == ids.size
+
+
+def test_oracle_bm25_basics():
+    docs = {1: ["a", "b", "a"], 2: ["b", "c"], 3: ["c", "c", "c", "d"]}
+    top = bm25_topk_oracle(docs, ["c"], k=2)
+    assert [d for d, _ in top] == [3, 2]
+    assert all(s > 0 for _, s in top)
+    # dedup of repeated query terms
+    assert bm25_topk_oracle(docs, ["c", "c"], 3) == bm25_topk_oracle(docs, ["c"], 3)
+
+
+def test_wrap_html_deterministic():
+    a = _wrap_html("x y z", "u", 5)
+    b = _wrap_html("x y z", "u", 5)
+    assert a == b
+    pdf1 = generate_corpus(30, seed=1)
+    pdf2 = generate_corpus(30, seed=1)
+    assert pdf1.equals(pdf2)
