@@ -193,6 +193,75 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_wand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path under the oracle gate: build the compressed
+    block-max index over `documents` (simple tokenizer), run block-max WAND
+    top-k — must equal the plain-SQL BM25 oracle exactly."""
+    import tempfile
+
+    from fluent_plugin_elasticsearch_spark.operators.index_build import build_index
+    from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="entry_idx_") + "/idx"
+    build_index(spark, docs, out, id_col="doc_id", text_col="text",
+                tokenizer="simple", n_shards=4, n_salts=4)
+    idx = InvertedIndex(spark, out)
+    top = idx.search(" ".join(FLAGSHIP_TERMS), k=10, mode="wand")
+    return top.select("doc_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_u"))
+
+
+def q_ngram_overlap_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate generation: top-20 doc pairs by shared distinct
+    bigrams (the intersection stage of n-gram Jaccard)."""
+    from fluent_plugin_elasticsearch_spark.operators.dedup import shingles_df
+
+    sh = shingles_df(_read(spark, sf_dir, "documents"), n=2)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return inter.orderBy(F.desc("inter"), F.asc("id_a"), F.asc("id_b")).limit(20)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (md5-derived hashes, 16 perms, 8 bands)."""
+    from fluent_plugin_elasticsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), n=2, num_hashes=16, bands=8, max_bucket=10**9
+    )
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures (rows-only check: bit-vote algorithm is
+    not reasonably SQL-expressible)."""
+    from fluent_plugin_elasticsearch_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_read(spark, sf_dir, "documents"))
+
+
+def q_query_ast_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — ES query-body AST compiled to scan+filter+sort+limit."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    body = {
+        "query": {
+            "bool": {
+                "filter": [{"range": {"n_chars": {"gte": 200, "lt": 400}}}],
+                "must_not": [{"term": {"lang": "zh"}}],
+            }
+        },
+        "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+        "size": 15,
+        "_source": ["lang", "n_chars"],
+    }
+    return compile_query(docs, body)
+
+
 def q_tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 group-by agg coverage (TPC-H Q1 shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -265,6 +334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "bm25_wand_index": q_bm25_wand_index,
+        "ngram_overlap_top20": q_ngram_overlap_top20,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_signatures": q_simhash_signatures,
+        "query_ast_bool": q_query_ast_bool,
         "tpch_q1_agg": q_tpch_q1_agg,
         "join_topk_customers": q_join_topk_customers,
         "window_latest_event": q_window_latest_event,
@@ -358,6 +432,25 @@ FROM documents
         ),
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),
+        "bm25_wand_index": bm25_topk_sql("documents", FLAGSHIP_TERMS, k=10),
+        "ngram_overlap_top20": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(tokens) - 1, 0)),
+    i -> array_to_string(tokens[i:i+1], ' ')))) AS shingle
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY inter DESC, id_a ASC, id_b ASC LIMIT 20
+""",
+        "minhash_lsh_pairs": _minhash_sql(num_hashes=16, bands=8),
+        "query_ast_bool": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars >= 200 AND n_chars < 400 AND lang <> 'zh'
+ORDER BY n_chars DESC, doc_id ASC LIMIT 15
+""",
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -393,6 +486,40 @@ SELECT user_id, event_id, event_type FROM (
 ) WHERE rn = 1
 """,
     }
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(md5('{k}_' || shingle)) AS h{k}" for k in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
+            b=bi,
+            expr=" || '|' || ".join(f"h{bi * rows + r}" for r in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(tokens) - 1, 0)),
+    i -> array_to_string(tokens[i:i+1], ' ')))) AS shingle
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM grams GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_shared
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
 
 
 def _lang_id_sql() -> str:

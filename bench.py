@@ -1,0 +1,127 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline numbers (BASELINE.json metric):
+  * index-build throughput (docs/sec) over the deterministic webtext corpus
+  * BM25 top-10 query latency p50/p99 (block-max WAND), rank-identical set
+  * the sf-dir analytical queries from __spark_entry__ (documents/events/
+    lineitem tables)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_DOCS (webtext corpus size, default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "the fast small",
+    "of and to a in",
+    "baba the",
+    "café über the",
+    "日 本 語",
+    "the of and group value",
+    "bizogi",
+    "table scan merge",
+]
+
+
+def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> dict:
+    from fluent_plugin_elasticsearch_spark.corpus import write_corpus_parquet
+    from fluent_plugin_elasticsearch_spark.operators.index_build import build_index, with_doc_id
+    from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
+    from fluent_plugin_elasticsearch_spark.session import get_spark
+
+    res = out if out is not None else {}
+    spark = get_spark(app_name=f"bench{cores}", cores=cores, shuffle_partitions=2 * cores)
+
+    # --- corpus materialization (untimed: input generation, not the engine)
+    corpus_path = tempfile.mkdtemp(prefix="bench_corpus_") + "/webtext.parquet"
+    write_corpus_parquet(corpus_path, n_docs, seed=42, avg_len=120)
+    docs = with_doc_id(spark.read.parquet(corpus_path), "url")
+
+    # --- index build throughput
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_") + "/idx"
+    t0 = time.time()
+    build_index(
+        spark, docs, idx_dir, id_col="doc_id", html_col="html", text_col=None,
+        url_col="url", tokenizer="unicode", n_shards=max(4, cores // 2), n_salts=8,
+    )
+    build_s = time.time() - t0
+    res["index_build_sec"] = round(build_s, 3)
+    res["index_build_docs_per_sec"] = round(n_docs / build_s, 1)
+
+    # --- query latency (WAND), p50/p99 over the reference query set
+    idx = InvertedIndex(spark, idx_dir)
+    lat = []
+    for q in BENCH_QUERIES:  # warm nothing: cold first run included
+        t0 = time.time()
+        idx.search(q, k=10, mode="wand").collect()
+        lat.append(time.time() - t0)
+    for q in BENCH_QUERIES:  # second pass ≈ steady state
+        t0 = time.time()
+        idx.search(q, k=10, mode="wand").collect()
+        lat.append(time.time() - t0)
+    lat_s = sorted(lat)
+    res["query_p50_sec"] = round(statistics.median(lat_s), 4)
+    res["query_p99_sec"] = round(lat_s[min(len(lat_s) - 1, int(0.99 * len(lat_s)))], 4)
+    res["query_mean_sec"] = round(sum(lat_s) / len(lat_s), 4)
+
+    # --- sf-dir analytical queries (documents/events/lineitem)
+    import __spark_entry__ as entry_mod
+
+    picks = [
+        "bm25_topk", "exact_dedup", "token_counts", "lang_id", "quality_score",
+        "ann_cosine_topk", "tpch_q1_agg", "join_topk_customers",
+        "window_latest_event", "genid_sha256", "target_index", "upsert_merge",
+    ]
+    qs = entry_mod.queries()
+    per_q = {}
+    for name in picks:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        per_q[name] = round(time.time() - t0, 3)
+    res["queries"] = per_q
+    res["sf_queries_total_sec"] = round(sum(per_q.values()), 3)
+    spark.stop()
+    return res
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "20000"))
+    res = run_bench(cores, sf_dir, n_docs)
+    sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else sf_dir)
+    total = res["index_build_sec"] + res["sf_queries_total_sec"]
+    line = {
+        "metric": "index_build+bm25_query+analytics wall seconds "
+                  f"(build {n_docs} webtext docs @ {res['index_build_docs_per_sec']} docs/s; "
+                  f"wand p50 {res['query_p50_sec']}s p99 {res['query_p99_sec']}s)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            **res["queries"],
+            "index_build": res["index_build_sec"],
+            "wand_p50": res["query_p50_sec"],
+            "wand_p99": res["query_p99_sec"],
+        },
+        "sf": sf,
+        "docs_per_sec": res["index_build_docs_per_sec"],
+        "cores": cores,
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

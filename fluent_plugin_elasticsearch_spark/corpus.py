@@ -127,7 +127,8 @@ def _wrap_html(text: str, url: str, noise: int) -> str:
 
 def write_corpus_parquet(path: str, n_docs: int, seed: int = 42, avg_len: int = 120) -> None:
     pdf = generate_corpus(n_docs, seed=seed, avg_len=avg_len)
-    pdf.to_parquet(path, index=False)
+    # µs timestamps: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    pdf.to_parquet(path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
 
 
 def _self_check(n: int = 50) -> None:

@@ -151,9 +151,9 @@ def _simhash_batch(pdf_iter):
         for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
             votes = np.zeros(64, dtype=np.int64)
             for t, cnt in pd.Series(list(toks)).value_counts().items() if len(toks) else []:
-                h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-                bits = (h >> np.arange(64)) & 1
-                votes += np.where(bits == 1, cnt, -cnt)
+                h = np.uint64(int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big"))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes += np.where(bits == np.uint64(1), cnt, -cnt)
             sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
             out_ids.append(doc_id)
             out_hashes.append(np.int64(np.uint64(sig)))  # two's-complement view

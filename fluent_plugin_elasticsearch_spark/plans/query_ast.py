@@ -1,0 +1,114 @@
+"""Minimal ES-query-body AST → DataFrame compiler (SURVEY.md Q4).
+
+The reference passes an arbitrary ES query body (`config_param :query`,
+default ``{"sort": ["_doc"]}``, in_elasticsearch.rb:33) straight to the
+cluster. We support the subset the plugin actually exercises plus `match`:
+
+    {"query": {"ids": {"values": [...]}}}                (Q1)
+    {"query": {"match": {"<field>": "text"}}}            (Q5 → BM25 top-k)
+    {"query": {"term": {"<field>": v}} / {"range": ...}} (filter pushdown)
+    {"query": {"bool": {"must"/"filter"/"must_not"/"should": [...]}}}
+    {"sort": ["_doc"] | [{"field": {"order": "desc"}}]}  (Q2/S4)
+    {"size": n, "_source": false | [cols]}               (Q3)
+
+`match` routes to the inverted index (rank-ordered); everything else
+compiles to scan + filter + sort + limit on the docs table — Catalyst
+pushes the filters into the parquet/Iceberg scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class UnsupportedQuery(ValueError):
+    pass
+
+
+def _compile_clause(q: dict[str, Any]) -> Column:
+    if len(q) != 1:
+        raise UnsupportedQuery(f"clause must have one key: {q}")
+    kind, body = next(iter(q.items()))
+    if kind == "ids":
+        return F.col("doc_id").isin([int(v) for v in body["values"]])
+    if kind == "term":
+        ((field, value),) = body.items()
+        if isinstance(value, dict):
+            value = value["value"]
+        return F.col(field) == F.lit(value)
+    if kind == "range":
+        ((field, conds),) = body.items()
+        c = F.lit(True)
+        ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+        for op, v in conds.items():
+            c = c & getattr(F.col(field), ops[op])(F.lit(v))
+        return c
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "bool":
+        c = F.lit(True)
+        for must in body.get("must", []) + body.get("filter", []):
+            c = c & _compile_clause(must)
+        for mnot in body.get("must_not", []):
+            c = c & ~_compile_clause(mnot)
+        should = body.get("should", [])
+        if should:
+            sc = F.lit(False)
+            for s in should:
+                sc = sc | _compile_clause(s)
+            c = c & sc
+        return c
+    if kind == "match_all":
+        return F.lit(True)
+    raise UnsupportedQuery(f"unsupported query kind: {kind}")
+
+
+def compile_query(docs: DataFrame, body: dict[str, Any], *,
+                  index=None) -> DataFrame:
+    """Compile an ES-style query body over the docs DataFrame. If the body
+    is a `match` full-text query and an InvertedIndex is provided, route to
+    BM25 top-k (scores joined back onto the docs)."""
+    body = dict(body or {})
+    query = body.get("query")
+    size = body.get("size")
+    out = docs
+
+    if query and "match" in query:
+        if index is None:
+            raise UnsupportedQuery("match query needs an InvertedIndex")
+        ((_field, text),) = query["match"].items()
+        k = size or 10
+        topk = index.search(text if isinstance(text, str) else text["query"], k=k)
+        return docs.join(F.broadcast(topk), "doc_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+    if query:
+        out = out.filter(_compile_clause(query))
+
+    src = body.get("_source")
+    if src is False:
+        out = out.select("doc_id")
+    elif isinstance(src, list):
+        out = out.select("doc_id", *[c for c in src if c != "doc_id"])
+
+    sort_cols = []
+    for s in body.get("sort", []):
+        if s == "_doc":  # index order: no sort (S4, in_elasticsearch.rb:33)
+            continue
+        if isinstance(s, str):
+            sort_cols.append(F.col(s))
+        else:
+            ((field, spec),) = s.items()
+            order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+            field = "index_name" if field == "_index" else field
+            sort_cols.append(F.col(field).desc() if order == "desc" else F.col(field).asc())
+    if sort_cols:  # one orderBy — chained orderBy calls would replace each other
+        out = out.orderBy(*sort_cols)
+
+    if size:
+        out = out.limit(int(size))
+    return out

@@ -1,0 +1,82 @@
+"""Input-side scan operators — the engine half of the reference's
+in_elasticsearch plugin (SURVEY.md §2.1 S1-S6).
+
+The reference polls `client.search` with scroll cursors and thread-sliced
+scans (in_elasticsearch.rb:260-298); on Spark a DataFrame scan is already
+sliced (partitions = slices) and a snapshot + range predicate replaces the
+scroll cursor. What remains engine work is the query-body semantics and the
+docinfo/timestamp enrichment of emitted records.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.transforms import parse_time_with_quarantine
+
+
+def index_scan(spark: SparkSession, path: str, *, columns: list[str] | None = None,
+               predicate: str | None = None, size: int | None = None) -> DataFrame:
+    """S1 — index scan: query body against an index (run_slice,
+    in_elasticsearch.rb:272-294; `size` default 1000 :35). Projection and
+    predicate reach the parquet scan (pushdown); `size` maps to LIMIT."""
+    df = spark.read.parquet(path)
+    if predicate:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    if size:
+        df = df.limit(size)
+    return df
+
+
+def sliced_scan(df: DataFrame, num_slices: int) -> DataFrame:
+    """S3 — sliced parallel scan (run, in_elasticsearch.rb:260-270): a
+    DataFrame scan is already partition-parallel; this only adjusts the
+    slice count. The reference warns above 8 slices (:263) — we don't, the
+    scheduler handles thousands."""
+    return df.repartition(num_slices)
+
+
+def scroll_pages(df: DataFrame, order_col: str, page_size: int = 1000):
+    """S2 — scroll pagination as a generator of page DataFrames over a
+    stable snapshot (process_scroll_request, in_elasticsearch.rb:296-298).
+    Keyset pagination (WHERE key > last ORDER BY key LIMIT n), not
+    offset — each page is one bounded job. Caller iterates until empty
+    (≈ the scroll loop :282-287); nothing to clear (:289-293) — the
+    snapshot is immutable."""
+    last = None
+    while True:
+        page = df
+        if last is not None:
+            page = page.filter(F.col(order_col) > F.lit(last))
+        rows = page.orderBy(order_col).limit(page_size)
+        collected = rows.collect()
+        if not collected:
+            return
+        yield collected
+        last = collected[-1][order_col]
+
+
+def with_docinfo(df: DataFrame, index_name: str | None = None, id_col: str | None = None,
+                 docinfo_target: str = "@metadata",
+                 fields: tuple[str, ...] = ("_index", "_id")) -> DataFrame:
+    """S5 — docinfo enrichment (process_events, in_elasticsearch.rb:306-329):
+    merge hit metadata under a target struct column. `_type` is omitted
+    (dead in ES8+, SURVEY.md T6)."""
+    meta = {}
+    if "_index" in fields:
+        meta["_index"] = F.col("index_name") if index_name is None else F.lit(index_name)
+    if "_id" in fields and id_col:
+        meta["_id"] = F.col(id_col).cast("string")
+    return df.withColumn(
+        docinfo_target, F.struct(*[v.alias(k) for k, v in meta.items()])
+    )
+
+
+def parse_timestamps_on_read(df: DataFrame, time_key: str = "@timestamp",
+                             fmt: str | None = None) -> tuple[DataFrame, DataFrame]:
+    """S6 — timestamp parse on read; parse failures → quarantine DF (the
+    reference emits them to an error tag, in_elasticsearch.rb:200-205)."""
+    return parse_time_with_quarantine(df, time_key, fmt, out_col="event_time")

@@ -1,0 +1,90 @@
+"""Structured-Streaming ingest — the engine form of the reference's
+buffered streaming write path (§3.1): chunks ≈ micro-batches, flush
+interval ≈ trigger, retry-with-backpressure ≈ checkpointed foreachBatch,
+at-least-once + id-dedup ⇒ effectively-once (K3 + T11, README.md:737-760).
+
+``IngestPipeline.run_batch`` is also the batch-mode entry (same transforms,
+one chunk); ``start_stream`` wraps it in foreachBatch with a checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.genid import add_genid
+from ..functions.transforms import inject_lineage, inject_timestamp, target_index
+from ..sinks.write_ops import op_create, op_index
+
+
+class IngestPipeline:
+    """tag/time/record events → transformed docs appended to a
+    date-partitioned docs table (plus quarantine on id conflicts).
+
+    Parameters mirror the reference config (out_elasticsearch.rb):
+    id_keys → genid seed columns (T11); time_key (T3); logstash naming (T5);
+    write_op ∈ {index, create} (K2/K3).
+    """
+
+    def __init__(self, docs_dir: str, *, id_keys: list[str] | None = None,
+                 hash_type: str = "sha1", time_key: str | None = None,
+                 event_time_col: str = "time", logstash_prefix: str = "logstash",
+                 write_op: str = "index", run_id: str | None = None):
+        self.docs_dir = docs_dir
+        self.id_keys = id_keys
+        self.hash_type = hash_type
+        self.time_key = time_key
+        self.event_time_col = event_time_col
+        self.logstash_prefix = logstash_prefix
+        self.write_op = write_op
+        self.run_id = run_id or f"ing-{int(time.time())}"
+
+    def transform(self, batch: DataFrame) -> DataFrame:
+        out = inject_timestamp(batch, time_key=self.time_key, event_time_col=self.event_time_col)
+        out = target_index(out, logstash_prefix=self.logstash_prefix,
+                           time_col="@timestamp", event_time_col=self.event_time_col)
+        if self.id_keys:
+            out = add_genid(out, self.id_keys, self.hash_type, hash_id_key="doc_id")
+        out = inject_lineage(out, self.run_id)
+        return out
+
+    def run_batch(self, batch: DataFrame, epoch_id: int = 0) -> dict:
+        docs = self.transform(batch)
+        path = os.path.join(self.docs_dir, "docs")
+        stats = {"epoch": epoch_id}
+        if self.write_op == "create" and self.id_keys and os.path.exists(path):
+            target = batch.sparkSession.read.parquet(path)
+            merged, dup = op_create(target.select(*docs.columns), docs, "doc_id")
+            # insert-only: append just the fresh rows (target untouched)
+            fresh = docs.join(target.select("doc_id"), "doc_id", "left_anti")
+            n_dup = dup.count()
+            fresh.write.mode("append").partitionBy("index_name").parquet(path)
+            stats.update(duplicates=n_dup)
+        else:
+            docs.write.mode("append").partitionBy("index_name").parquet(path)
+        return stats
+
+    def start_stream(self, stream_df: DataFrame, checkpoint_dir: str, trigger_sec: int = 5):
+        """Checkpointed stream: task retries + checkpoint give at-least-once;
+        create-op dedup makes it effectively-once (reference duplicate-hazard
+        discussion README.md:737-760)."""
+        return (
+            stream_df.writeStream.foreachBatch(lambda df, eid: self.run_batch(df, eid))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_sec} seconds")
+            .start()
+        )
+
+
+def incremental_index_update(spark, docs_batch: DataFrame, index_dir: str, **build_kw) -> dict:
+    """Q6 incremental: index a new micro-batch into a fresh index
+    generation dir; readers merge generations (posting lists are per-shard
+    sorted in both — a union of block sets; see lifecycle.compact)."""
+    from ..operators.index_build import build_index
+
+    gen = int(time.time() * 1000)
+    out = os.path.join(index_dir, f"gen={gen}")
+    return build_index(spark, docs_batch, out, **build_kw)

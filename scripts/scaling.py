@@ -1,0 +1,81 @@
+"""Two-cluster-size scaling evidence (north rule: throughput scaling
+efficiency ≥ 0.8 from N to 4N executors; sandbox proxy = local[8] vs
+local[32] on the same input).
+
+Runs the identical index build at both parallelism levels in separate
+subprocesses (clean JVM each), reports docs/sec at each and
+efficiency = (throughput@4N / throughput@N) / 4.
+
+Usage: python scripts/scaling.py [n_docs] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = """
+import json, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from fluent_plugin_elasticsearch_spark.session import get_spark
+from fluent_plugin_elasticsearch_spark.operators.index_build import build_index, with_doc_id
+
+cores, n_docs, corpus = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+spark = get_spark(app_name=f"scale{{cores}}", cores=cores, shuffle_partitions=2*cores)
+docs = with_doc_id(spark.read.parquet(corpus), "url")
+docs.count()  # warm the scan (input materialization is not the engine)
+idx_dir = tempfile.mkdtemp(prefix=f"scale{{cores}}_") + "/idx"
+t0 = time.time()
+build_index(spark, docs, idx_dir, id_col="doc_id", html_col="html", text_col=None,
+            url_col="url", tokenizer="unicode", n_shards=16, n_salts=8)
+wall = time.time() - t0
+spark.stop()
+print(json.dumps({{"cores": cores, "wall_s": wall, "docs_per_sec": n_docs / wall}}))
+"""
+
+
+def run(cores: int, n_docs: int, corpus: str) -> dict:
+    code = CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(n_docs), corpus],
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 30000
+    # one shared deterministic corpus parquet for both runs
+    import tempfile
+
+    sys.path.insert(0, REPO)
+    from fluent_plugin_elasticsearch_spark.corpus import write_corpus_parquet
+
+    corpus = tempfile.mkdtemp(prefix="scale_corpus_") + "/webtext.parquet"
+    write_corpus_parquet(corpus, n_docs, seed=42, avg_len=120)
+
+    lo = run(8, n_docs, corpus)
+    hi = run(32, n_docs, corpus)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    result = {
+        "n_docs": n_docs,
+        "local8": lo,
+        "local32": hi,
+        "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "pass_0.8": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+    if "--json" in sys.argv:
+        out = sys.argv[sys.argv.index("--json") + 1]
+        with open(out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

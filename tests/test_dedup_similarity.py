@@ -1,0 +1,145 @@
+"""Dedup + similarity operators: correctness vs brute-force definitions."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fluent_plugin_elasticsearch_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles_df,
+    simhash_pairs,
+    simhash_signatures,
+)
+from fluent_plugin_elasticsearch_spark.operators.similarity import (
+    cosine_topk,
+    embedding_nneardup_pairs,
+    lsh_cosine_topk,
+)
+from fluent_plugin_elasticsearch_spark.textproc import tokenize_simple
+
+TEXTS = {
+    1: "the quick brown fox jumps over the lazy dog",
+    2: "the quick brown fox jumps over the lazy cat",   # near-dup of 1
+    3: "completely different content about spark engines",
+    4: "the quick brown fox jumps over the lazy dog",   # exact dup of 1
+    5: "unrelated short text",
+}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([Row(doc_id=k, text=v) for k, v in TEXTS.items()])
+
+
+def brute_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = tokenize_simple(t)
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs).collect()
+    groups = {r["keep_id"]: r["group_size"] for r in out}
+    assert groups[1] == 2  # docs 1 and 4 identical, keep min id
+    assert sum(groups.values()) == 5
+
+
+def test_shingles_match_brute(docs):
+    rows = shingles_df(docs, 3).collect()
+    got = {(r["doc_id"], r["shingle"]) for r in rows}
+    for d, t in TEXTS.items():
+        toks = tokenize_simple(t)
+        expected = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        assert {s for (dd, s) in got if dd == d} == expected
+
+
+def test_ngram_jaccard_pairs_match_brute(docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, 3, 0.5).collect()}
+    expected = {}
+    ids = sorted(TEXTS)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = brute_jaccard(TEXTS[a], TEXTS[b])
+            if j >= 0.5:
+                expected[(a, b)] = j
+    assert set(out) == set(expected)
+    for k, v in expected.items():
+        assert out[k] == pytest.approx(v)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, n=2, num_hashes=16, bands=8).collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near-dup with generous bands
+    assert (3, 5) not in pairs
+
+
+def test_minhash_signature_identical_for_identical_docs(docs):
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs, n=2).collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+
+
+def test_simhash_near_dup(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[4]
+    ham12 = bin(np.uint64(sigs[1]) ^ np.uint64(sigs[2])).count("1")
+    ham13 = bin(np.uint64(sigs[1]) ^ np.uint64(sigs[3])).count("1")
+    assert ham12 < ham13  # near-dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs.get((1, 4)) == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = [Row(vec_id=0, embedding=[float(x) for x in base])]
+    for i in range(1, 30):
+        noise = rng.standard_normal(16).astype(np.float32)
+        mix = 0.95 * base + 0.05 * noise if i <= 3 else noise
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in mix]))
+    return spark.createDataFrame(rows)
+
+
+def brute_cosine_topk(rows, qv, k):
+    import numpy as np
+
+    scored = []
+    for r in rows:
+        v = np.array(r["embedding"])
+        scored.append((r["vec_id"], float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))))
+    return sorted(scored, key=lambda t: (-t[1], t[0]))[:k]
+
+
+def test_cosine_topk_matches_brute(spark, emb):
+    rows = emb.filter(F.col("vec_id") != 0).collect()
+    qv = np.array(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    expected = brute_cosine_topk(rows, qv, 5)
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.lit(0).alias("query_id"), "embedding")
+    got = cosine_topk(emb.filter(F.col("vec_id") != 0), qdf, k=5).collect()
+    assert [r["vec_id"] for r in got] == [i for i, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert r["cosine"] == pytest.approx(s, abs=1e-6)
+
+
+def test_lsh_topk_recall(spark, emb):
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.lit(0).alias("query_id"), "embedding")
+    got = lsh_cosine_topk(emb.filter(F.col("vec_id") != 0), qdf, dim=16, k=3,
+                          n_planes=6, n_tables=6).collect()
+    # the three 0.95-mix vectors must be found by LSH
+    assert {r["vec_id"] for r in got} == {1, 2, 3}
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_nneardup_pairs(emb, dim=16, threshold=0.9, n_planes=6, n_tables=6).collect()}
+    for a, b in [(0, 1), (0, 2), (0, 3)]:
+        assert (a, b) in pairs

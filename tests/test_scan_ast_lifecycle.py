@@ -1,0 +1,180 @@
+"""Sources (S1-S6), query AST (Q4), lifecycle (D1-D6), streaming ingest,
+multimodal plumbing."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluent_plugin_elasticsearch_spark.plans.query_ast import UnsupportedQuery, compile_query
+from fluent_plugin_elasticsearch_spark.sinks.lifecycle import (
+    TableManager,
+    validate_data_stream_name,
+)
+from fluent_plugin_elasticsearch_spark.sources.scan import (
+    index_scan,
+    scroll_pages,
+    sliced_scan,
+    with_docinfo,
+)
+from fluent_plugin_elasticsearch_spark.streaming.ingest import IngestPipeline
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 else "de", n=i * 10, index_name=f"idx-{i % 3}") for i in range(20)]
+    )
+
+
+def test_index_scan_pushdown(spark, docs, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    docs.write.parquet(p)
+    out = index_scan(spark, p, columns=["doc_id", "lang"], predicate="doc_id >= 10", size=5)
+    assert out.count() == 5 and set(out.columns) == {"doc_id", "lang"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,10)]" in plan
+
+
+def test_sliced_scan(docs):
+    assert sliced_scan(docs, 7).rdd.getNumPartitions() == 7
+
+
+def test_scroll_pages_cover_all(docs):
+    seen = []
+    for page in scroll_pages(docs, "doc_id", page_size=6):
+        ids = [r["doc_id"] for r in page]
+        assert ids == sorted(ids)
+        seen.extend(ids)
+    assert seen == list(range(20))
+
+
+def test_docinfo(docs):
+    out = with_docinfo(docs, id_col="doc_id").collect()[0]
+    assert out["@metadata"]["_id"] == str(out["doc_id"])
+    assert out["@metadata"]["_index"] == out["index_name"]
+
+
+def test_query_ast(docs):
+    assert compile_query(docs, {"query": {"ids": {"values": [1, 2]}}}).count() == 2
+    assert compile_query(docs, {"query": {"term": {"lang": "de"}}}).count() == 10
+    out = compile_query(
+        docs,
+        {
+            "query": {"bool": {"filter": [{"range": {"n": {"gte": 50, "lt": 100}}}],
+                               "must_not": [{"term": {"lang": "de"}}]}},
+            "sort": [{"n": {"order": "desc"}}],
+            "size": 2,
+        },
+    ).collect()
+    assert [r["n"] for r in out] == [90, 70]
+    proj = compile_query(docs, {"query": {"match_all": {}}, "_source": False})
+    assert proj.columns == ["doc_id"]
+    with pytest.raises(UnsupportedQuery):
+        compile_query(docs, {"query": {"fuzzy": {"x": 1}}})
+
+
+def test_query_ast_match_routes_to_index(spark, index_dir):
+    from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
+
+    idx = InvertedIndex(spark, index_dir)
+    docs = idx.doc_stats()
+    out = compile_query(docs, {"query": {"match": {"text": "the"}}, "size": 5}, index=idx)
+    rows = out.collect()
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+SCHEMA = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+
+
+def test_lifecycle_template_and_rollover(spark, tmp_path):
+    tm = TableManager(spark, str(tmp_path))
+    assert tm.install_template("logs", SCHEMA, {"p": 1})
+    assert not tm.install_template("logs", SCHEMA)  # idempotent (D1)
+    tm.inject_ilm_settings("logs", {"max_size_bytes": 1, "retention_generations": 2})
+    df = spark.range(100).withColumn("b", F.lit("x")).withColumnRenamed("id", "a")
+    tm.write_append("logs", df)
+    act = tm.maintain("logs")
+    assert act["rolled"] == 2  # size threshold 1 byte → rollover (D4/D5)
+    tm.write_append("logs", df)
+    assert tm.read("logs").count() == 200
+    assert tm.read("logs", all_generations=False).count() == 100
+    tm.maintain("logs")  # rolls to gen 3, expires gen 1 (retention 2)
+    gens = tm._load("logs")["generations"]
+    assert 1 not in gens
+
+
+def test_custom_template_substitution(spark, tmp_path):
+    tm = TableManager(spark, str(tmp_path))
+    tm.install_custom_template("c1", SCHEMA, {"alias": "logs-{env}"}, {"env": "prod"})
+    assert tm._load("c1")["properties"]["alias"] == "logs-prod"
+
+
+@pytest.mark.parametrize("bad", ["UPPER", "has space", "-lead", "a,b", "x" * 256])
+def test_data_stream_name_validation(bad):
+    with pytest.raises(ValueError):
+        validate_data_stream_name(bad)
+
+
+def test_data_stream_bootstrap(spark, tmp_path):
+    tm = TableManager(spark, str(tmp_path))
+    assert tm.bootstrap_data_stream("logs-app-prod", SCHEMA)
+    assert not tm.bootstrap_data_stream("logs-app-prod", SCHEMA)  # once per stream
+
+
+def test_ingest_pipeline_batch_and_create_dedup(spark, tmp_path):
+    events = spark.createDataFrame(
+        [
+            Row(time=dt.datetime(2024, 1, 1, 5), user="u1", msg="a"),
+            Row(time=dt.datetime(2024, 1, 2, 5), user="u2", msg="b"),
+        ]
+    )
+    pipe = IngestPipeline(str(tmp_path), id_keys=["user", "msg"], write_op="create")
+    pipe.run_batch(events, 0)
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    assert docs.count() == 2
+    assert set(docs.select("index_name").toPandas()["index_name"]) == {
+        "logstash-2024.01.01", "logstash-2024.01.02",
+    }
+    assert "chunk_id" in docs.columns and "@timestamp" in docs.columns
+    # re-ingest same events: create-op dedup → effectively-once
+    stats = pipe.run_batch(events, 1)
+    assert stats["duplicates"] == 2
+    assert spark.read.parquet(str(tmp_path / "docs")).count() == 2
+
+
+def test_streaming_ingest(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    events = spark.createDataFrame(
+        [Row(time=dt.datetime(2024, 1, 1, 5), user=f"u{i}", msg=f"m{i}") for i in range(10)]
+    )
+    events.write.parquet(src_dir)
+    pipe = IngestPipeline(str(tmp_path / "out"), id_keys=["user"])
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = pipe.start_stream(stream, str(tmp_path / "ckpt"), trigger_sec=1)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(str(tmp_path / "out" / "docs")).count() == 10
+
+
+def test_multimodal_plumbing(spark):
+    from fluent_plugin_elasticsearch_spark.operators.multimodal import (
+        extract_media_features,
+        sample_frames,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, 12)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 3 and r["n_bytes"] > 0 for r in feats)
+    # determinism: same payload → same fake decode
+    again = {r["media_id"]: r["mean_intensity"] for r in extract_media_features(media).collect()}
+    assert all(again[r["media_id"]] == r["mean_intensity"] for r in feats)
+    frames = sample_frames(media, every_ms=1000)
+    assert frames.filter(F.col("frame_ts_ms") % 1000 != 0).count() == 0
