@@ -67,6 +67,62 @@ def varint_decode(buf: bytes | bytearray | memoryview, count: int | None = None)
     return vals
 
 
+def _varint_bytes_matrix(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(byte matrix (n, max_b) with continuation bits set, per-value byte
+    counts). Shared by whole-array and segmented encoders."""
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+    nbytes = np.maximum((nbits + 6) // 7, 1)
+    max_b = int(nbytes.max())
+    out = np.zeros((v.size, max_b), dtype=np.uint8)
+    rem = v.copy()
+    for i in range(max_b):
+        out[:, i] = (rem & np.uint64(0x7F)).astype(np.uint8)
+        rem >>= np.uint64(7)
+    cols = np.arange(max_b)
+    out[cols[None, :] < (nbytes[:, None] - 1)] |= 0x80
+    return out, nbytes
+
+
+def varint_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
+    """Encode a concatenation of segments in ONE vectorized pass, returning
+    one bytes object per segment. This is what makes per-term posting
+    encoding cheap: one numpy pass per applyInPandas group instead of one
+    python call per term."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return []
+    mat, nbytes = _varint_bytes_matrix(v)
+    valid = np.arange(mat.shape[1])[None, :] < nbytes[:, None]
+    flat = mat[valid].tobytes()
+    ends = np.cumsum(nbytes)
+    offsets = np.concatenate([[0], ends])
+    seg_bounds = np.append(seg_starts, v.size)
+    return [
+        flat[offsets[seg_bounds[i]] : offsets[seg_bounds[i + 1]]]
+        for i in range(len(seg_starts))
+    ]
+
+
+def delta_gaps_segments(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Per-segment delta gaps (first element of each segment absolute)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    gaps = v.copy()
+    gaps[1:] -= v[:-1]
+    gaps[seg_starts] = v[seg_starts]
+    return gaps
+
+
+def delta_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
+    return varint_encode_segments(delta_gaps_segments(values, seg_starts), seg_starts)
+
+
 def delta_encode(sorted_ids: np.ndarray) -> bytes:
     """Delta-gap + varint encode a strictly-increasing uint64 id array:
     first value absolute, rest as gaps."""
@@ -82,6 +138,14 @@ def delta_encode(sorted_ids: np.ndarray) -> bytes:
 def delta_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     gaps = varint_decode(buf, count)
     return np.cumsum(gaps, dtype=np.uint64)
+
+
+def segmented_cumsum(gaps: np.ndarray, seg_starts: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Reconstruct absolute ids from per-segment delta gaps in one pass:
+    global cumsum minus the carried-over prefix at each segment start."""
+    acc = np.cumsum(gaps, dtype=np.uint64)
+    carry = acc[seg_starts] - gaps[seg_starts]
+    return acc - np.repeat(carry, seg_lens)
 
 
 def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, tfns: np.ndarray,

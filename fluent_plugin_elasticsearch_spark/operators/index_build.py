@@ -104,82 +104,89 @@ def _hash_bucket(terms: np.ndarray, n_buckets: int = N_TERM_BUCKETS) -> np.ndarr
 
 
 def _encode_partials(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Phase 1 applyInPandas over one (shard, salt) group: sort by
-    (term, doc_id) with np.lexsort, slice per-term runs via np.unique
-    boundaries, emit one compressed sorted partial row per term. One Python
-    invocation per (shard, salt) — per-term work is numpy slicing, so group
-    count (not term count) bounds interpreter overhead."""
-    terms = pdf["term"].to_numpy()
+    """Phase 1 applyInPandas over one (shard, salt) group → one compressed
+    sorted partial row per term. Fully vectorized: terms factorized to int
+    codes (no string sorts), then ONE segmented varint pass encodes every
+    term's run (operators/codec.varint_encode_segments) — interpreter cost
+    is per group, not per term."""
+    from .codec import delta_encode_segments, varint_encode_segments
+
+    codes, uniq_terms = pd.factorize(pdf["term"])
     ids = pdf["doc_id"].to_numpy().astype(np.uint64)
-    tfs = pdf["tf"].to_numpy().astype(np.uint64)
-    dls = pdf["doc_len"].to_numpy().astype(np.uint64)
-    order = np.lexsort((ids, terms))
-    terms, ids, tfs, dls = terms[order], ids[order], tfs[order], dls[order]
-    uniq_terms, starts = np.unique(terms, return_index=True)
-    bounds = np.append(starts, terms.size)
-    shard = int(pdf["shard"].iloc[0])
-    salt = int(pdf["salt"].iloc[0])
-    buckets = _hash_bucket(uniq_terms)
-    rows = {
-        "shard": np.full(uniq_terms.size, shard, dtype=np.int64),
-        "term": uniq_terms,
-        "term_bucket": buckets,
-        "salt": np.full(uniq_terms.size, salt, dtype=np.int64),
-        "n_docs": np.diff(bounds),
-        "docs_enc": [delta_encode(ids[s:e]) for s, e in zip(bounds[:-1], bounds[1:])],
-        "tfs_enc": [varint_encode(tfs[s:e]) for s, e in zip(bounds[:-1], bounds[1:])],
-        "dls_enc": [varint_encode(dls[s:e]) for s, e in zip(bounds[:-1], bounds[1:])],
-    }
-    return pd.DataFrame(rows)
+    order = np.lexsort((ids, codes))
+    codes_s = codes[order]
+    ids_s = ids[order]
+    tfs_s = pdf["tf"].to_numpy().astype(np.uint64)[order]
+    dls_s = pdf["doc_len"].to_numpy().astype(np.uint64)[order]
+    starts = np.nonzero(np.diff(codes_s, prepend=-1))[0]
+    n_docs = np.diff(np.append(starts, codes_s.size))
+    terms_out = uniq_terms.to_numpy()[codes_s[starts]] if hasattr(uniq_terms, "to_numpy") else np.asarray(uniq_terms)[codes_s[starts]]
+    return pd.DataFrame(
+        {
+            "shard": np.full(starts.size, int(pdf["shard"].iloc[0]), dtype=np.int64),
+            "term": terms_out,
+            "term_bucket": _hash_bucket(terms_out),
+            "salt": np.full(starts.size, int(pdf["salt"].iloc[0]), dtype=np.int64),
+            "n_docs": n_docs,
+            "docs_enc": delta_encode_segments(ids_s, starts),
+            "tfs_enc": varint_encode_segments(tfs_s, starts),
+            "dls_enc": varint_encode_segments(dls_s, starts),
+        }
+    )
 
 
 def _make_merge_fn(avgdl: float, k1: float, b: float, block_size: int):
-    from .codec import encode_blocks, varint_decode, delta_decode
+    from .codec import (
+        delta_encode_segments,
+        segmented_cumsum,
+        varint_decode,
+        varint_encode_segments,
+    )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Phase 2 applyInPandas over one (shard, term_bucket) group: for
-        each term, decode its salted partials (compact, compressed inputs),
-        merge-sort, re-block, compute per-block max_tfn. Group memory is
-        bounded by one term-bucket of one shard."""
+        """Phase 2 applyInPandas over one (shard, term_bucket) group: merge
+        every term's salted partials and re-block — all in whole-group numpy
+        passes (one concatenated varint decode, one lexsort, segmented
+        re-encode). Group memory is bounded by one term-bucket of one shard."""
         shard = int(pdf["shard"].iloc[0])
-        out: list[dict] = []
-        for term, sub in pdf.groupby("term", sort=False):
-            ids_l, tfs_l, dls_l = [], [], []
-            for n, de, te, le in zip(sub["n_docs"], sub["docs_enc"], sub["tfs_enc"], sub["dls_enc"]):
-                n = int(n)
-                ids_l.append(delta_decode(de, n))
-                tfs_l.append(varint_decode(te, n))
-                dls_l.append(varint_decode(le, n))
-            ids = np.concatenate(ids_l)
-            tfs = np.concatenate(tfs_l)
-            dls = np.concatenate(dls_l)
-            order = np.argsort(ids, kind="stable")
-            ids, tfs, dls = ids[order], tfs[order], dls[order]
-            tff = tfs.astype(np.float64)
-            tfns = (k1 + 1.0) * tff / (tff + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
-            blocks = encode_blocks(ids, tfs, tfns, block_size)
-            pos = 0
-            for i, blk in enumerate(blocks):
-                e = pos + blk["n_docs"]
-                out.append(
-                    {
-                        "shard": shard,
-                        "term": term,
-                        "block_id": i,
-                        "n_docs": blk["n_docs"],
-                        "first_doc": blk["first_doc"],
-                        "last_doc": blk["last_doc"],
-                        "docs_enc": blk["docs_enc"],
-                        "tfs_enc": blk["tfs_enc"],
-                        "dls_enc": varint_encode(dls[pos:e]),
-                        "max_tfn": blk["max_tfn"],
-                    }
-                )
-                pos = e
-        return pd.DataFrame(out, columns=[
-            "shard", "term", "block_id", "n_docs", "first_doc", "last_doc",
-            "docs_enc", "tfs_enc", "dls_enc", "max_tfn",
-        ])
+        n_per_row = pdf["n_docs"].to_numpy().astype(np.int64)
+        total = int(n_per_row.sum())
+        row_starts = np.concatenate([[0], np.cumsum(n_per_row)[:-1]])
+        gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+        ids = segmented_cumsum(gaps, row_starts, n_per_row)
+        tfs = varint_decode(b"".join(pdf["tfs_enc"]), total)
+        dls = varint_decode(b"".join(pdf["dls_enc"]), total)
+        codes, uniq_terms = pd.factorize(pdf["term"])
+        term_idx = np.repeat(codes, n_per_row)
+
+        order = np.lexsort((ids, term_idx))
+        ids, tfs, dls, term_idx = ids[order], tfs[order], dls[order], term_idx[order]
+
+        # block boundaries: every `block_size` postings within each term run
+        term_starts = np.nonzero(np.diff(term_idx, prepend=-1))[0]
+        term_lens = np.diff(np.append(term_starts, total))
+        pos_in_term = np.arange(total) - np.repeat(term_starts, term_lens)
+        block_starts = np.nonzero(pos_in_term % block_size == 0)[0]
+        block_ends = np.append(block_starts[1:], total)
+
+        tff = tfs.astype(np.float64)
+        tfns = (k1 + 1.0) * tff / (tff + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+
+        terms_arr = uniq_terms.to_numpy() if hasattr(uniq_terms, "to_numpy") else np.asarray(uniq_terms)
+        return pd.DataFrame(
+            {
+                "shard": np.full(block_starts.size, shard, dtype=np.int64),
+                "term": terms_arr[term_idx[block_starts]],
+                "block_id": (pos_in_term[block_starts] // block_size).astype(np.int64),
+                "n_docs": (block_ends - block_starts).astype(np.int64),
+                "first_doc": ids[block_starts].astype(np.int64),
+                "last_doc": ids[block_ends - 1].astype(np.int64),
+                "docs_enc": delta_encode_segments(ids, block_starts),
+                "tfs_enc": varint_encode_segments(tfs, block_starts),
+                "dls_enc": varint_encode_segments(dls, block_starts),
+                "max_tfn": np.maximum.reduceat(tfns, block_starts),
+            }
+        )
 
     return merge
 
@@ -201,12 +208,22 @@ def build_index(
     b: float = BM25_B,
     shard_batches: int = 1,
     run_id: str | None = None,
+    input_partitions: int | None = None,
+    on_batch_done=None,
 ) -> dict:
     """Build the full index at ``out_dir``. ``shard_batches>1`` splits the
     build into resumable per-shard-group jobs (manifest-checkpointed); a
     re-run with the same out_dir skips completed shards."""
     run_id = run_id or f"run-{int(time.time())}"
     os.makedirs(out_dir, exist_ok=True)
+
+    # Parallelize the extraction/tokenization map side even when the input
+    # is a handful of parquet files (a 50 MB file is ONE scan partition —
+    # on a 32-core runner that serializes the whole analysis chain).
+    if input_partitions is None:
+        input_partitions = spark.sparkContext.defaultParallelism * 2
+    if docs.rdd.getNumPartitions() < input_partitions:
+        docs = docs.repartition(input_partitions)
 
     toks = tokens_df(docs, id_col, text_col, html_col, tokenizer)
     if url_col:
@@ -302,18 +319,17 @@ def build_index(
         if rows:
             spark.createDataFrame(pd.DataFrame(rows)).write.mode("append").parquet(manifest_path)
             metrics.extend(rows)
+        if on_batch_done is not None:  # test hook: simulate crash mid-build
+            on_batch_done(group)
 
-    # term stats: global df per term. (doc_id, term) pairs are deduped by
-    # the inner groupBy (partial/map-side agg), outer count = exact df.
+    # term stats: global df per term, derived from the written postings
+    # (per-shard posting count per term sums to exact df) — no second
+    # tokenize/explode pass over the corpus.
     if all_shards:
-        tf_all = (
-            toks.select("doc_id", F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id")
-            .count()
-        )
         (
-            tf_all.groupBy("term")
-            .agg(F.count("*").alias("df"))
+            spark.read.parquet(os.path.join(out_dir, "postings"))
+            .groupBy("term")
+            .agg(F.sum("n_docs").alias("df"))
             .repartitionByRange(max(1, n_shards // 2), "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")

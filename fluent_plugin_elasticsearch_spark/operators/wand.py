@@ -32,21 +32,23 @@ def score_shard_exhaustive(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
     """Decode every block of the query terms in this shard, accumulate BM25
     fully vectorized (np.add.at over factorized doc ids), return local
     top-k. This is the throughput path (no per-doc Python)."""
-    ids_all, contrib_all = [], []
-    for term, sub in pdf.groupby("term", sort=True):
-        idf = idfs[term]
-        for _, row in sub.iterrows():
-            n = int(row["n_docs"])
-            ids = delta_decode(row["docs_enc"], n)
-            tfs = varint_decode(row["tfs_enc"], n)
-            dls = varint_decode(row["dls_enc"], n)
-            ids_all.append(ids.astype(np.int64))
-            contrib_all.append(idf * _tfn(tfs, dls, avgdl, k1, b))
-    if not ids_all:
+    from .codec import segmented_cumsum
+
+    if len(pdf) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
-    ids = np.concatenate(ids_all)
-    contrib = np.concatenate(contrib_all)
+    # one concatenated decode for all blocks of all query terms (sorted by
+    # term so per-doc accumulation order is deterministic)
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    n_per_blk = pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_per_blk.sum())
+    blk_starts = np.concatenate([[0], np.cumsum(n_per_blk)[:-1]])
+    gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+    ids = segmented_cumsum(gaps, blk_starts, n_per_blk).astype(np.int64)
+    tfs = varint_decode(b"".join(pdf["tfs_enc"]), total)
+    dls = varint_decode(b"".join(pdf["dls_enc"]), total)
+    idf_per_blk = pdf["term"].map(idfs).to_numpy(dtype=np.float64)
+    contrib = np.repeat(idf_per_blk, n_per_blk) * _tfn(tfs, dls, avgdl, k1, b)
     uniq, inv = np.unique(ids, return_inverse=True)
     scores = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(scores, inv, contrib)

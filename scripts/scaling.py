@@ -38,18 +38,25 @@ print(json.dumps({{"cores": cores, "wall_s": wall, "docs_per_sec": n_docs / wall
 """
 
 
-def run(cores: int, n_docs: int, corpus: str) -> dict:
+def run(cores: int, n_docs: int, corpus: str, trials: int = 2) -> dict:
+    """Best-of-N serial trials (shared sandbox: take min wall — leaked
+    load from unrelated processes only ever slows a trial down)."""
     code = CHILD.format(repo=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(n_docs), corpus],
-        capture_output=True, text=True, timeout=3600,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    best = None
+    for _ in range(trials):
+        out = subprocess.run(
+            [sys.executable, "-c", code, str(cores), str(n_docs), corpus],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        res = json.loads(line)
+        if best is None or res["wall_s"] < best["wall_s"]:
+            best = res
+    return best
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 30000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 100000
     # one shared deterministic corpus parquet for both runs
     import tempfile
 
