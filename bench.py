@@ -24,15 +24,18 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# mix of head/stopword terms (WAND pruning stress), common and mid-rank
+# zipf vocab terms ('bababa' = rank 0, 'madaba' ≈ rank 1000), unicode, and
+# an absent term — mirroring the reference query set shape (FIXTURES.md §3)
 BENCH_QUERIES = [
-    "the fast small",
-    "of and to a in",
-    "baba the",
-    "café über the",
+    "the of and",
+    "bababa",
+    "the bababa café",
     "日 本 語",
-    "the of and group value",
-    "bizogi",
-    "table scan merge",
+    "madaba the",
+    "cababa bebaba of",
+    "zzzznotaterm",
+    "café über naïve the",
 ]
 
 
@@ -55,14 +58,14 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
     t0 = time.time()
     build_index(
         spark, docs, idx_dir, id_col="doc_id", html_col="html", text_col=None,
-        url_col="url", tokenizer="unicode", n_shards=max(4, cores // 2), n_salts=8,
+        url_col="url", tokenizer="unicode", n_shards=64, n_salts=8,
     )
     build_s = time.time() - t0
     res["index_build_sec"] = round(build_s, 3)
     res["index_build_docs_per_sec"] = round(n_docs / build_s, 1)
 
     # --- query latency (WAND), p50/p99 over the reference query set
-    idx = InvertedIndex(spark, idx_dir)
+    idx = InvertedIndex(spark, idx_dir, cache_term_stats=True)
     lat = []
     for q in BENCH_QUERIES:  # warm nothing: cold first run included
         t0 = time.time()

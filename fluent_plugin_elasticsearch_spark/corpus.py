@@ -125,10 +125,14 @@ def _wrap_html(text: str, url: str, noise: int) -> str:
     return "\n".join(parts)
 
 
-def write_corpus_parquet(path: str, n_docs: int, seed: int = 42, avg_len: int = 120) -> None:
+def write_corpus_parquet(path: str, n_docs: int, seed: int = 42, avg_len: int = 120,
+                         row_group_size: int = 4096) -> None:
     pdf = generate_corpus(n_docs, seed=seed, avg_len=avg_len)
-    # µs timestamps: Spark's parquet reader rejects TIMESTAMP(NANOS)
-    pdf.to_parquet(path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    # µs timestamps: Spark's parquet reader rejects TIMESTAMP(NANOS).
+    # Small row groups: a single-row-group file is UNSPLITTABLE — Spark
+    # would scan the whole corpus in one task regardless of cluster size.
+    pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True, row_group_size=row_group_size)
 
 
 def _self_check(n: int = 50) -> None:

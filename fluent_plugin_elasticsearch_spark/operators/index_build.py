@@ -37,8 +37,7 @@ onto an Iceberg table partitioned by ``shard``):
     postings/shard=K/*.parquet   (term, block_id, n_docs, first_doc,
                                   last_doc, docs_enc, tfs_enc, dls_enc,
                                   max_tfn)   sorted by (term, first_doc)
-    doc_stats/shard=K/*.parquet  (doc_id, doc_len)
-    docmap/shard=K/*.parquet     (doc_id, url)        [if url column given]
+    doc_stats/shard=K/*.parquet  (doc_id, doc_len[, url])
     term_stats/*.parquet         (term, df)           sorted by term
     _manifest/*.parquet          per-shard lineage + metrics rows
     meta.json                    corpus stats + codec/scoring params
@@ -56,7 +55,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1
-from ..extraction import extract_text_udf, simple_tokens_col, tokenize_simple_udf, tokenize_unicode_udf
+from ..extraction import (
+    extract_text_udf,
+    simple_tokens_col,
+    tokenize_simple_tf_udf,
+    tokenize_simple_udf,
+    tokenize_unicode_tf_udf,
+    tokenize_unicode_udf,
+)
 from .codec import BLOCK_SIZE, delta_encode, varint_encode
 
 PARTIAL_SCHEMA = (
@@ -73,6 +79,12 @@ TOKENIZERS = {
     "unicode": lambda c: tokenize_unicode_udf(c),
     "simple_udf": lambda c: tokenize_simple_udf(c),
     "simple": simple_tokens_col,  # pure-JVM fast path
+}
+
+TF_TOKENIZERS = {
+    "unicode": tokenize_unicode_tf_udf,
+    "simple_udf": tokenize_simple_tf_udf,
+    "simple": tokenize_simple_tf_udf,
 }
 
 
@@ -225,13 +237,16 @@ def build_index(
     if docs.rdd.getNumPartitions() < input_partitions:
         docs = docs.repartition(input_partitions)
 
-    toks = tokens_df(docs, id_col, text_col, html_col, tokenizer)
-    if url_col:
-        toks = toks.select(F.col(id_col).alias("doc_id"), F.col(url_col).alias("url"), "tokens")
-    else:
-        toks = toks.select(F.col(id_col).alias("doc_id"), "tokens")
+    # per-doc term-frequency maps straight out of the (extraction +)
+    # tokenizer UDF: the corpus-scale (doc, term) groupBy is fused away
+    if text_col is None:
+        docs = docs.withColumn("__text", extract_text_udf(F.col(html_col)))
+        text_col = "__text"
+    base_cols = [F.col(id_col).alias("doc_id")] + ([F.col(url_col).alias("url")] if url_col else [])
+    toks = docs.select(*base_cols, TF_TOKENIZERS[tokenizer](F.col(text_col)).alias("tk"))
     toks = (
-        toks.withColumn("doc_len", F.size("tokens"))
+        toks.select("doc_id", *(["url"] if url_col else []),
+                    F.col("tk.tfs").alias("tfs"), F.col("tk.doc_len").alias("doc_len"))
         .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
         .withColumn("salt", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(n_salts)).cast("int"))
     )
@@ -267,10 +282,10 @@ def build_index(
     for group in groups:
         t0 = time.time()
         part = toks.filter(F.col("shard").isin(group)) if len(group) < n_shards else toks
-        tf = (
-            part.select("shard", "salt", "doc_id", "doc_len", F.explode("tokens").alias("term"))
-            .groupBy("shard", "salt", "doc_id", "doc_len", "term")
-            .agg(F.count("*").alias("tf"))
+        # tf rows come pre-aggregated from the tokenizer's per-doc maps:
+        # no corpus-scale hash aggregation, just a map explode
+        tf = part.select(
+            "shard", "salt", "doc_id", "doc_len", F.explode("tfs").alias("term", "tf")
         )
         partials = tf.groupBy("shard", "salt").applyInPandas(_encode_partials, PARTIAL_SCHEMA)
         blocks = partials.groupBy("shard", "term_bucket").applyInPandas(merge_fn, BLOCK_SCHEMA)
@@ -281,14 +296,12 @@ def build_index(
             .partitionBy("shard")
             .parquet(os.path.join(out_dir, "postings"))
         )
-        ds = part.select("shard", "doc_id", "doc_len")
-        ds.repartition("shard").write.mode("append").partitionBy("shard").parquet(
-            os.path.join(out_dir, "doc_stats")
-        )
-        if url_col:
-            part.select("shard", "doc_id", "url").repartition("shard").write.mode("append").partitionBy(
-                "shard"
-            ).parquet(os.path.join(out_dir, "docmap"))
+        # one combined doc-side table (doc_len + url): one write job instead
+        # of two — per-job latency is the scaling-efficiency tax at small SF
+        doc_cols = ["shard", "doc_id", "doc_len"] + (["url"] if url_col else [])
+        part.select(*doc_cols).repartition("shard").write.mode("append").partitionBy(
+            "shard"
+        ).parquet(os.path.join(out_dir, "doc_stats"))
 
         wall = time.time() - t0
         shard_metrics = (

@@ -31,11 +31,19 @@ TOPK_SCHEMA = "doc_id long, score double"
 
 
 class InvertedIndex:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, cache_term_stats: bool = False):
         self.spark = spark
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
+        # opt-in driver-side term→df cache: one parquet read at open time,
+        # saves one Spark job per query. Fits comfortably for ≤ ~10^8 terms;
+        # at larger vocabularies leave off (per-query pruned lookup instead).
+        self._df_cache: dict[str, int] | None = None
+        if cache_term_stats:
+            self._df_cache = {
+                r["term"]: int(r["df"]) for r in self.term_stats().collect()
+            }
 
     # --- table accessors -------------------------------------------------
     def postings(self) -> DataFrame:
@@ -48,7 +56,8 @@ class InvertedIndex:
         return self.spark.read.parquet(os.path.join(self.path, "term_stats"))
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "docmap"))
+        # url mapping lives in the combined doc_stats table
+        return self.doc_stats().select("doc_id", "url")
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "_manifest"))
@@ -65,10 +74,13 @@ class InvertedIndex:
         empty = spark.createDataFrame([], TOPK_SCHEMA)
         if not terms:
             return empty
-        dfs = {
-            r["term"]: int(r["df"])
-            for r in self.term_stats().filter(F.col("term").isin(terms)).collect()
-        }
+        if self._df_cache is not None:
+            dfs = {t: self._df_cache[t] for t in terms if t in self._df_cache}
+        else:
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in self.term_stats().filter(F.col("term").isin(terms)).collect()
+            }
         if not dfs:
             return empty
         n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
