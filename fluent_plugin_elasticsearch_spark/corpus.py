@@ -48,9 +48,12 @@ def _vocab(size: int = 50_000) -> np.ndarray:
     )
 
 
-def generate_corpus(n_docs: int, seed: int = 42, avg_len: int = 120) -> pd.DataFrame:
+def generate_corpus(n_docs: int, seed: int = 42, avg_len: int = 120,
+                    start_idx: int = 0) -> pd.DataFrame:
     """Build the webtext corpus as a pandas DataFrame (columns exactly per
-    input_hint). Deterministic in (n_docs, seed, avg_len)."""
+    input_hint). Deterministic in (n_docs, seed, avg_len, start_idx);
+    ``start_idx`` offsets urls/timestamps so chunked generation yields
+    globally unique keys."""
     rng = np.random.default_rng(seed)
     vocab = _vocab()
     n_vocab = len(vocab)
@@ -84,7 +87,10 @@ def generate_corpus(n_docs: int, seed: int = 42, avg_len: int = 120) -> pd.DataF
     offsets = np.sort(rng.integers(0, 5 * 86400, n_docs))
     warc_ts = pd.to_datetime(t0) + pd.to_timedelta(offsets, unit="s")
 
-    urls = [f"https://host{i % 97:02d}.example/p/{i}" for i in range(n_docs)]
+    urls = [
+        f"https://host{i % 97:02d}.example/p/{i}"
+        for i in range(start_idx, start_idx + n_docs)
+    ]
     langs = np.array(LANGS)[rng.integers(0, len(LANGS), n_docs)]
 
     noise = rng.integers(0, 1_000_000, n_docs)  # deterministic per-doc html noise
@@ -133,6 +139,34 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42, avg_len: int = 
     # would scan the whole corpus in one task regardless of cluster size.
     pdf.to_parquet(path, index=False, coerce_timestamps="us",
                    allow_truncated_timestamps=True, row_group_size=row_group_size)
+
+
+def write_corpus_spark(spark, out_dir: str, n_docs: int, seed: int = 42,
+                       avg_len: int = 120, chunk: int = 50_000) -> None:
+    """Cluster-parallel corpus materialization: one deterministic chunk per
+    task (seed ⊕ chunk index), written as a multi-file parquet dataset.
+    Used for multi-million-doc scaling corpora where driver-side pandas
+    generation would take tens of minutes."""
+    import pandas as _pd
+
+    bounds = [(i, min(i + chunk, n_docs)) for i in range(0, n_docs, chunk)]
+    bdf = spark.createDataFrame(_pd.DataFrame({"start": [b[0] for b in bounds],
+                                               "end": [b[1] for b in bounds]}))
+
+    def gen(batches):
+        for pdf in batches:
+            for start, end in zip(pdf["start"], pdf["end"]):
+                out = generate_corpus(int(end - start), seed=seed + int(start),
+                                      avg_len=avg_len, start_idx=int(start))
+                yield out
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    (
+        bdf.repartition(len(bounds))
+        .mapInPandas(gen, schema)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
 
 
 def _self_check(n: int = 50) -> None:

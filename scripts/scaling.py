@@ -46,12 +46,21 @@ print(json.dumps({{"cores": cores, "wall_s": wall, "docs_per_sec": n_docs / wall
 
 def run(cores: int, n_docs: int, corpus: str, trials: int = 3) -> dict:
     """Best-of-N serial trials (shared sandbox: take min wall — leaked
-    load from unrelated processes only ever slows a trial down)."""
+    load from unrelated processes only ever slows a trial down).
+
+    CPU affinity is pinned to `cores` CPUs: local[8] unpinned on a 32-core
+    box is NOT an 8-core cluster — its 8 task threads plus 8 Python UDF
+    workers spread over all 32 physical cores (~2x the compute), which
+    silently inflates the small-cluster number and corrupts the N→4N
+    ratio. taskset makes each level a faithful machine-size proxy."""
+    import shutil
+
     code = CHILD.format(repo=REPO)
+    pin = ["taskset", "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
     best = None
     for _ in range(trials):
         out = subprocess.run(
-            [sys.executable, "-c", code, str(cores), str(n_docs), corpus],
+            pin + [sys.executable, "-c", code, str(cores), str(n_docs), corpus],
             capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
