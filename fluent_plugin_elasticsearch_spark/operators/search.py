@@ -47,7 +47,24 @@ class InvertedIndex:
 
     # --- table accessors -------------------------------------------------
     def postings(self) -> DataFrame:
+        if getattr(self, "_postings_cached", None) is not None:
+            return self._postings_cached
         return self.spark.read.parquet(os.path.join(self.path, "postings"))
+
+    def warm(self) -> "InvertedIndex":
+        """Pin the postings table in executor memory (columnar, compressed)
+        — the serving-mode analogue of ES's page-cache-resident segments.
+        Cached pre-partitioned by shard so the per-query groupBy(shard)
+        reuses the partitioning: a search becomes a single-stage job (no
+        exchange), just filter → per-shard WAND → top-k."""
+        n = self.spark.sparkContext.defaultParallelism
+        self._postings_cached = (
+            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            .repartition(n, "shard")
+            .persist()
+        )
+        self._postings_cached.count()
+        return self
 
     def doc_stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "doc_stats"))
