@@ -294,6 +294,32 @@ def q_join_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.orderBy(F.desc("rev_u"), F.asc("c_custkey")).limit(25)
 
 
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set ops: unionByName + distinct (retry-stream re-ingestion
+    pattern — K9 retry rows unioned back into the next batch)."""
+    ev = _read(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("value") > 150).select("user_id")
+    return a.unionByName(b).distinct()
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 rollup/grouping-sets: event counts by (type, lang-of-day)
+    hierarchy with subtotals."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            "n",
+        )
+    )
+
+
 def q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 window coverage: row_number per key (affinity pick pattern)."""
     from pyspark.sql import Window
@@ -342,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_agg": q_tpch_q1_agg,
         "join_topk_customers": q_join_topk_customers,
         "window_latest_event": q_window_latest_event,
+        "union_distinct": q_union_distinct,
+        "rollup_counts": q_rollup_counts,
     }
 
 
@@ -484,6 +512,20 @@ SELECT user_id, event_id, event_type FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
   FROM events
 ) WHERE rn = 1
+""",
+        "union_distinct": """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT user_id FROM events WHERE value > 150
+)
+""",
+        "rollup_counts": """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, 'ALL') AS day,
+       count(*) AS n
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events)
+GROUP BY ROLLUP (event_type, day)
 """,
     }
 
