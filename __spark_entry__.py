@@ -262,6 +262,21 @@ def q_query_ast_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_query(docs, body)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (k-means coarse quantizer + probed exact re-rank) —
+    rows-only check: the quantizer isn't SQL-expressible; recall vs brute
+    force is asserted in tests/test_dedup_similarity.py."""
+    from fluent_plugin_elasticsearch_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.lit(0).alias("query_id"), "embedding")
+    top = ivf_cosine_topk(emb.filter(F.col("vec_id") != 0), qdf, dim=64, k=10,
+                          n_lists=8, n_probe=8)  # n_probe=n_lists ⇒ exact
+    return top.select("vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_u"), "rank")
+
+
 def q_tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 group-by agg coverage (TPC-H Q1 shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -360,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "bm25_wand_index": q_bm25_wand_index,
         "ngram_overlap_top20": q_ngram_overlap_top20,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -460,6 +476,21 @@ FROM documents
         ),
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),
+        # n_probe == n_lists ⇒ IVF degenerates to exact search: same oracle
+        # as the brute-force cosine top-k
+        "ivf_ann_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+)
+SELECT vec_id, CAST(floor(cosine * 1e6) AS BIGINT) AS cosine_u,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
         "bm25_wand_index": bm25_topk_sql("documents", FLAGSHIP_TERMS, k=10),
         "ngram_overlap_top20": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),

@@ -117,6 +117,83 @@ def lsh_cosine_topk(embeddings: DataFrame, query_df: DataFrame, dim: int, k: int
     )
 
 
+# --- IVF-flat (inverted file) ANN -------------------------------------------
+
+def train_ivf_centroids(embeddings: DataFrame, dim: int, n_lists: int = 16,
+                        sample: int = 4096, iters: int = 10, seed: int = 42,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic k-means (Lloyd) on a driver-side sample — the coarse
+    quantizer of an IVF index. At 10^12 vectors the sample stays O(k·100)
+    regardless of corpus size; assignment below is the distributed part."""
+    pdf = embeddings.select(vec_col).limit(sample).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / (np.linalg.norm(v) + 1e-12)
+    return cent.astype(np.float32)
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, list_id) — nearest-centroid assignment, one numpy matmul
+    per Arrow batch. On a cluster this is the bucketing shuffle key; store
+    the corpus partitioned by list_id so probes prune partitions."""
+    cent = centroids
+
+    def assign(it):
+        for pdf in it:
+            mat = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
+            mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "list_id": (mat @ cent.T).argmax(axis=1)})
+
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    return base.mapInPandas(assign, "vec_id long, list_id int")
+
+
+def ivf_cosine_topk(embeddings: DataFrame, query_df: DataFrame, dim: int, k: int = 10,
+                    n_lists: int = 16, n_probe: int = 4, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "query_id") -> DataFrame:
+    """IVF-flat ANN: probe the `n_probe` nearest lists per query, exact
+    cosine re-rank of only those lists' vectors. Work per query ≈
+    n_probe/n_lists of the corpus — the standard recall/cost dial."""
+    from pyspark.sql import Window
+
+    cent = train_ivf_centroids(embeddings, dim, n_lists, seed=seed, vec_col=vec_col)
+    assigned = ivf_assign(embeddings, cent, id_col, vec_col)
+    # query → probed lists (driver-side: queries are small)
+    qpdf = query_df.select(F.col(qid_col).alias("query_id"), F.col(vec_col).alias("vec")).toPandas()
+    qmat = np.stack(qpdf["vec"].to_numpy()).astype(np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True) + 1e-12
+    probes = np.argsort(-(qmat @ cent.T.astype(np.float64)), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(qid), int(lid))
+        for qid, lids in zip(qpdf["query_id"], probes)
+        for lid in lids
+    ]
+    probe_df = embeddings.sparkSession.createDataFrame(probe_rows, "query_id long, list_id int")
+    cands = assigned.join(F.broadcast(probe_df), "list_id").select("query_id", "vec_id")
+    pairs = (
+        cands.join(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__ev")), "vec_id")
+        .join(F.broadcast(query_df.select(F.col(qid_col).alias("query_id"), F.col(vec_col).alias("__qv"))), "query_id")
+        .select("query_id", "vec_id", cosine_col(F.col("__ev"), F.col("__qv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def embedding_nneardup_pairs(embeddings: DataFrame, dim: int, threshold: float = 0.95,
                              n_planes: int = 12, n_tables: int = 4, seed: int = 42,
                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -143,3 +143,15 @@ def test_embedding_near_dup_pairs(spark, emb):
              embedding_nneardup_pairs(emb, dim=16, threshold=0.9, n_planes=6, n_tables=6).collect()}
     for a, b in [(0, 1), (0, 2), (0, 3)]:
         assert (a, b) in pairs
+
+
+def test_ivf_topk_recall(spark, emb):
+    from fluent_plugin_elasticsearch_spark.operators.similarity import ivf_cosine_topk
+
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.lit(0).alias("query_id"), "embedding")
+    got = ivf_cosine_topk(emb.filter(F.col("vec_id") != 0), qdf, dim=16, k=3,
+                          n_lists=4, n_probe=2).collect()
+    # high-similarity mixes must be found when probing half the lists
+    assert {r["vec_id"] for r in got} == {1, 2, 3}
+    sims = [r["cosine"] for r in got]
+    assert sims == sorted(sims, reverse=True)
