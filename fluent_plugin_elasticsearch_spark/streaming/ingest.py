@@ -32,7 +32,8 @@ class IngestPipeline:
     def __init__(self, docs_dir: str, *, id_keys: list[str] | None = None,
                  hash_type: str = "sha1", time_key: str | None = None,
                  event_time_col: str = "time", logstash_prefix: str = "logstash",
-                 write_op: str = "index", run_id: str | None = None):
+                 write_op: str = "index", run_id: str | None = None,
+                 max_records_per_file: int | None = None):
         self.docs_dir = docs_dir
         self.id_keys = id_keys
         self.hash_type = hash_type
@@ -41,6 +42,9 @@ class IngestPipeline:
         self.logstash_prefix = logstash_prefix
         self.write_op = write_op
         self.run_id = run_id or f"ing-{int(time.time())}"
+        # K7 — request/file size splitting on the table sink (the analogue
+        # of bulk_message_request_threshold; Iceberg: write.target-file-size)
+        self.max_records_per_file = max_records_per_file
 
     def transform(self, batch: DataFrame) -> DataFrame:
         out = inject_timestamp(batch, time_key=self.time_key, event_time_col=self.event_time_col)
@@ -61,11 +65,17 @@ class IngestPipeline:
             # insert-only: append just the fresh rows (target untouched)
             fresh = docs.join(target.select("doc_id"), "doc_id", "left_anti")
             n_dup = dup.count()
-            fresh.write.mode("append").partitionBy("index_name").parquet(path)
+            self._writer(fresh).parquet(path)
             stats.update(duplicates=n_dup)
         else:
-            docs.write.mode("append").partitionBy("index_name").parquet(path)
+            self._writer(docs).parquet(path)
         return stats
+
+    def _writer(self, df: DataFrame):
+        w = df.write.mode("append").partitionBy("index_name")
+        if self.max_records_per_file:
+            w = w.option("maxRecordsPerFile", self.max_records_per_file)
+        return w
 
     def start_stream(self, stream_df: DataFrame, checkpoint_dir: str, trigger_sec: int = 5):
         """Checkpointed stream: task retries + checkpoint give at-least-once;
