@@ -112,6 +112,51 @@ class InvertedIndex:
         local = blocks.groupBy("shard").applyInPandas(shard_topk, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_batch(self, queries: dict[int, str], k: int = 10) -> DataFrame:
+        """Batched multi-query top-k (offline query sets): ONE job decodes
+        the union of the queries' posting data per shard and scores every
+        query — per-query cost amortizes to near-zero for large sets.
+        Returns (query_id, doc_id, score, rank), rank-identical per query
+        to `search()`."""
+        spark = self.spark
+        from pyspark.sql import Window
+
+        per_query_terms = {qid: self.query_terms(q) for qid, q in queries.items()}
+        all_terms = sorted({t for ts in per_query_terms.values() for t in ts})
+        empty = spark.createDataFrame([], "query_id long, doc_id long, score double, rank int")
+        if not all_terms:
+            return empty
+        if self._df_cache is not None:
+            dfs = {t: self._df_cache[t] for t in all_terms if t in self._df_cache}
+        else:
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in self.term_stats().filter(F.col("term").isin(all_terms)).collect()
+            }
+        if not dfs:
+            return empty
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        query_idfs = {
+            qid: {t: bm25_idf(dfs[t], n_docs) for t in ts if t in dfs}
+            for qid, ts in per_query_terms.items()
+        }
+        query_idfs = {qid: m for qid, m in query_idfs.items() if m}
+
+        def shard_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _wand.score_shard_batch(pdf, query_idfs, k, avgdl, k1, b)
+
+        blocks = self.postings().filter(F.col("term").isin(list(dfs)))
+        local = blocks.groupBy("shard").applyInPandas(
+            shard_batch, "query_id long, doc_id long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
     def search_with_urls(self, query_text: str, k: int = 10, mode: str = "wand") -> DataFrame:
         topk = self.search(query_text, k, mode)
         return (

@@ -62,6 +62,54 @@ def score_shard_exhaustive(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
     return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})
 
 
+def score_shard_batch(pdf: pd.DataFrame, query_terms: dict[int, dict[str, float]], k: int,
+                      avgdl: float, k1: float, b: float) -> pd.DataFrame:
+    """Batched multi-query exhaustive scoring for one shard: decode each
+    query term's blocks once, score every query that uses the term, local
+    top-k per query. This is the offline-query-set mode — one pass over the
+    union of the queries' posting data serves the whole set."""
+    from .codec import segmented_cumsum
+
+    if len(pdf) == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    n_per_blk = pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_per_blk.sum())
+    blk_starts = np.concatenate([[0], np.cumsum(n_per_blk)[:-1]])
+    gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+    ids = segmented_cumsum(gaps, blk_starts, n_per_blk).astype(np.int64)
+    tfs = varint_decode(b"".join(pdf["tfs_enc"]), total)
+    dls = varint_decode(b"".join(pdf["dls_enc"]), total)
+    tfn = _tfn(tfs, dls, avgdl, k1, b)
+    terms = np.repeat(pdf["term"].to_numpy(), n_per_blk)
+
+    out_q, out_d, out_s = [], [], []
+    for qid in sorted(query_terms):
+        idfs = query_terms[qid]
+        mask = np.isin(terms, list(idfs))
+        if not mask.any():
+            continue
+        q_ids = ids[mask]
+        q_contrib = tfn[mask] * np.vectorize(idfs.__getitem__)(terms[mask])
+        uniq, inv = np.unique(q_ids, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, q_contrib)
+        order = np.lexsort((uniq, -scores))[:k]
+        out_q.append(np.full(order.size, qid, dtype=np.int64))
+        out_d.append(uniq[order])
+        out_s.append(scores[order])
+    if not out_q:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    return pd.DataFrame(
+        {"query_id": np.concatenate(out_q), "doc_id": np.concatenate(out_d),
+         "score": np.concatenate(out_s)}
+    )
+
+
 class _Cursor:
     """Per-term posting cursor over compressed blocks (lazy block decode)."""
 

@@ -46,6 +46,9 @@ def get_spark(
         # extraction/tokenization is CPU-heavy per byte: favor more, smaller
         # scan splits so the analysis chain parallelizes even on few files
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # K8 table-level compression (postings blocks carry their own
+        # delta-gap+varint codec; zstd squeezes the parquet envelope)
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

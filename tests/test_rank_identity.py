@@ -99,3 +99,20 @@ def test_ids_query_and_pagination(spark, index_dir):
         seen += len(ids)
         last = ids[-1]
     assert seen == idx.meta["n_docs"]
+
+
+def test_search_batch_matches_per_query(spark, index_dir, docs_tokens):
+    """Batched multi-query mode: one job, rank-identical per query."""
+    idx = InvertedIndex(spark, index_dir)
+    queries = {1: "the", 2: "of and to", 3: "the baba café", 4: "zzzznotaterm"}
+    batch = idx.search_batch(queries, k=K)
+    rows = batch.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in queries.items():
+        expected = bm25_topk_oracle(docs_tokens, tokenize_unicode(q), K)
+        got = sorted(by_q.get(qid, []))
+        assert [d for _, d, _ in got] == [d for d, _ in expected], qid
+        for (_, _, score), (_, escore) in zip(got, expected):
+            assert abs(score - escore) < 1e-9
