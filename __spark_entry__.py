@@ -159,7 +159,8 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _tq.token_counts(_read(spark, sf_dir, "documents"))
+    # ORDER BY doc_id in both engines: pins row order for the driver hash
+    return _tq.token_counts(_read(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +294,10 @@ def q_tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_u"),
             F.count("*").alias("count_order"),
         )
+        # total row order pinned in BOTH engines: the driver's value hash is
+        # sensitive to row order (and DuckDB sum() yields HUGEINT→float64 via
+        # pandas, so oracle sums are CAST AS BIGINT to keep integer reprs)
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -461,13 +466,17 @@ FROM batch WHERE event_id NOT IN (SELECT event_id FROM target)
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, "
             "min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY 1"
         ),
+        # CAST(... AS BIGINT): DuckDB sum() returns HUGEINT which pandas
+        # renders as float64 — cast keeps the integer repr the driver hashes.
+        # coalesce(...): empty token arrays must yield 0 (matching Spark's
+        # F.aggregate init value), not NULL.
         "token_counts": f"""
 SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
        len({_TOKS}) AS word_tokens,
-       (SELECT sum(CASE WHEN len(t) <= 4 THEN 1 ELSE CAST(ceil(len(t)/4.0) AS BIGINT) END)
-        FROM unnest({_TOKS}) AS u(t)) AS bpe_est_tokens
-FROM documents
+       CAST(coalesce((SELECT sum(CASE WHEN len(t) <= 4 THEN 1 ELSE CAST(ceil(len(t)/4.0) AS BIGINT) END)
+        FROM unnest({_TOKS}) AS u(t)), 0) AS BIGINT) AS bpe_est_tokens
+FROM documents ORDER BY doc_id
 """,
         "fingerprints": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, "
@@ -525,14 +534,15 @@ FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
         "tpch_q1_agg": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity * 1e2) AS BIGINT)) AS sum_qty_u,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT)) AS revenue_u,
+       CAST(sum(CAST(floor(l_quantity * 1e2) AS BIGINT)) AS BIGINT) AS sum_qty_u,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e2) AS BIGINT)) AS BIGINT) AS revenue_u,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
 """,
         "join_topk_customers": """
-SELECT c_custkey, c_name, sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS rev_u
+SELECT c_custkey, c_name, CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS rev_u
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY rev_u DESC, c_custkey ASC LIMIT 25

@@ -2,9 +2,9 @@
 the reference's elasticsearch_genid filter
 (filter_elasticsearch_genid.rb:46-75; SURVEY.md T11/T12).
 
-Reference semantics reproduced exactly (golden vectors ported from
-test/plugin/test_filter_elasticsearch_genid.rb:52-213 live in
-tests/test_genid.py):
+Reference semantics reproduced exactly (all 32 golden vectors from
+test/plugin/test_filter_elasticsearch_genid.rb:52-213 are ported to
+tests/test_genid.py and asserted byte-identical):
 
   * seed = selected ``record_keys`` joined by ``separator`` (default "_"),
     optionally prefixed by tag and/or event time;
@@ -38,31 +38,39 @@ def genid_seed(record_keys: list[str], separator: str = "_",
     all joined by `separator`."""
     parts: list[Column] = []
     if include_tag:
-        parts.append(F.col(tag_col))
+        parts.append(_s(F.col(tag_col)))
     if include_time:
-        parts.append(F.unix_timestamp(F.col(time_col)).cast("string"))
-    parts.extend(F.col(k).cast("string") for k in record_keys)
+        parts.append(_s(F.unix_timestamp(F.col(time_col))))
+    # Ruby Array#join keeps nil as an empty slot (['a', nil].join('_') ==
+    # 'a_'), while concat_ws would SKIP nulls — coalesce each part to ''
+    # so null values still contribute their separators.
+    parts.extend(_s(F.col(k)) for k in record_keys)
     return F.concat_ws(separator, *parts)
+
+
+def _s(c: Column) -> Column:
+    return F.coalesce(c.cast("string"), F.lit(""))
 
 
 def genid_seed_entire_record(record_cols: list[str], separator: str = "_",
                              include_tag: bool = False, tag_col: str = "tag",
                              include_time: bool = False, time_col: str = "time") -> Column:
     """Whole-record seed per filter_seed_as_record
-    (filter_elasticsearch_genid.rb:59-62): keys sorted, each appended as
-    ``{separator}|key{separator}|value``."""
-    parts: list[Column] = []
+    (filter_elasticsearch_genid.rb:51-62): ``seed += tag + separator`` /
+    ``seed += time.to_s + separator`` heads (note the TRAILING separator),
+    then keys sorted, each appended as ``|key|value`` with NO separator.
+    Byte-identical to the reference UseEntireRecordAsSeedTest goldens
+    (test_filter_elasticsearch_genid.rb:146-213, ported to
+    tests/test_genid.py)."""
+    head = F.lit("")
     if include_tag:
-        parts.append(F.col(tag_col))
+        head = F.concat(head, _s(F.col(tag_col)), F.lit(separator))
     if include_time:
-        parts.append(F.unix_timestamp(F.col(time_col)).cast("string"))
-    head = F.concat_ws(separator, *parts) if parts else F.lit("")
-    body = F.lit("")
+        head = F.concat(head, _s(F.unix_timestamp(F.col(time_col))), F.lit(separator))
+    body = head
     for k in sorted(record_cols):
-        body = F.concat(
-            body, F.lit(f"{separator}|{k}{separator}|"), F.col(k).cast("string")
-        )
-    return F.concat(head, body)
+        body = F.concat(body, F.lit(f"|{k}|"), _s(F.col(k)))
+    return body
 
 
 def genid_hash(seed: Column, hash_type: str = "sha1") -> Column:

@@ -71,13 +71,15 @@ def test_genid_tag_and_time_in_seed(genid_df):
 
 
 def test_genid_entire_record(genid_df):
+    # reference format (filter_elasticsearch_genid.rb:59-62): |k|v pairs,
+    # no separator — full golden-vector coverage lives in tests/test_genid.py
     seed = genid_seed_entire_record(
         ["age", "custom_key", "parent_id", "request_id", "routing_id"], "_"
     )
     row = genid_df.select(seed.alias("s")).collect()[0]
     assert row["s"] == (
-        "_|age_|26_|custom_key_|This is also encoded value."
-        "_|parent_id_|parent_|request_id_|42_|routing_id_|routing"
+        "|age|26|custom_key|This is also encoded value."
+        "|parent_id|parent|request_id|42|routing_id|routing"
     )
 
 
