@@ -214,34 +214,31 @@ def q_bm25_wand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_overlap_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate generation: top-20 doc pairs by shared distinct
-    bigrams (the intersection stage of n-gram Jaccard)."""
-    from fluent_plugin_elasticsearch_spark.operators.dedup import shingles_df
+    bigrams, through the CAPPED library path (max_bucket=1000 is provably a
+    no-op at sf0.01's 500 docs, so oracle parity holds while the entry
+    exercises exactly the function users ship)."""
+    from fluent_plugin_elasticsearch_spark.operators.dedup import ngram_overlap_topk
 
-    sh = shingles_df(_read(spark, sf_dir, "documents"), n=2)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    return inter.orderBy(F.desc("inter"), F.asc("id_a"), F.asc("id_b")).limit(20)
+    return ngram_overlap_topk(_read(spark, sf_dir, "documents"), n=2, k=20)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (md5-derived hashes, 16 perms, 8 bands)."""
+    """MinHash+LSH candidate pairs (md5-derived hashes, 16 perms, 8 bands).
+    max_bucket=1000 keeps the hot-bucket guard in the plan while being a
+    no-op at sf0.01 (a band bucket can hold at most the 500 docs)."""
     from fluent_plugin_elasticsearch_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), n=2, num_hashes=16, bands=8, max_bucket=10**9
+        _read(spark, sf_dir, "documents"), n=2, num_hashes=16, bands=8, max_bucket=1000
     )
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit signatures (rows-only check: bit-vote algorithm is
-    not reasonably SQL-expressible)."""
+    """SimHash 64-bit signatures — md5-derived tf-weighted bit votes, so the
+    DuckDB oracle reproduces every signature exactly (bit-vote SQL below)."""
     from fluent_plugin_elasticsearch_spark.operators.dedup import simhash_signatures
 
-    return simhash_signatures(_read(spark, sf_dir, "documents"))
+    return simhash_signatures(_read(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def q_query_ast_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,6 +511,28 @@ FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY inter DESC, id_a ASC, id_b ASC LIMIT 20
 """,
         "minhash_lsh_pairs": _minhash_sql(num_hashes=16, bands=8),
+        # SimHash: per-token md5 → first 8 bytes as uint64; bit k votes
+        # +tf/−tf; signature bit k set iff vote > 0; exported as the int64
+        # two's-complement view (matching Spark's LongType)
+        "simhash_signatures": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT) AS hv FROM tf),
+votes AS (
+  SELECT doc_id, k.k,
+         sum(CASE WHEN (hv >> k.k) & 1 = 1 THEN tf ELSE -tf END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) k
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN CAST(1::UBIGINT << k AS HUGEINT) ELSE 0 END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616 ELSE s END, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id) ORDER BY doc_id
+""",
         "query_ast_bool": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE n_chars >= 200 AND n_chars < 400 AND lang <> 'zh'

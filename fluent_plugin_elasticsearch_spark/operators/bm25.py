@@ -11,6 +11,15 @@ rank-identity between the two).
 Scores are reported as ``score_u = floor(score * 1e6)`` (bigint): a
 rounding-mode-free quantization that both Spark and DuckDB compute
 identically, dodging HALF_UP vs HALF_EVEN mismatches on value hashing.
+
+Quantization contract (why the floor is safe to hash): floating-point sums
+are order-sensitive, so BOTH engines accumulate each doc's per-term
+contributions SEQUENTIALLY IN TERM-ASCENDING ORDER — Spark via a
+collect_list → array_sort → aggregate() left fold, DuckDB via
+``list_sum(list(contrib ORDER BY term))`` (verified exact sequential
+addition), and the WAND/exhaustive engine paths sum term-asc as well
+(wand.py). With identical addend order the only residual divergence is
+libm ulp (ln), absorbed by the 1e-6 quantum away from floor boundaries.
 """
 
 from __future__ import annotations
@@ -50,10 +59,16 @@ def bm25_topk_df(docs: DataFrame, query_terms: list[str], k: int = 10,
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
         )
     )
+    # order-deterministic sum: fold contributions term-asc (see module doc)
     return (
         scored.groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
-        .select("doc_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_u"))
+        .agg(F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+        .select(
+            "doc_id",
+            F.floor(
+                F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["contrib"]) * 1e6
+            ).cast("long").alias("score_u"),
+        )
         .orderBy(F.desc("score_u"), F.asc("doc_id"))
         .limit(k)
     )
@@ -82,13 +97,14 @@ tfq AS (
 ),
 dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
 scored AS (
-  SELECT t.doc_id,
+  SELECT t.doc_id, t.term,
          ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
            * {k1 + 1.0} * t.tf
            / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl)) AS contrib
   FROM tfq t JOIN dfq d USING (term) CROSS JOIN stats s
 )
-SELECT doc_id, CAST(floor(sum(contrib) * 1e6) AS BIGINT) AS score_u
+SELECT doc_id,
+       CAST(floor(list_sum(list(contrib ORDER BY term)) * 1e6) AS BIGINT) AS score_u
 FROM scored
 GROUP BY doc_id
 ORDER BY score_u DESC, doc_id ASC

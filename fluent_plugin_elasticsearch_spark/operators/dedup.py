@@ -70,7 +70,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     counted per pair, union via per-doc shingle counts. `max_bucket` drops
     boilerplate shingles shared by too many docs (quadratic-blowup guard —
     a dropped shingle can only lower recall for pairs that share *only*
-    boilerplate)."""
+    boilerplate). Score bias note: per-doc counts are taken BEFORE the
+    hot-shingle filter while intersections are counted AFTER, so dropped
+    boilerplate still inflates the union denominator — reported Jaccard is
+    a slight UNDER-estimate for pairs containing hot shingles (recall-safe
+    for the ≥ threshold cut, never a false positive)."""
     sh = shingles_df(docs, n, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = sh.groupBy("shingle").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
@@ -89,6 +93,25 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_overlap_topk(docs: DataFrame, n: int = 2, k: int = 20,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_bucket: int = 1000) -> DataFrame:
+    """Top-k doc pairs by shared distinct n-grams — the candidate stage of
+    ngram_jaccard_pairs exposed as a standalone query, with the hot-shingle
+    cap INTACT (this is the copy-paste-able form; never ship the uncapped
+    join). Returns (id_a, id_b, inter) ordered (inter desc, id_a, id_b)."""
+    sh = shingles_df(docs, n, id_col, text_col)
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
+    sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return inter.orderBy(F.desc("inter"), F.asc("id_a"), F.asc("id_b")).limit(k)
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 16,
@@ -144,20 +167,44 @@ _SIMHASH_SCHEMA = T.StructType(
 
 
 def _simhash_batch(pdf_iter):
+    """Batch-vectorized SimHash: tokens are factorized ACROSS the whole
+    Arrow batch, each unique vocab entry is md5-hashed exactly once, and the
+    per-doc bit votes are one np.add.at scatter of tf-weighted ±1 sign rows
+    — no per-doc or per-token Python in the hot path (the only remaining
+    loop is md5 over the batch-unique vocab, which is smaller than the
+    token stream by the batch's redundancy factor)."""
     import hashlib
 
+    shifts = np.arange(64, dtype=np.uint64)
     for pdf in pdf_iter:
-        out_ids, out_hashes = [], []
-        for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
-            votes = np.zeros(64, dtype=np.int64)
-            for t, cnt in pd.Series(list(toks)).value_counts().items() if len(toks) else []:
-                h = np.uint64(int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big"))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes += np.where(bits == np.uint64(1), cnt, -cnt)
-            sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out_ids.append(doc_id)
-            out_hashes.append(np.int64(np.uint64(sig)))  # two's-complement view
-        yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+        n = len(pdf)
+        doc_ids = pdf["doc_id"].to_numpy()
+        tok_lists = [list(t) for t in pdf["tokens"]]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        if total == 0:
+            yield pd.DataFrame({"doc_id": doc_ids, "simhash": np.zeros(n, dtype=np.int64)})
+            continue
+        flat = np.empty(total, dtype=object)
+        flat[:] = [t for toks in tok_lists for t in toks]
+        codes, vocab = pd.factorize(pd.Series(flat))
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # tf per (doc, vocab-code): group on the combined integer key
+        V = len(vocab)
+        key = doc_idx * V + codes
+        uniq_keys, tf = np.unique(key, return_counts=True)
+        u_doc = (uniq_keys // V).astype(np.int64)
+        u_code = (uniq_keys % V).astype(np.int64)
+        # hash the unique vocab ONCE; expand to a ±1 sign matrix (V, 64)
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big") for t in vocab),
+            dtype=np.uint64, count=V,
+        )
+        signs = (2 * ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) - 1)
+        votes = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(votes, u_doc, tf[:, None] * signs[u_code])
+        sigs = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
+        yield pd.DataFrame({"doc_id": doc_ids, "simhash": sigs.astype(np.int64)})
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -266,8 +266,10 @@ def build_index(
     # Iceberg deployment would use): tokenization runs exactly once, every
     # downstream pass gets columnar pruning, and no multi-GB map-typed
     # cache sits on the driver heap.
+    # Reuse is gated on Spark's _SUCCESS marker, not bare dir existence: a
+    # crash mid-write leaves a partial directory that must be rebuilt.
     tokenized_path = os.path.join(out_dir, "_tokenized")
-    if not os.path.exists(tokenized_path):
+    if not os.path.exists(os.path.join(tokenized_path, "_SUCCESS")):
         toks.write.mode("overwrite").parquet(tokenized_path)
     toks = spark.read.parquet(tokenized_path)
 
@@ -287,13 +289,30 @@ def build_index(
     manifest_path = os.path.join(out_dir, "_manifest")
     done: set[int] = set()
     if os.path.exists(manifest_path):
-        done = {
-            int(r["shard"])
-            for r in spark.read.parquet(manifest_path).filter(F.col("status") == "done").collect()
-        }
+        try:
+            done = {
+                int(r["shard"])
+                for r in spark.read.parquet(manifest_path).filter(F.col("status") == "done").collect()
+            }
+        except Exception:  # crashed mid-manifest-write: treat as no checkpoint
+            done = set()
 
     merge_fn = _make_merge_fn(avgdl, k1, b, block_size)
     all_shards = [s for s in range(n_shards) if s not in done]
+    # Crash safety: postings/doc_stats are APPENDED before the manifest row
+    # marks a shard 'done', so a crash between the writes would make a
+    # re-run double-append those shards (silently doubling tf and BM25
+    # scores). Any shard partition on disk that is NOT in the manifest is
+    # therefore a torn write from a crashed attempt — delete it before
+    # rebuilding. (On Iceberg this whole dance is a transactional
+    # REPLACE PARTITION; this is the filesystem equivalent.)
+    import shutil
+
+    for table in ("postings", "doc_stats"):
+        for s in all_shards:
+            pdir = os.path.join(out_dir, table, f"shard={s}")
+            if os.path.exists(pdir):
+                shutil.rmtree(pdir)
     groups = [all_shards[i::shard_batches] for i in range(shard_batches)] if shard_batches > 1 else [all_shards]
     groups = [g for g in groups if g]
 

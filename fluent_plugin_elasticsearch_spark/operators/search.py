@@ -29,6 +29,13 @@ _TOKENIZE = {"unicode": tokenize_unicode, "simple": tokenize_simple, "simple_udf
 
 TOPK_SCHEMA = "doc_id long, score double"
 
+# Below this many postings (per shard, query terms only) the vectorized
+# exhaustive decode beats the WAND DAAT loop: the Python-loop constant of
+# cursor pivoting dominates exactly when there is little to skip. Both
+# paths are rank-identical (property-tested), so the fallback is purely a
+# latency decision.
+WAND_FALLBACK_POSTINGS = 16384
+
 
 class InvertedIndex:
     def __init__(self, spark: SparkSession, path: str, cache_term_stats: bool = False):
@@ -84,8 +91,10 @@ class InvertedIndex:
         return sorted(set(_TOKENIZE[self.meta["tokenizer"]](query_text)))
 
     def search(self, query_text: str, k: int = 10, mode: str = "wand") -> DataFrame:
-        """Top-k BM25. mode='wand' (block-max skipping) or 'exhaustive'
-        (vectorized decode-all). Both rank-identical to brute force."""
+        """Top-k BM25. mode='wand' (block-max skipping), 'exhaustive'
+        (vectorized decode-all), or 'auto' (WAND only when the shard's
+        query-term posting mass exceeds WAND_FALLBACK_POSTINGS — the serving
+        default). All rank-identical to brute force."""
         terms = self.query_terms(query_text)
         spark = self.spark
         empty = spark.createDataFrame([], TOPK_SCHEMA)
@@ -103,10 +112,14 @@ class InvertedIndex:
         n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
         k1, b = self.meta["k1"], self.meta["b"]
         idfs = {t: bm25_idf(df, n_docs) for t, df in dfs.items()}
-        scorer = _wand.score_shard_wand if mode == "wand" else _wand.score_shard_exhaustive
 
         def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-            return scorer(pdf, idfs, k, avgdl, k1, b)
+            use_wand = mode == "wand" or (
+                mode == "auto" and int(pdf["n_docs"].sum()) >= WAND_FALLBACK_POSTINGS
+            )
+            if use_wand:
+                return _wand.score_shard_wand(pdf, idfs, k, avgdl, k1, b)
+            return _wand.score_shard_exhaustive(pdf, idfs, k, avgdl, k1, b)
 
         blocks = self.postings().filter(F.col("term").isin(list(dfs)))
         local = blocks.groupBy("shard").applyInPandas(shard_topk, TOPK_SCHEMA)

@@ -35,27 +35,54 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
-def cosine_topk(embeddings: DataFrame, query_df: DataFrame, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding",
-                qid_col: str = "query_id") -> DataFrame:
-    """Brute-force cosine top-k per query. query_df: (query_id, embedding).
-    Queries are broadcast — one scan of the corpus scores every query;
-    per-query top-k via window row_number (rank-deterministic tie-break
-    sim desc, vec_id asc)."""
+_TOPK_SCHEMA = "query_id long, vec_id long, cosine double, rank int"
+
+
+def _rank_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int32)
+    return pdf[["query_id", "vec_id", "cosine", "rank"]]
+
+
+def per_query_topk(scored: DataFrame, k: int, n_queries: int | None = None) -> DataFrame:
+    """Per-query top-k with the (cosine desc, vec_id asc) tie-break.
+
+    Multi-query batches: window partitioned by query_id (real partitions).
+    Single query: a window's partition spec constant-folds away and funnels
+    the whole scored corpus through ONE partition (the `WindowExec: No
+    Partition Defined` degradation); instead plan orderBy().limit(k) —
+    Spark executes it as TakeOrderedAndProject (per-partition heap, driver
+    merge of k·P rows) — then rank the k survivors in one tiny
+    applyInPandas group."""
     from pyspark.sql import Window
 
-    joined = embeddings.alias("e").crossJoin(F.broadcast(query_df.alias("q")))
-    scored = joined.select(
-        F.col(f"q.{qid_col}").alias("query_id"),
-        F.col(f"e.{id_col}").alias("vec_id"),
-        cosine_col(F.col(f"e.{vec_col}"), F.col(f"q.{vec_col}")).alias("cosine"),
-    )
+    if n_queries is not None and n_queries <= 1:
+        top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+        return top.groupBy("query_id").applyInPandas(_rank_sorted, _TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def cosine_topk(embeddings: DataFrame, query_df: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "query_id") -> DataFrame:
+    """Brute-force cosine top-k per query. query_df: (query_id, embedding).
+    Queries are broadcast — one scan of the corpus scores every query;
+    per-query top-k via per_query_topk (TakeOrderedAndProject when there is
+    one query, window row_number for batches)."""
+    n_queries = query_df.limit(2).count()  # O(1): queries are small by contract
+    joined = embeddings.alias("e").crossJoin(F.broadcast(query_df.alias("q")))
+    scored = joined.select(
+        F.col(f"q.{qid_col}").cast("long").alias("query_id"),
+        F.col(f"e.{id_col}").alias("vec_id"),
+        cosine_col(F.col(f"e.{vec_col}"), F.col(f"q.{vec_col}")).alias("cosine"),
+    )
+    return per_query_topk(scored, k, n_queries)
 
 
 # --- LSH (random hyperplane signatures) -------------------------------------
@@ -94,8 +121,7 @@ def lsh_cosine_topk(embeddings: DataFrame, query_df: DataFrame, dim: int, k: int
     bucket equi-join (shuffle on bucket), exact cosine re-rank of the
     candidate set only. Recall grows with n_tables; per-query cost is the
     matched buckets, not the corpus."""
-    from pyspark.sql import Window
-
+    n_queries = query_df.limit(2).count()
     cands = None
     for t in range(n_tables):
         sig_e = lsh_signatures(embeddings, dim, n_planes, seed + t, id_col, vec_col)
@@ -106,15 +132,10 @@ def lsh_cosine_topk(embeddings: DataFrame, query_df: DataFrame, dim: int, k: int
     cands = cands.distinct()
     pairs = (
         cands.join(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__ev")), "vec_id")
-        .join(F.broadcast(query_df.select(F.col(qid_col).alias("query_id"), F.col(vec_col).alias("__qv"))), "query_id")
+        .join(F.broadcast(query_df.select(F.col(qid_col).cast("long").alias("query_id"), F.col(vec_col).alias("__qv"))), "query_id")
         .select("query_id", "vec_id", cosine_col(F.col("__ev"), F.col("__qv")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return per_query_topk(pairs, k, n_queries)
 
 
 # --- IVF-flat (inverted file) ANN -------------------------------------------
@@ -165,8 +186,6 @@ def ivf_cosine_topk(embeddings: DataFrame, query_df: DataFrame, dim: int, k: int
     """IVF-flat ANN: probe the `n_probe` nearest lists per query, exact
     cosine re-rank of only those lists' vectors. Work per query ≈
     n_probe/n_lists of the corpus — the standard recall/cost dial."""
-    from pyspark.sql import Window
-
     cent = train_ivf_centroids(embeddings, dim, n_lists, seed=seed, vec_col=vec_col)
     assigned = ivf_assign(embeddings, cent, id_col, vec_col)
     # query → probed lists (driver-side: queries are small)
@@ -183,15 +202,10 @@ def ivf_cosine_topk(embeddings: DataFrame, query_df: DataFrame, dim: int, k: int
     cands = assigned.join(F.broadcast(probe_df), "list_id").select("query_id", "vec_id")
     pairs = (
         cands.join(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__ev")), "vec_id")
-        .join(F.broadcast(query_df.select(F.col(qid_col).alias("query_id"), F.col(vec_col).alias("__qv"))), "query_id")
+        .join(F.broadcast(query_df.select(F.col(qid_col).cast("long").alias("query_id"), F.col(vec_col).alias("__qv"))), "query_id")
         .select("query_id", "vec_id", cosine_col(F.col("__ev"), F.col("__qv")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return per_query_topk(pairs, k, len(qpdf))
 
 
 def embedding_nneardup_pairs(embeddings: DataFrame, dim: int, threshold: float = 0.95,

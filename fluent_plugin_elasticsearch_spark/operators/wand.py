@@ -52,14 +52,23 @@ def score_shard_exhaustive(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
     uniq, inv = np.unique(ids, return_inverse=True)
     scores = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(scores, inv, contrib)
-    if uniq.size > k:
-        # partial select then exact sort of the candidate set
-        part = np.argpartition(-scores, k - 1)[:k * 2 if 2 * k < uniq.size else uniq.size]
-        cand_scores, cand_ids = scores[part], uniq[part]
-    else:
-        cand_scores, cand_ids = scores, uniq
+    cand_ids, cand_scores = _topk_ties(uniq, scores, k)
     order = np.lexsort((cand_ids, -cand_scores))[:k]
     return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})
+
+
+def _topk_ties(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate set for an exact (score desc, doc_id asc) top-k: argpartition
+    for the k-th score threshold, then include EVERY doc at or above it —
+    docs tied at the boundary must survive so the lexsort can pick the
+    smallest doc_ids (dropping them returned larger ids and broke the
+    rank-identity contract)."""
+    if ids.size <= k:
+        return ids, scores
+    part = np.argpartition(-scores, k - 1)
+    thresh = scores[part[:k]].min()
+    mask = scores >= thresh
+    return ids[mask], scores[mask]
 
 
 def score_shard_batch(pdf: pd.DataFrame, query_terms: dict[int, dict[str, float]], k: int,
@@ -83,23 +92,37 @@ def score_shard_batch(pdf: pd.DataFrame, query_terms: dict[int, dict[str, float]
     tfs = varint_decode(b"".join(pdf["tfs_enc"]), total)
     dls = varint_decode(b"".join(pdf["dls_enc"]), total)
     tfn = _tfn(tfs, dls, avgdl, k1, b)
-    terms = np.repeat(pdf["term"].to_numpy(), n_per_blk)
+    # factorize terms ONCE per shard: per-query term selection and idf
+    # lookup become integer LUT indexing (no np.isin string scans, no
+    # np.vectorize per-element Python calls)
+    blk_codes, uniq_terms = pd.factorize(pdf["term"])
+    codes = np.repeat(blk_codes, n_per_blk)
+    term_pos = {t: i for i, t in enumerate(uniq_terms)}
 
     out_q, out_d, out_s = [], [], []
     for qid in sorted(query_terms):
         idfs = query_terms[qid]
-        mask = np.isin(terms, list(idfs))
-        if not mask.any():
+        lut = np.full(len(uniq_terms), np.nan, dtype=np.float64)
+        hit = False
+        for t, v in idfs.items():
+            i = term_pos.get(t)
+            if i is not None:
+                lut[i] = v
+                hit = True
+        if not hit:
             continue
+        idf_per_posting = lut[codes]
+        mask = ~np.isnan(idf_per_posting)
         q_ids = ids[mask]
-        q_contrib = tfn[mask] * np.vectorize(idfs.__getitem__)(terms[mask])
+        q_contrib = tfn[mask] * idf_per_posting[mask]
         uniq, inv = np.unique(q_ids, return_inverse=True)
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, q_contrib)
-        order = np.lexsort((uniq, -scores))[:k]
+        cand_ids, cand_scores = _topk_ties(uniq, scores, k)
+        order = np.lexsort((cand_ids, -cand_scores))[:k]
         out_q.append(np.full(order.size, qid, dtype=np.int64))
-        out_d.append(uniq[order])
-        out_s.append(scores[order])
+        out_d.append(cand_ids[order])
+        out_s.append(cand_scores[order])
     if not out_q:
         return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                              "doc_id": pd.Series([], dtype="int64"),

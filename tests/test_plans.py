@@ -47,3 +47,37 @@ def test_ids_query_uses_broadcast_semi_join(spark, index_dir):
     some = [r["doc_id"] for r in idx.doc_stats().limit(3).collect()]
     plan = plan_of(idx.ids_query(some))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_single_query_ann_avoids_global_window(spark, sf_dir):
+    """One-query cosine top-k must plan TakeOrderedAndProject, NOT a
+    constant-partition window (which would funnel the scored corpus
+    through a single partition)."""
+    from fluent_plugin_elasticsearch_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.lit(0).alias("query_id"), "embedding")
+    top = cosine_topk(emb.filter(F.col("vec_id") != 0), qdf, k=10)
+    plan = plan_of(top)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    rows = top.collect()
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+
+
+def test_multi_query_ann_keeps_partitioned_window(spark, sf_dir):
+    from fluent_plugin_elasticsearch_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(emb.filter(F.col("vec_id") >= 3), qdf, k=5)
+    plan = plan_of(top)
+    assert "Window" in plan and "query_id" in plan
+    got = {r["query_id"] for r in top.collect()}
+    assert got == {0, 1, 2}

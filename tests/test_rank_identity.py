@@ -44,7 +44,7 @@ def docs_tokens(spark, corpus_pdf, index_dir):
 def test_wand_and_exhaustive_match_oracle(spark, index_dir, docs_tokens, query):
     idx = InvertedIndex(spark, index_dir)
     expected = bm25_topk_oracle(docs_tokens, tokenize_unicode(query), K)
-    for mode in ("exhaustive", "wand"):
+    for mode in ("exhaustive", "wand", "auto"):
         got = idx.search(query, k=K, mode=mode).collect()
         got_ids = [r["doc_id"] for r in got]
         exp_ids = [d for d, _ in expected]

@@ -78,3 +78,38 @@ def test_rerun_completed_build_is_noop(spark, small_docs, tmp_path):
     assert postings_fingerprint(spark, out) == fp
     runs = {r["run_id"] for r in spark.read.parquet(f"{out}/_manifest").collect()}
     assert runs == {"first"}  # nothing re-done
+
+
+def test_torn_write_does_not_double_postings(spark, small_docs, tmp_path):
+    """Crash AFTER the postings append but BEFORE the manifest marks shards
+    done: the re-run must rebuild those shards from scratch, not re-append
+    (which silently doubled postings and BM25 tfs)."""
+    import shutil
+
+    out = str(tmp_path / "torn")
+    build_index(spark, small_docs, out, id_col="doc_id", html_col="html",
+                text_col=None, tokenizer="unicode", n_shards=4, n_salts=2,
+                run_id="r1")
+    fp = postings_fingerprint(spark, out)
+    # simulate the torn state: postings/doc_stats on disk, manifest gone
+    shutil.rmtree(f"{out}/_manifest")
+    build_index(spark, small_docs, out, id_col="doc_id", html_col="html",
+                text_col=None, tokenizer="unicode", n_shards=4, n_salts=2,
+                run_id="r2")
+    assert postings_fingerprint(spark, out) == fp
+    ds = spark.read.parquet(f"{out}/doc_stats")
+    assert ds.count() == ds.select("doc_id").distinct().count()
+
+
+def test_partial_tokenized_staging_is_rebuilt(spark, small_docs, tmp_path):
+    """_tokenized reuse is gated on the _SUCCESS marker: a directory from a
+    crashed write (no marker) must be rebuilt, not trusted."""
+    import os
+
+    out = str(tmp_path / "stage")
+    os.makedirs(f"{out}/_tokenized", exist_ok=True)  # torn: dir, no _SUCCESS
+    build_index(spark, small_docs, out, id_col="doc_id", html_col="html",
+                text_col=None, tokenizer="unicode", n_shards=2, n_salts=2)
+    assert os.path.exists(f"{out}/_tokenized/_SUCCESS")
+    idx = InvertedIndex(spark, out)
+    assert idx.meta["n_docs"] == 200
