@@ -260,6 +260,29 @@ def q_query_ast_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_query(docs, body)
 
 
+def q_query_ast_terms_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 extension — terms membership + prefix/wildcard string patterns
+    compiled to pushed-down filters."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    body = {
+        "query": {
+            "bool": {
+                "filter": [
+                    {"terms": {"lang": ["en", "de", "fr"]}},
+                    {"range": {"n_chars": {"gte": 100}}},
+                ],
+                "must_not": [{"prefix": {"lang": "f"}}],
+            }
+        },
+        "sort": [{"doc_id": {"order": "asc"}}],
+        "size": 40,
+        "_source": ["lang", "n_chars"],
+    }
+    return compile_query(docs, body)
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (k-means coarse quantizer + probed exact re-rank) —
     rows-only check: the quantizer isn't SQL-expressible; recall vs brute
@@ -383,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_signatures": q_simhash_signatures,
         "query_ast_bool": q_query_ast_bool,
+        "query_ast_terms_prefix": q_query_ast_terms_prefix,
         "tpch_q1_agg": q_tpch_q1_agg,
         "join_topk_customers": q_join_topk_customers,
         "window_latest_event": q_window_latest_event,
@@ -537,6 +561,11 @@ FROM documents d LEFT JOIN sig USING (doc_id) ORDER BY doc_id
 SELECT doc_id, lang, n_chars FROM documents
 WHERE n_chars >= 200 AND n_chars < 400 AND lang <> 'zh'
 ORDER BY n_chars DESC, doc_id ASC LIMIT 15
+""",
+        "query_ast_terms_prefix": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang IN ('en', 'de', 'fr') AND n_chars >= 100 AND lang NOT LIKE 'f%'
+ORDER BY doc_id ASC LIMIT 40
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

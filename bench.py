@@ -82,6 +82,14 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
     res["query_p50_sec"] = round(statistics.median(lat_s), 4)
     res["query_p99_sec"] = round(lat_s[min(len(lat_s) - 1, int(0.99 * len(lat_s)))], 4)
     res["query_mean_sec"] = round(sum(lat_s) / len(lat_s), 4)
+    # serving default: mode='auto' (WAND only where shard posting mass pays
+    # for the DAAT loop, vectorized exhaustive elsewhere — rank-identical)
+    lat_auto = []
+    for q in BENCH_QUERIES:
+        t0 = time.time()
+        idx.search(q, k=10, mode="auto").collect()
+        lat_auto.append(time.time() - t0)
+    res["query_auto_p50_sec"] = round(statistics.median(sorted(lat_auto)), 4)
 
     # --- sf-dir analytical queries (documents/events/lineitem)
     import __spark_entry__ as entry_mod
@@ -121,6 +129,7 @@ def main() -> None:
             "index_build": res["index_build_sec"],
             "wand_p50": res["query_p50_sec"],
             "wand_p99": res["query_p99_sec"],
+            "auto_p50": res["query_auto_p50_sec"],
         },
         "sf": sf,
         "docs_per_sec": res["index_build_docs_per_sec"],

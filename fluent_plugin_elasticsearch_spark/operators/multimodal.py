@@ -44,6 +44,35 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     return rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
 
 
+_IMAGE_DECODER = None  # module-level so the closure pickles to workers
+
+
+def set_image_decoder(fn) -> None:
+    """THE swap point: install a real decoder (must be picklable, i.e. a
+    top-level function) taking bytes → HxWx3 uint8 ndarray. Downstream UDF
+    plumbing — Arrow batching, schemas, feature shapes — is unchanged."""
+    global _IMAGE_DECODER
+    _IMAGE_DECODER = fn
+
+
+def get_image_decoder():
+    """Resolution order: explicitly installed decoder → PIL if importable
+    (real decode) → the deterministic stub (this container has no codecs)."""
+    if _IMAGE_DECODER is not None:
+        return _IMAGE_DECODER
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        def pil_decode(payload: bytes) -> np.ndarray:
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+
+        return pil_decode
+    except ImportError:
+        return _decode_image_stub
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -59,11 +88,13 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     """Decode + featurize media payloads via mapInPandas (one Python call
     per Arrow batch; payload bytes stay zero-copy through Arrow)."""
 
+    decoder = get_image_decoder()  # resolved at plan time, shipped to workers
+
     def run(batches):
         for pdf in batches:
             feats, means = [], []
             for payload in pdf["payload"]:
-                img = _decode_image_stub(bytes(payload))
+                img = decoder(bytes(payload))
                 means.append(float(img.mean()))
                 # channel-mean histogram as the stand-in embedding
                 feats.append(img.reshape(-1, 3).mean(axis=0).astype(np.float32).tolist())

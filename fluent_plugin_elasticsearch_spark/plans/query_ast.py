@@ -7,6 +7,8 @@ cluster. We support the subset the plugin actually exercises plus `match`:
     {"query": {"ids": {"values": [...]}}}                (Q1)
     {"query": {"match": {"<field>": "text"}}}            (Q5 → BM25 top-k)
     {"query": {"term": {"<field>": v}} / {"range": ...}} (filter pushdown)
+    {"query": {"terms": {"<field>": [v...]}}}            (membership)
+    {"query": {"prefix"/"wildcard": {"<field>": v}}}     (string patterns)
     {"query": {"bool": {"must"/"filter"/"must_not"/"should": [...]}}}
     {"sort": ["_doc"] | [{"field": {"order": "desc"}}]}  (Q2/S4)
     {"size": n, "_source": false | [cols]}               (Q3)
@@ -48,6 +50,25 @@ def _compile_clause(q: dict[str, Any]) -> Column:
         return c
     if kind == "exists":
         return F.col(body["field"]).isNotNull()
+    if kind == "terms":  # multi-value membership: {"terms": {"field": [v...]}}
+        ((field, values),) = body.items()
+        return F.col(field).isin(list(values))
+    if kind == "prefix":  # {"prefix": {"field": "val"}} or {"field": {"value": v}}
+        ((field, value),) = body.items()
+        if isinstance(value, dict):
+            value = value["value"]
+        return F.col(field).startswith(str(value))
+    if kind == "wildcard":  # ES wildcard: * = any run, ? = any single char
+        ((field, value),) = body.items()
+        if isinstance(value, dict):
+            value = value["value"]
+        import re as _re
+
+        pat = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in str(value)
+        ) + "$"
+        return F.col(field).rlike(pat)
     if kind == "bool":
         c = F.lit(True)
         for must in body.get("must", []) + body.get("filter", []):

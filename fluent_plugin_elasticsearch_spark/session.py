@@ -50,6 +50,16 @@ def get_spark(
         # delta-gap+varint codec; zstd squeezes the parquet envelope)
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # Shuffle/spill scratch on tmpfs when present: on this box every level
+    # of the scaling proxy shares ONE vda disk, so shuffle-file I/O is a
+    # constant that caps the N→4N ratio; RAM-disk scratch (SPARK_LOCAL_DIRS
+    # equivalent) is standard tuning for memory-rich nodes. Overridable via
+    # SPARK_GRAFT_LOCAL_DIR; falls back to the default /tmp when no tmpfs.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -77,6 +77,18 @@ def test_query_ast(docs):
         compile_query(docs, {"query": {"fuzzy": {"x": 1}}})
 
 
+def test_query_ast_terms_prefix_wildcard(docs):
+    n_de = compile_query(docs, {"query": {"term": {"lang": "de"}}}).count()
+    n_en = compile_query(docs, {"query": {"term": {"lang": "en"}}}).count()
+    assert compile_query(docs, {"query": {"terms": {"lang": ["de", "en"]}}}).count() == n_de + n_en
+    # prefix/wildcard over the lang column ('d*' matches de; 'e?' matches en/es)
+    assert compile_query(docs, {"query": {"prefix": {"lang": "d"}}}).count() == n_de
+    wc = compile_query(docs, {"query": {"wildcard": {"lang": "e?"}}})
+    assert set(r["lang"] for r in wc.select("lang").distinct().collect()) <= {"en", "es"}
+    # regex metacharacters in the literal part must be escaped
+    assert compile_query(docs, {"query": {"wildcard": {"lang": "d.e"}}}).count() == 0
+
+
 def test_query_ast_match_routes_to_index(spark, index_dir):
     from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
 
@@ -178,3 +190,32 @@ def test_multimodal_plumbing(spark):
     assert all(again[r["media_id"]] == r["mean_intensity"] for r in feats)
     frames = sample_frames(media, every_ms=1000)
     assert frames.filter(F.col("frame_ts_ms") % 1000 != 0).count() == 0
+
+
+def test_multimodal_decoder_swap_point(spark):
+    """Contract for the stub/real swap (operators/multimodal.py): installing
+    a decoder via set_image_decoder changes ONLY the decode — schemas,
+    batching, and feature shapes are identical either way."""
+    from fluent_plugin_elasticsearch_spark.operators import multimodal as mm
+
+    def _upper_left_decoder(payload: bytes):
+        # nested so cloudpickle ships it by VALUE (test modules are not
+        # importable on executors); constant white image — distinguishable
+        # from the md5-seeded stub output
+        import numpy as np
+
+        return np.full((8, 8, 3), 255, dtype=np.uint8)
+
+    media = mm.synthetic_media_df(spark, 6)
+    stub_feats = {r["media_id"]: r["mean_intensity"]
+                  for r in mm.extract_media_features(media).collect()}
+    assert mm.get_image_decoder() is mm._decode_image_stub  # no codecs in image
+    try:
+        mm.set_image_decoder(_upper_left_decoder)
+        real = mm.extract_media_features(media)
+        rows = real.collect()
+        assert real.schema == mm.FEATURE_SCHEMA
+        assert all(r["mean_intensity"] == 255.0 for r in rows)
+        assert all(stub_feats[r["media_id"]] != 255.0 for r in rows)
+    finally:
+        mm.set_image_decoder(None)
