@@ -241,6 +241,50 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_read(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labeling: MinHash-LSH candidate pairs → connected
+    components (min-label propagation); cluster_id = min reachable doc id."""
+    from fluent_plugin_elasticsearch_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), n=2, num_hashes=16, bands=8, max_bucket=1000
+    )
+    return connected_components(pairs).orderBy("doc_id")
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk, context 512): distributed
+    prefix-sum layout — every doc's byte-deterministic offset/pack
+    assignment at any parallelism."""
+    from fluent_plugin_elasticsearch_spark.operators.packing import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(_tr_simple_tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_documents(base, context_len=512).orderBy("doc_id")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed stratified sampling by lang (binary-exact
+    fractions so both engines compute identical thresholds)."""
+    from fluent_plugin_elasticsearch_spark.operators.packing import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.125}, id_col="doc_id"
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _tr_simple_tokens(c):
+    toks = F.split(F.lower(c), "[^a-z0-9]+")
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
 def q_query_ast_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 — ES query-body AST compiled to scan+filter+sort+limit."""
     from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
@@ -405,6 +449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_overlap_top20": q_ngram_overlap_top20,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_signatures": q_simhash_signatures,
+        "dedup_clusters": q_dedup_clusters,
+        "pack_documents": q_pack_documents,
+        "stratified_sample": q_stratified_sample,
         "query_ast_bool": q_query_ast_bool,
         "query_ast_terms_prefix": q_query_ast_terms_prefix,
         "tpch_q1_agg": q_tpch_q1_agg,
@@ -535,6 +582,33 @@ FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY inter DESC, id_a ASC, id_b ASC LIMIT 20
 """,
         "minhash_lsh_pairs": _minhash_sql(num_hashes=16, bands=8),
+        "dedup_clusters": _dedup_clusters_sql(num_hashes=16, bands=8),
+        # sequence packing: global cumsum over doc_id order (sum() is
+        # HUGEINT in DuckDB — cast); // is integer division on BIGINT
+        "pack_documents": f"""
+WITH toks AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+off AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM toks
+)
+SELECT doc_id, n_tokens, "offset",
+       CAST("offset" // 512 AS BIGINT) AS pack_id,
+       CAST("offset" % 512 AS BIGINT) AS pos_in_pack,
+       CAST(CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 512
+                 ELSE "offset" // 512 END AS BIGINT) AS end_pack_id
+FROM off ORDER BY doc_id
+""",
+        # md5-keyed stratified sample: first 15 md5 hex chars as a 60-bit
+        # uniform; thresholds are binary-exact fractions of 2^60
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+      < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.125
+             ELSE 0.0 END * 1152921504606846976.0 AS UBIGINT)
+ORDER BY doc_id
+""",
         # SimHash: per-token md5 → first 8 bytes as uint64; bit k votes
         # +tf/−tf; signature bit k set iff vote > 0; exported as the int64
         # two's-complement view (matching Spark's LongType)
@@ -619,7 +693,9 @@ GROUP BY ROLLUP (event_type, day)
     }
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 8) -> str:
+def _minhash_ctes(num_hashes: int = 16, bands: int = 8) -> str:
+    """CTE chain toks→grams→sig→bands→pairs, shared by the pair oracle and
+    the connected-components clusters oracle."""
     rows = num_hashes // bands
     mins = ",\n         ".join(
         f"min(md5('{k}_' || shingle)) AS h{k}" for k in range(num_hashes)
@@ -631,8 +707,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8) -> str:
         )
         for bi in range(bands)
     )
-    return f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
 grams AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     generate_series(1, greatest(len(tokens) - 1, 0)),
@@ -646,10 +721,39 @@ sig AS (
 ),
 bands AS (
 {band_rows}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_shared
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    return f"""
+WITH {_minhash_ctes(num_hashes, bands)}
+SELECT id_a, id_b, n_bands_shared FROM pairs
+"""
+
+
+def _dedup_clusters_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    """Transitive closure over the MinHash pair graph: cluster_id = min
+    reachable doc id (recursive CTE — exact, the candidate graph at sf0.01
+    is tiny)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(num_hashes, bands)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src AS id, re.r FROM edges e JOIN reach re ON re.id = e.dst
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_shared
-FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
 """
 
 

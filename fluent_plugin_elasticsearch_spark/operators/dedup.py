@@ -159,6 +159,63 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16, bands: 
     )
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Duplicate-cluster labeling: given near-dup pairs, assign every doc
+    `cluster_id` = the minimum doc id reachable through the pair graph
+    (the canonical representative; dedup keeps one doc per cluster).
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    every vertex takes (a) the min of its own and its neighbors' labels,
+    then (b) its label's label (path doubling), so convergence is
+    O(log diameter) rounds, not O(diameter). Each round is two shuffles on
+    vertex id (bucket/co-partition on a real cluster). Two iterative-Spark
+    essentials: `localCheckpoint(eager=True)` per round TRUNCATES the
+    logical plan (persist alone leaves a growing lineage whose analysis
+    cost explodes exponentially with rounds), and the driver only reads an
+    O(1) convergence count per round — the GraphX/Pregel pattern."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # (a) neighbor min (labels monotonically decrease; l(v) <= v)
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("cluster_id", F.coalesce("nmin", "cluster_id")).alias("cluster_id"))
+        )
+        # (b) pointer jump: follow cluster_id -> its own label (l(l(v)))
+        parent = labels.select(F.col("id").alias("__pid"), F.col("cluster_id").alias("__pcl"))
+        jumped = (
+            stepped.join(parent, stepped["cluster_id"] == parent["__pid"], "left")
+            .select("id", F.least("cluster_id", F.coalesce("__pcl", "cluster_id")).alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.withColumnRenamed("cluster_id", "new")
+            .join(labels, "id")
+            .filter(F.col("new") != F.col("cluster_id"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # --- SimHash ----------------------------------------------------------------
 
 _SIMHASH_SCHEMA = T.StructType(

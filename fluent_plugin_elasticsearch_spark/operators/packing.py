@@ -1,0 +1,98 @@
+"""Training-data assembly operators: sequence packing, deterministic
+stratified sampling.
+
+Sequence packing is the GPT-pretraining "concatenate then chunk" step: lay
+every document's tokens end-to-end in a canonical order and cut the stream
+into fixed-size context windows. The scalable core is a DISTRIBUTED PREFIX
+SUM: a global window cumsum would funnel the corpus through one partition,
+so we do the classic two-pass — per-partition subtotals (tiny driver
+collect, one row per partition), exclusive partition bases broadcast back,
+then a partition-local window adds the base. Ordering is pinned to
+(doc_id) via repartitionByRange + sortWithinPartitions, so the layout is
+deterministic on any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _with_global_offset(df: DataFrame, order_col: str, weight_col: str,
+                        num_partitions: int | None = None) -> DataFrame:
+    """(…, offset) — exclusive prefix sum of `weight_col` in `order_col`
+    order, computed scalably (range partition → local cumsum + broadcast
+    partition bases; no single-partition window)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, order_col).sortWithinPartitions(order_col)
+    part = part.withColumn("__pid", F.spark_partition_id())
+    # pass 1: per-partition totals — one tiny row per partition
+    totals = {
+        r["__pid"]: r["t"]
+        for r in part.groupBy("__pid").agg(F.sum(weight_col).alias("t")).collect()
+    }
+    bases, acc = {}, 0
+    for pid in sorted(totals):
+        bases[pid] = acc
+        acc += int(totals[pid])
+    base_df = spark.createDataFrame(
+        [(pid, b) for pid, b in bases.items()], "__pid int, __base long"
+    )
+    # pass 2: partition-local running sum + broadcast base
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        part.join(F.broadcast(base_df), "__pid")
+        .withColumn(
+            "offset",
+            (F.col("__base") + F.sum(weight_col).over(w) - F.col(weight_col)).cast("long"),
+        )
+        .drop("__pid", "__base")
+    )
+
+
+def pack_documents(docs_tokens: DataFrame, context_len: int,
+                   id_col: str = "doc_id", tokens_col: str = "n_tokens") -> DataFrame:
+    """Concat-then-chunk packing: documents laid out in ascending `id_col`
+    order, context windows of `context_len` tokens cut across the stream.
+    Returns one row per document:
+
+        (doc_id, n_tokens, offset, pack_id, pos_in_pack, end_pack_id)
+
+    where `pack_id = offset // context_len` is the window the doc STARTS
+    in, `pos_in_pack` its position inside that window, and `end_pack_id`
+    the window holding its last token (docs may straddle windows — exactly
+    the pretraining semantics). Deterministic for a given corpus at any
+    parallelism."""
+    base = docs_tokens.select(F.col(id_col).alias("doc_id"),
+                              F.col(tokens_col).cast("long").alias("n_tokens"))
+    off = _with_global_offset(base, "doc_id", "n_tokens")
+    return off.select(
+        "doc_id",
+        "n_tokens",
+        "offset",
+        (F.col("offset") / context_len).cast("long").alias("pack_id"),
+        (F.col("offset") % context_len).cast("long").alias("pos_in_pack"),
+        (
+            F.when(F.col("n_tokens") > 0,
+                   (F.col("offset") + F.col("n_tokens") - 1) / context_len)
+            .otherwise(F.col("offset") / context_len)
+        ).cast("long").alias("end_pack_id"),
+    )
+
+
+def stratified_sample(df: DataFrame, strata_col: str, fractions: dict,
+                      id_col: str = "doc_id", salt: str = "sample") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the first 15 hex
+    chars of md5(salt|id) — a uniform 60-bit integer — fall below
+    fraction * 2^60. md5-derived (not Bernoulli RNG) so the SAME rows are
+    picked on any cluster, any partitioning, any engine — the DuckDB
+    oracle reproduces the selection exactly. Strata absent from
+    `fractions` default to 0.0 (dropped)."""
+    u = F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("decimal(20,0)")
+    frac = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == k
+        frac = F.when(cond, F.lit(float(v))) if frac is None else frac.when(cond, F.lit(float(v)))
+    frac = frac.otherwise(F.lit(0.0)) if frac is not None else F.lit(0.0)
+    return df.filter(u < (frac * F.lit(float(1 << 60))).cast("decimal(20,0)"))

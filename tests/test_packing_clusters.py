@@ -1,0 +1,102 @@
+"""Training-data assembly operators: sequence packing (distributed prefix
+sum), connected-components dedup clustering, deterministic stratified
+sampling."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fluent_plugin_elasticsearch_spark.operators.dedup import connected_components
+from fluent_plugin_elasticsearch_spark.operators.packing import (
+    pack_documents,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def sized_docs(spark):
+    rows = [Row(doc_id=i, n_tokens=(i * 37) % 200 + (0 if i % 17 else -(i * 37) % 200))
+            for i in range(400)]  # every 17th doc has 0 tokens
+    return spark.createDataFrame(rows)
+
+
+def test_pack_documents_matches_bruteforce(spark, sized_docs):
+    got = {r["doc_id"]: r for r in pack_documents(sized_docs, 512).collect()}
+    offset = 0
+    for row in sorted(sized_docs.collect(), key=lambda r: r["doc_id"]):
+        g = got[row["doc_id"]]
+        assert g["offset"] == offset
+        assert g["pack_id"] == offset // 512
+        assert g["pos_in_pack"] == offset % 512
+        last = offset + row["n_tokens"] - 1 if row["n_tokens"] > 0 else offset
+        assert g["end_pack_id"] == last // 512
+        offset += row["n_tokens"]
+
+
+def test_pack_documents_parallelism_invariant(spark, sized_docs):
+    """The distributed prefix sum must yield IDENTICAL layout at any
+    partitioning — the determinism contract of concat-then-chunk."""
+    a = sorted(map(tuple, pack_documents(sized_docs.repartition(1), 512).collect()))
+    b = sorted(map(tuple, pack_documents(sized_docs.repartition(13), 512).collect()))
+    assert a == b
+
+
+def test_pack_documents_no_global_single_partition(spark, sized_docs):
+    plan = pack_documents(sized_docs, 512)._jdf.queryExecution().executedPlan().toString()
+    # the window must be partitioned (by __pid), never a global sort window
+    assert "Window" not in plan.split("partitionBy")[0] or "__pid" in plan
+
+
+def test_connected_components_matches_bruteforce(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (3, 4),
+             (100, 1)]  # chain 1-2-3-4 + 100, pair 10-11, triangle 20-21-22
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pdf).collect()}
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for v in sorted(adj):
+        if v in expected:
+            continue
+        stack, members = [v], []
+        while stack:
+            x = stack.pop()
+            if x in expected:
+                continue
+            expected[x] = -1
+            members.append(x)
+            stack.extend(adj[x])
+        m = min(members)
+        for x in members:
+            expected[x] = m
+    assert got == expected
+    assert got[100] == 1 and got[4] == 1 and got[22] == 20
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path graph: pointer jumping must converge in O(log n)
+    rounds well inside max_iter (plain min-propagation needs 63)."""
+    pdf = spark.createDataFrame([(i, i + 1) for i in range(63)], "id_a long, id_b long")
+    got = connected_components(pdf, max_iter=12).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert len(got) == 64
+
+
+def test_stratified_sample_deterministic_and_sized(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang=["en", "de", "zh"][i % 3]) for i in range(3000)]
+    )
+    out = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.25})
+    rows = out.collect()
+    again = set(r["doc_id"] for r in out.collect())
+    assert set(r["doc_id"] for r in rows) == again  # deterministic
+    by_lang = collections.Counter(r["lang"] for r in rows)
+    assert by_lang["zh"] == 0  # absent stratum → dropped
+    assert abs(by_lang["en"] / 1000 - 0.5) < 0.08
+    assert abs(by_lang["de"] / 1000 - 0.25) < 0.08
