@@ -33,6 +33,7 @@ from fluent_plugin_elasticsearch_spark.sinks import write_ops as _wo  # noqa: E4
 # flagship BM25 query over the documents table
 FLAGSHIP_TERMS = ["data", "query", "join"]
 BM25_TERMS_2 = ["spark", "the", "slow"]
+PHRASE = ["the", "data"]
 IDS_SET = [3, 17, 42, 99, 250, 499]
 
 
@@ -48,6 +49,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25_topk_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25.bm25_topk_df(_read(spark, sf_dir, "documents"), BM25_TERMS_2, k=10)
+
+
+def q_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 extension — ES match_phrase with Lucene PhraseQuery scoring
+    (tf = exact adjacent phrase frequency, idf = Σ constituent idfs)."""
+    return _bm25.match_phrase_df(_read(spark, sf_dir, "documents"), PHRASE, k=10)
 
 
 def q_ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_topk_mixed": q_bm25_topk_mixed,
+        "match_phrase": q_match_phrase,
         "ids_query": q_ids_query,
         "scan_page": q_scan_page,
         "sorted_scan_desc": q_sorted_scan_desc,
@@ -466,12 +474,16 @@ _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <>
 
 
 def oracle_sql() -> dict[str, str]:
-    from fluent_plugin_elasticsearch_spark.operators.bm25 import bm25_topk_sql
+    from fluent_plugin_elasticsearch_spark.operators.bm25 import (
+        bm25_topk_sql,
+        match_phrase_sql,
+    )
 
     ids_list = ", ".join(str(i) for i in IDS_SET)
     return {
         "bm25_topk": bm25_topk_sql("documents", FLAGSHIP_TERMS, k=10),
         "bm25_topk_mixed": bm25_topk_sql("documents", BM25_TERMS_2, k=10),
+        "match_phrase": match_phrase_sql("documents", PHRASE, k=10),
         "ids_query": f"SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN ({ids_list})",
         "scan_page": "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id > 100 ORDER BY doc_id LIMIT 50",
         "sorted_scan_desc": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20",

@@ -74,6 +74,113 @@ def bm25_topk_df(docs: DataFrame, query_terms: list[str], k: int = 10,
     )
 
 
+def match_phrase_df(docs: DataFrame, phrase_terms: list[str], k: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES `match_phrase` with Lucene PhraseQuery scoring: the phrase acts
+    as one synthetic term whose tf is the PHRASE FREQUENCY (count of exact
+    adjacent occurrences) and whose idf is the SUM of the constituent
+    terms' idfs. Adjacency is checked JVM-side with element_at over the
+    token array (whole-stage codegen, no Python). Returns (doc_id,
+    score_u), tie-break (score desc, doc_id asc). Mirrored exactly by
+    match_phrase_sql."""
+    n_terms = len(phrase_terms)
+    if n_terms == 0:
+        raise ValueError("empty phrase")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    base = toks.select("doc_id", F.size("tokens").alias("dl"), "tokens")
+
+    def occurs_at(i):
+        cond = F.lit(True)
+        for j, t in enumerate(phrase_terms):
+            cond = cond & (F.element_at(F.col("tokens"), i + j) == F.lit(t))
+        return cond
+
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so gate the
+    # aggregate on there being at least one candidate start position
+    upper = F.size("tokens") - n_terms + 1
+    pf = F.when(
+        upper >= 1,
+        F.aggregate(
+            F.sequence(F.lit(1), upper),
+            F.lit(0),
+            lambda acc, i: acc + F.when(occurs_at(i), F.lit(1)).otherwise(F.lit(0)),
+        ),
+    ).otherwise(F.lit(0))
+    matched = base.withColumn("pf", pf).filter(F.col("pf") > 0)
+    # per-term global df (docs containing the term anywhere)
+    dfs = [
+        toks.select(
+            F.sum(F.when(F.array_contains("tokens", t), 1).otherwise(0)).alias(f"df{i}")
+        )
+        for i, t in enumerate(phrase_terms)
+    ]
+    df_all = dfs[0]
+    for d in dfs[1:]:
+        df_all = df_all.crossJoin(d)
+    scored = matched.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(df_all))
+    # idf sum in FIXED phrase order — identical expression order in the SQL
+    idf_sum = None
+    for i in range(n_terms):
+        idf_i = F.log(1.0 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5))
+        idf_sum = idf_i if idf_sum is None else idf_sum + idf_i
+    score = (
+        idf_sum * (k1 + 1.0) * F.col("pf")
+        / (F.col("pf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.select("doc_id", F.floor(score * 1e6).cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def match_phrase_sql(table: str, phrase_terms: list[str], k: int = 10,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of match_phrase_df — same tokenizer, same phrase-freq
+    definition, same idf-sum order, same quantization."""
+    n_terms = len(phrase_terms)
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    adj = " AND ".join(
+        f"tokens[i + {j}] = {lit(t)}" for j, t in enumerate(phrase_terms)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN list_contains(tokens, {lit(t)}) THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(phrase_terms)
+    )
+    idf_sum = " + ".join(
+        f"ln(1.0 + (s.n - d.df{i} + 0.5) / (d.df{i} + 0.5))" for i in range(n_terms)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+'),
+                     t -> t <> '') AS tokens
+  FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+dfs AS (SELECT {df_cols} FROM toks),
+matched AS (
+  SELECT doc_id, len(tokens) AS dl,
+         list_sum(list_transform(
+           generate_series(1, greatest(len(tokens) - {n_terms - 1}, 0)),
+           i -> CASE WHEN {adj} THEN 1 ELSE 0 END)) AS pf
+  FROM toks
+)
+SELECT m.doc_id,
+       CAST(floor(({idf_sum}) * {k1 + 1.0} * m.pf
+            / (m.pf + {k1} * (1.0 - {b} + {b} * m.dl / s.avgdl)) * 1e6) AS BIGINT) AS score_u
+FROM matched m CROSS JOIN stats s CROSS JOIN dfs d
+WHERE m.pf > 0
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_topk_sql(table: str, query_terms: list[str], k: int = 10,
                   id_col: str = "doc_id", text_col: str = "text",
                   k1: float = BM25_K1, b: float = BM25_B) -> str:

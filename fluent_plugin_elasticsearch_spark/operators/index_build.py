@@ -313,10 +313,13 @@ def build_index(
     run_id: str | None = None,
     input_partitions: int | None = None,
     on_batch_done=None,
+    with_positions: bool = False,
 ) -> dict:
     """Build the full index at ``out_dir``. ``shard_batches>1`` splits the
     build into resumable per-shard-group jobs (manifest-checkpointed); a
-    re-run with the same out_dir skips completed shards."""
+    re-run with the same out_dir skips completed shards.
+    ``with_positions=True`` stores per-posting token positions (pos_enc)
+    enabling exact phrase queries (operators/positions.py)."""
     run_id = run_id or f"run-{int(time.time())}"
     os.makedirs(out_dir, exist_ok=True)
 
@@ -334,10 +337,20 @@ def build_index(
         docs = docs.withColumn("__text", extract_text_udf(F.col(html_col)))
         text_col = "__text"
     base_cols = [F.col(id_col).alias("doc_id")] + ([F.col(url_col).alias("url")] if url_col else [])
-    toks = docs.select(*base_cols, TF_TOKENIZERS[tokenizer](F.col(text_col)).alias("tk"))
+    if with_positions:
+        from .positions import make_pos_tokenizer_udf
+
+        tok_udf = make_pos_tokenizer_udf(tokenizer)
+        payload_cols = [F.col("tk.poss").alias("poss")]
+        payload_names = ["poss"]
+    else:
+        tok_udf = TF_TOKENIZERS[tokenizer]
+        payload_cols = [F.col("tk.tfs").alias("tfs")]
+        payload_names = ["tfs"]
+    toks = docs.select(*base_cols, tok_udf(F.col(text_col)).alias("tk"))
     toks = (
         toks.select("doc_id", *(["url"] if url_col else []),
-                    F.col("tk.tfs").alias("tfs"), F.col("tk.doc_len").alias("doc_len"))
+                    *payload_cols, F.col("tk.doc_len").alias("doc_len"))
         .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
         .withColumn("salt", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(n_salts)).cast("int"))
     )
@@ -390,7 +403,19 @@ def build_index(
         except Exception:  # crashed mid-manifest-write: treat as no checkpoint
             done = set()
 
-    merge_fn = _make_merge_fn(avgdl, k1, b, block_size)
+    if with_positions:
+        from .positions import (
+            BLOCK_POS_SCHEMA,
+            PARTIAL_POS_SCHEMA,
+            encode_partials_pos,
+            make_merge_fn_pos,
+        )
+
+        phase1_fn, phase1_schema = encode_partials_pos, PARTIAL_POS_SCHEMA
+        merge_fn, block_schema = make_merge_fn_pos(avgdl, k1, b, block_size), BLOCK_POS_SCHEMA
+    else:
+        phase1_fn, phase1_schema = _encode_partials, PARTIAL_SCHEMA
+        merge_fn, block_schema = _make_merge_fn(avgdl, k1, b, block_size), BLOCK_SCHEMA
     all_shards = [s for s in range(n_shards) if s not in done]
     # Crash safety: postings/doc_stats are APPENDED before the manifest row
     # marks a shard 'done', so a crash between the writes would make a
@@ -417,15 +442,17 @@ def build_index(
         # (doc, term, tf) rows — ~20x less shuffle; the explosion happens
         # numpy-side inside each (shard, salt) group
         partials = (
-            part.select("shard", "salt", "doc_id", "doc_len", "tfs")
+            part.select("shard", "salt", "doc_id", "doc_len", *payload_names)
             .groupBy("shard", "salt")
-            .applyInPandas(_encode_partials, PARTIAL_SCHEMA)
+            .applyInPandas(phase1_fn, phase1_schema)
         )
-        blocks = partials.groupBy("shard", "term_bucket").applyInPandas(merge_fn, BLOCK_SCHEMA)
+        blocks = partials.groupBy("shard", "term_bucket").applyInPandas(merge_fn, block_schema)
         # per-shard metrics observed DURING the write (3 conditional aggs
         # per shard) — no second pass over the written postings
         obs = Observation(f"shard_metrics_{gi}")
         enc_len = F.length("docs_enc") + F.length("tfs_enc") + F.length("dls_enc")
+        if with_positions:
+            enc_len = enc_len + F.length("pos_enc")
         metric_exprs = []
         for s in group:
             is_s = F.col("shard") == s
@@ -507,6 +534,7 @@ def build_index(
         "b": b,
         "tokenizer": tokenizer,
         "run_id": run_id,
+        "with_positions": with_positions,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)

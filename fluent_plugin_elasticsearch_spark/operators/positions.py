@@ -1,0 +1,257 @@
+"""Positional postings: the `with_positions=True` build path and the
+phrase scorer over it — ES/Lucene PhraseQuery, natively (SURVEY.md Q5
+extension; the reference delegates phrase matching to Elasticsearch).
+
+Layout: each posting block gains one `pos_enc` binary — the block's token
+positions, delta-encoded WITHIN each (term, doc) posting (first position
+absolute), concatenated in posting order. The per-posting tf doubles as
+the position count, so no extra length stream is needed. Everything is
+segment-vectorized numpy (the repeat-gather trick reorders variable-length
+position segments without a per-posting Python loop).
+
+Phrase scoring (Lucene PhraseQuery): a doc matches when positions align
+adjacently across all phrase terms; tf = number of alignments (phrase
+frequency); idf = sum of constituent-term idfs; BM25 as usual. The
+per-shard verifier works on integer keys ``doc_code * 2^32 + (pos - j)``
+so the n-way adjacency intersection is n-1 sorted np.isin passes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+
+from .codec import (
+    delta_gaps_segments,
+    segmented_cumsum,
+    varint_decode,
+    varint_encode_segments,
+)
+
+PARTIAL_POS_SCHEMA = (
+    "shard int, term string, term_bucket int, salt int, n_docs int, "
+    "docs_enc binary, tfs_enc binary, dls_enc binary, pos_enc binary"
+)
+BLOCK_POS_SCHEMA = (
+    "shard int, term string, block_id int, n_docs int, first_doc long, "
+    "last_doc long, docs_enc binary, tfs_enc binary, dls_enc binary, "
+    "max_tfn double, pos_enc binary"
+)
+
+_POS_SCHEMA = T.StructType(
+    [
+        T.StructField("poss", T.MapType(T.StringType(), T.ArrayType(T.IntegerType()))),
+        T.StructField("doc_len", T.IntegerType()),
+    ]
+)
+
+
+def _pos_struct(series: pd.Series, tokenize) -> pd.DataFrame:
+    poss, lens = [], []
+    for text in series:
+        toks = tokenize(text)
+        d: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            d.setdefault(t, []).append(i)
+        poss.append(d)
+        lens.append(len(toks))
+    return pd.DataFrame({"poss": poss, "doc_len": lens})
+
+
+def make_pos_tokenizer_udf(tokenizer: str):
+    from pyspark.sql import functions as F
+
+    from ..textproc import tokenize_simple, tokenize_unicode
+
+    fn = tokenize_unicode if tokenizer == "unicode" else tokenize_simple
+
+    @F.pandas_udf(_POS_SCHEMA)
+    def tok(text: pd.Series) -> pd.DataFrame:
+        return _pos_struct(text, fn)
+
+    return tok
+
+
+def _gather_segments(values: np.ndarray, seg_starts_src: np.ndarray,
+                     seg_lens: np.ndarray) -> np.ndarray:
+    """Reorder variable-length segments: emit values of segment k (source
+    start seg_starts_src[k], length seg_lens[k]) consecutively, for k in
+    the given order — fully vectorized (repeat + intra-offset gather)."""
+    total = int(seg_lens.sum())
+    if total == 0:
+        return values[:0]
+    out_starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(out_starts, seg_lens)
+    src_idx = np.repeat(seg_starts_src.astype(np.int64), seg_lens) + intra
+    return values[src_idx]
+
+
+def encode_partials_pos(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Phase-1 over one (shard, salt) group of doc rows (doc_id, doc_len,
+    poss: map<term, array<pos>>) → one compressed sorted partial per term,
+    positions included."""
+    from .index_build import _hash_bucket
+
+    cells = [m.items() if isinstance(m, dict) else m for m in pdf["poss"]]
+    counts = np.fromiter((len(m) for m in cells), dtype=np.int64, count=len(pdf))
+    total = int(counts.sum())
+    ids = np.repeat(pdf["doc_id"].to_numpy().astype(np.uint64), counts)
+    dls = np.repeat(pdf["doc_len"].to_numpy().astype(np.uint64), counts)
+    flat = [kv for m in cells for kv in m]
+    terms = np.empty(total, dtype=object)
+    terms[:] = [kv[0] for kv in flat]
+    pos_lists = [np.asarray(kv[1], dtype=np.uint64) for kv in flat]
+    tf = np.fromiter((p.size for p in pos_lists), dtype=np.int64, count=total)
+    positions = np.concatenate(pos_lists) if pos_lists else np.empty(0, np.uint64)
+    entry_pos_starts = np.concatenate([[0], np.cumsum(tf)[:-1]]).astype(np.int64)
+
+    codes, uniq_terms = pd.factorize(pd.Series(terms))
+    order = np.lexsort((ids, codes))
+    codes_s, ids_s, dls_s, tf_s = codes[order], ids[order], dls[order], tf[order]
+    pos_s = _gather_segments(positions, entry_pos_starts[order], tf_s)
+    entry_starts_s = np.concatenate([[0], np.cumsum(tf_s)[:-1]]).astype(np.int64)
+
+    term_starts = np.nonzero(np.diff(codes_s, prepend=-1))[0]
+    n_docs = np.diff(np.append(term_starts, codes_s.size))
+    uniq_arr = uniq_terms.to_numpy() if hasattr(uniq_terms, "to_numpy") else np.asarray(uniq_terms)
+    terms_out = uniq_arr[codes_s[term_starts]]
+
+    pos_gaps = delta_gaps_segments(pos_s, entry_starts_s)
+    term_pos_starts = entry_starts_s[term_starts]
+
+    from .codec import delta_encode_segments
+
+    return pd.DataFrame(
+        {
+            "shard": np.full(term_starts.size, int(pdf["shard"].iloc[0]), dtype=np.int64),
+            "term": terms_out,
+            "term_bucket": _hash_bucket(terms_out),
+            "salt": np.full(term_starts.size, int(pdf["salt"].iloc[0]), dtype=np.int64),
+            "n_docs": n_docs,
+            "docs_enc": delta_encode_segments(ids_s, term_starts),
+            "tfs_enc": varint_encode_segments(tf_s.astype(np.uint64), term_starts),
+            "dls_enc": varint_encode_segments(dls_s, term_starts),
+            "pos_enc": varint_encode_segments(pos_gaps, term_pos_starts),
+        }
+    )
+
+
+def make_merge_fn_pos(avgdl: float, k1: float, b: float, block_size: int):
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Phase-2 over one (shard, term_bucket) group: merge salted
+        positional partials, re-block, re-encode (positions re-segmented
+        per block via the same repeat-gather)."""
+        shard = int(pdf["shard"].iloc[0])
+        n_per_row = pdf["n_docs"].to_numpy().astype(np.int64)
+        total = int(n_per_row.sum())
+        row_starts = np.concatenate([[0], np.cumsum(n_per_row)[:-1]])
+        gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+        ids = segmented_cumsum(gaps, row_starts, n_per_row)
+        tfs = varint_decode(b"".join(pdf["tfs_enc"]), total)
+        dls = varint_decode(b"".join(pdf["dls_enc"]), total)
+        tf64 = tfs.astype(np.int64)
+        total_pos = int(tf64.sum())
+        pos_gaps = varint_decode(b"".join(pdf["pos_enc"]), total_pos)
+        entry_pos_starts = np.concatenate([[0], np.cumsum(tf64)[:-1]]).astype(np.int64)
+        positions = segmented_cumsum(pos_gaps, entry_pos_starts, tf64)
+
+        codes, uniq_terms = pd.factorize(pdf["term"])
+        term_idx = np.repeat(codes, n_per_row)
+        order = np.lexsort((ids, term_idx))
+        ids_s, tfs_s, dls_s, term_s = ids[order], tfs[order], dls[order], term_idx[order]
+        tf_s64 = tfs_s.astype(np.int64)
+        pos_s = _gather_segments(positions, entry_pos_starts[order], tf_s64)
+        entry_starts_s = np.concatenate([[0], np.cumsum(tf_s64)[:-1]]).astype(np.int64)
+
+        term_starts = np.nonzero(np.diff(term_s, prepend=-1))[0]
+        term_lens = np.diff(np.append(term_starts, total))
+        pos_in_term = np.arange(total) - np.repeat(term_starts, term_lens)
+        block_starts = np.nonzero(pos_in_term % block_size == 0)[0]
+        block_ends = np.append(block_starts[1:], total)
+
+        tff = tfs_s.astype(np.float64)
+        tfns = (k1 + 1.0) * tff / (tff + k1 * (1.0 - b + b * dls_s.astype(np.float64) / avgdl))
+
+        pos_gaps_s = delta_gaps_segments(pos_s, entry_starts_s)
+        block_pos_starts = entry_starts_s[block_starts]
+
+        from .codec import delta_encode_segments
+
+        terms_arr = uniq_terms.to_numpy() if hasattr(uniq_terms, "to_numpy") else np.asarray(uniq_terms)
+        return pd.DataFrame(
+            {
+                "shard": np.full(block_starts.size, shard, dtype=np.int64),
+                "term": terms_arr[term_s[block_starts]],
+                "block_id": (pos_in_term[block_starts] // block_size).astype(np.int64),
+                "n_docs": (block_ends - block_starts).astype(np.int64),
+                "first_doc": ids_s[block_starts].astype(np.int64),
+                "last_doc": ids_s[block_ends - 1].astype(np.int64),
+                "docs_enc": delta_encode_segments(ids_s, block_starts),
+                "tfs_enc": varint_encode_segments(tfs_s, block_starts),
+                "dls_enc": varint_encode_segments(dls_s, block_starts),
+                "max_tfn": np.maximum.reduceat(tfns, block_starts),
+                "pos_enc": varint_encode_segments(pos_gaps_s, block_pos_starts),
+            }
+        )
+
+    return merge
+
+
+_POS_SHIFT = np.uint64(32)  # doc_code * 2^32 + position keys
+
+
+def score_shard_phrase(pdf: pd.DataFrame, phrase_terms: list[str], idf_sum: float,
+                       k: int, avgdl: float, k1: float, b: float) -> pd.DataFrame:
+    """Phrase scoring for one shard: decode the phrase terms' positional
+    blocks, count exact adjacent alignments per doc (phrase frequency),
+    BM25-score with tf=pf and the summed idf. Returns local top-k."""
+    from .wand import _topk_ties
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    if len(pdf) == 0:
+        return empty
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    n_per_blk = pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_per_blk.sum())
+    blk_starts = np.concatenate([[0], np.cumsum(n_per_blk)[:-1]])
+    gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+    ids = segmented_cumsum(gaps, blk_starts, n_per_blk).astype(np.int64)
+    tfs = varint_decode(b"".join(pdf["tfs_enc"]), total).astype(np.int64)
+    dls = varint_decode(b"".join(pdf["dls_enc"]), total).astype(np.int64)
+    total_pos = int(tfs.sum())
+    pos_gaps = varint_decode(b"".join(pdf["pos_enc"]), total_pos)
+    entry_pos_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+    positions = segmented_cumsum(pos_gaps, entry_pos_starts, tfs).astype(np.int64)
+    terms = np.repeat(pdf["term"].to_numpy(), n_per_blk)
+
+    doc_codes, uniq_docs = pd.factorize(ids)
+    per_pos_doc = np.repeat(doc_codes.astype(np.int64), tfs)
+    per_pos_term = np.repeat(terms, tfs)
+
+    # keys for term j shifted left by j: alignment ⇔ same key as term 0
+    term0 = phrase_terms[0]
+    m0 = per_pos_term == term0
+    target = (per_pos_doc[m0].astype(np.uint64) << _POS_SHIFT) | positions[m0].astype(np.uint64)
+    for j, t in enumerate(phrase_terms[1:], start=1):
+        mj = per_pos_term == t
+        keys_j = (per_pos_doc[mj].astype(np.uint64) << _POS_SHIFT) | (
+            positions[mj].astype(np.uint64) - np.uint64(j)
+        )
+        target = target[np.isin(target, keys_j)]
+        if target.size == 0:
+            return empty
+    match_docs = (target >> _POS_SHIFT).astype(np.int64)
+    pf_docs, pf = np.unique(match_docs, return_counts=True)
+
+    # doc length lookup from any posting of the doc
+    dl_by_code = np.zeros(len(uniq_docs), dtype=np.int64)
+    dl_by_code[doc_codes] = dls  # last write wins; all equal per doc
+    dl = dl_by_code[pf_docs].astype(np.float64)
+    pff = pf.astype(np.float64)
+    scores = idf_sum * (k1 + 1.0) * pff / (pff + k1 * (1.0 - b + b * dl / avgdl))
+    uniq_arr = np.asarray(uniq_docs, dtype=np.int64)
+    out_ids, out_scores = _topk_ties(uniq_arr[pf_docs], scores, k)
+    order = np.lexsort((out_ids, -out_scores))[:k]
+    return pd.DataFrame({"doc_id": out_ids[order], "score": out_scores[order]})

@@ -170,6 +170,46 @@ class InvertedIndex:
             .select("query_id", "doc_id", "score", "rank")
         )
 
+    def match_phrase(self, phrase: str, k: int = 10) -> DataFrame:
+        """ES match_phrase over a positional index (build_index with
+        with_positions=True): per shard, decode the phrase terms'
+        positional blocks, count exact adjacent alignments (phrase freq),
+        BM25-score with tf=pf and idf = Σ constituent idfs (Lucene
+        PhraseQuery semantics — same contract as bm25.match_phrase_df),
+        then global top-k merge. Work per shard is the phrase terms'
+        posting+position data only."""
+        if not self.meta.get("with_positions"):
+            raise ValueError("index was built without positions (with_positions=True)")
+        from .positions import score_shard_phrase
+        from ..textproc import bm25_idf
+
+        terms = _TOKENIZE[self.meta["tokenizer"]](phrase)
+        spark = self.spark
+        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        if not terms:
+            return empty
+        uniq = sorted(set(terms))
+        if self._df_cache is not None:
+            dfs = {t: self._df_cache[t] for t in uniq if t in self._df_cache}
+        else:
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in self.term_stats().filter(F.col("term").isin(uniq)).collect()
+            }
+        if len(dfs) < len(set(terms)):
+            return empty  # a phrase term absent from the corpus ⇒ no match
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        # idf sum in PHRASE order (duplicates counted), matching match_phrase_df
+        idf_sum = sum(bm25_idf(dfs[t], n_docs) for t in terms)
+
+        def shard_phrase(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard_phrase(pdf, terms, idf_sum, k, avgdl, k1, b)
+
+        blocks = self.postings().filter(F.col("term").isin(uniq))
+        local = blocks.groupBy("shard").applyInPandas(shard_phrase, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_with_urls(self, query_text: str, k: int = 10, mode: str = "wand") -> DataFrame:
         topk = self.search(query_text, k, mode)
         return (

@@ -1,0 +1,76 @@
+"""match_phrase: positional-index engine path ≡ DataFrame/SQL-oracle form ≡
+brute force (Lucene PhraseQuery semantics: tf = exact adjacent phrase
+frequency, idf = Σ constituent idfs)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from fluent_plugin_elasticsearch_spark.operators.bm25 import match_phrase_df
+from fluent_plugin_elasticsearch_spark.operators.index_build import build_index
+from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
+
+PHRASES = ["the data", "data query", "the", "the data query", "zzznope data"]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pidx") / "idx")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    build_index(spark, docs, out, id_col="doc_id", text_col="text",
+                tokenizer="simple", n_shards=4, n_salts=4, block_size=32,
+                with_positions=True)
+    return out
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_index_matches_dataframe_form(spark, sf_dir, pos_index, phrase):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = InvertedIndex(spark, pos_index)
+    got = idx.match_phrase(phrase, k=10).collect()
+    exp = match_phrase_df(docs, phrase.split(), k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp], phrase
+    for g, e in zip(got, exp):
+        assert math.floor(g["score"] * 1e6) == e["score_u"], (phrase, g["doc_id"])
+
+
+def test_phrase_freq_exact(spark, tmp_path):
+    """Crafted docs with known phrase frequencies: adjacency must be exact
+    (no credit for 'a x b', for reversed order, or for term presence)."""
+    rows = [
+        Row(doc_id=1, text="a b c a b"),        # pf(a b) = 2
+        Row(doc_id=2, text="a x b a"),           # pf = 0 (gap)
+        Row(doc_id=3, text="b a b a"),           # pf = 1 ("a b" at pos 1)
+        Row(doc_id=4, text="a a b"),             # pf = 1
+        Row(doc_id=5, text="c c c"),             # pf = 0 (terms absent)
+    ]
+    docs = spark.createDataFrame(rows)
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, id_col="doc_id", text_col="text",
+                tokenizer="simple", n_shards=2, n_salts=2, with_positions=True)
+    idx = InvertedIndex(spark, out)
+    got = {r["doc_id"]: r["score"] for r in idx.match_phrase("a b", k=10).collect()}
+    assert set(got) == {1, 3, 4}
+    # doc 1 (pf=2, dl=5) must outscore doc 3 (pf=1, dl=4) and doc 4 (pf=1, dl=3)
+    assert got[1] > got[3] and got[1] > got[4]
+    # repeated-term phrase: "a a" occurs only in doc 4
+    got2 = {r["doc_id"] for r in idx.match_phrase("a a", k=10).collect()}
+    assert got2 == {4}
+
+
+def test_phrase_on_tf_index_raises(spark, index_dir):
+    idx = InvertedIndex(spark, index_dir)
+    with pytest.raises(ValueError, match="positions"):
+        idx.match_phrase("the of", 5)
+
+
+def test_positional_blocks_shape(spark, pos_index):
+    from pyspark.sql import functions as F
+
+    posts = InvertedIndex(spark, pos_index).postings()
+    assert "pos_enc" in posts.columns
+    # every block's positions payload is non-null
+    assert posts.filter(F.col("pos_enc").isNull()).count() == 0
