@@ -107,6 +107,16 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score"), F.asc("doc_id")
         )
 
+    if query and "match_phrase" in query:
+        if index is None:
+            raise UnsupportedQuery("match_phrase query needs an InvertedIndex")
+        ((_field, text),) = query["match_phrase"].items()
+        k = size or 10
+        topk = index.match_phrase(text if isinstance(text, str) else text["query"], k=k)
+        return docs.join(F.broadcast(topk), "doc_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
     if query:
         out = out.filter(_compile_clause(query))
 

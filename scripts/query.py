@@ -23,7 +23,9 @@ def main() -> None:
     ap.add_argument("--query", default=None)
     ap.add_argument("--body", default=None, help="ES-style query body JSON")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+    ap.add_argument("--mode", default="auto", choices=["auto", "wand", "exhaustive"])
+    ap.add_argument("--phrase", action="store_true",
+                    help="treat --query as an exact phrase (needs a positional index)")
     ap.add_argument("--urls", action="store_true", help="join result back to docmap")
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = ap.parse_args()
@@ -44,6 +46,8 @@ def main() -> None:
         from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
 
         out = compile_query(idx.doc_stats(), json.loads(args.body), index=idx)
+    elif args.phrase:
+        out = idx.match_phrase(args.query, args.k)
     elif args.urls:
         out = idx.search_with_urls(args.query, args.k, args.mode)
     else:

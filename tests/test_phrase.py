@@ -74,3 +74,17 @@ def test_positional_blocks_shape(spark, pos_index):
     assert "pos_enc" in posts.columns
     # every block's positions payload is non-null
     assert posts.filter(F.col("pos_enc").isNull()).count() == 0
+
+
+def test_query_ast_match_phrase_routes_to_index(spark, sf_dir, pos_index):
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    idx = InvertedIndex(spark, pos_index)
+    docs = idx.doc_stats()
+    out = compile_query(
+        docs, {"query": {"match_phrase": {"text": "the data"}}, "size": 5}, index=idx
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
