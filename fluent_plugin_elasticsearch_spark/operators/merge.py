@@ -38,6 +38,21 @@ def _bucket_col() -> F.Column:
     return F.pmod(F.crc32(F.encode(F.col("term"), "utf-8")), F.lit(N_TERM_BUCKETS)).cast("int")
 
 
+def compact_generations(spark: SparkSession, index_dir: str,
+                        dest: str | None = None) -> str:
+    """Compact every ``gen=*`` increment under `index_dir` (written by
+    streaming.ingest.incremental_index_update) into one index — the
+    scheduled force-merge a serving cluster runs between query load peaks."""
+    import glob
+
+    gens = sorted(glob.glob(os.path.join(index_dir, "gen=*")))
+    if not gens:
+        raise ValueError(f"no gen=* increments under {index_dir}")
+    dest = dest or os.path.join(index_dir, f"compacted-{int(time.time())}")
+    merge_indexes(spark, gens, dest)
+    return dest
+
+
 def merge_indexes(spark: SparkSession, src_dirs: list[str], out_dir: str,
                   run_id: str | None = None) -> dict:
     """Compact `src_dirs` (disjoint doc sets — e.g. rollover generations or

@@ -91,8 +91,9 @@ class IngestPipeline:
 
 def incremental_index_update(spark, docs_batch: DataFrame, index_dir: str, **build_kw) -> dict:
     """Q6 incremental: index a new micro-batch into a fresh index
-    generation dir; readers merge generations (posting lists are per-shard
-    sorted in both — a union of block sets; see lifecycle.compact)."""
+    generation dir; ``operators.merge.compact_generations`` force-merges
+    the accumulated increments into one index (byte-equivalent to a
+    from-scratch build over the union corpus — tested)."""
     from ..operators.index_build import build_index
 
     gen = int(time.time() * 1000)

@@ -82,3 +82,23 @@ def test_merge_meta_mismatch_rejected(spark, halves, tmp_path):
     ib = _build(spark, b, str(tmp_path / "mb"), with_positions=True)
     with pytest.raises(ValueError, match="with_positions"):
         merge_indexes(spark, [ia, ib], str(tmp_path / "mm"))
+
+
+def test_streaming_generations_compact_to_full_build(spark, corpus_pdf, halves, tmp_path):
+    """Streaming story end-to-end: two incremental generations (micro-batch
+    index updates) compacted == one-shot build over all docs."""
+    from fluent_plugin_elasticsearch_spark.operators.merge import compact_generations
+    from fluent_plugin_elasticsearch_spark.streaming.ingest import incremental_index_update
+
+    a, b = halves
+    gen_dir = str(tmp_path / "gens")
+    kw = dict(id_col="doc_id", html_col="html", text_col=None, url_col="url",
+              tokenizer="unicode", n_shards=4, n_salts=2, block_size=32)
+    incremental_index_update(spark, a, gen_dir, **kw)
+    import time as _t
+
+    _t.sleep(0.002)  # distinct gen ids
+    incremental_index_update(spark, b, gen_dir, **kw)
+    compacted = compact_generations(spark, gen_dir)
+    full = _build(spark, a.unionByName(b), str(tmp_path / "cfull"))
+    assert block_fingerprint(spark, compacted) == block_fingerprint(spark, full)
