@@ -341,8 +341,9 @@ def build_index(
         from .positions import make_pos_tokenizer_udf
 
         tok_udf = make_pos_tokenizer_udf(tokenizer)
-        payload_cols = [F.col("tk.poss").alias("poss")]
-        payload_names = ["poss"]
+        payload_cols = [F.col("tk.terms").alias("terms"), F.col("tk.tfs").alias("tfs"),
+                        F.col("tk.poss").alias("poss")]
+        payload_names = ["terms", "tfs", "poss"]
     else:
         tok_udf = TF_TOKENIZERS[tokenizer]
         payload_cols = [F.col("tk.tfs").alias("tfs")]

@@ -39,24 +39,59 @@ BLOCK_POS_SCHEMA = (
     "max_tfn double, pos_enc binary"
 )
 
+# carrier: three parallel list columns instead of map<term, array<pos>> —
+# numpy-constructible cells (no per-token python dict ops, no Arrow map
+# conversion). Per doc: unique terms (factorize order), their tfs, and all
+# positions concatenated in the same term order (ascending within a term).
 _POS_SCHEMA = T.StructType(
     [
-        T.StructField("poss", T.MapType(T.StringType(), T.ArrayType(T.IntegerType()))),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("poss", T.ArrayType(T.IntegerType())),
         T.StructField("doc_len", T.IntegerType()),
     ]
 )
 
 
 def _pos_struct(series: pd.Series, tokenize) -> pd.DataFrame:
-    poss, lens = [], []
-    for text in series:
-        toks = tokenize(text)
-        d: dict[str, list[int]] = {}
-        for i, t in enumerate(toks):
-            d.setdefault(t, []).append(i)
-        poss.append(d)
-        lens.append(len(toks))
-    return pd.DataFrame({"poss": poss, "doc_len": lens})
+    """Batch-vectorized positional tokenization: one factorize + one lexsort
+    across the whole Arrow batch (the per-token python dict version was 5x
+    slower end-to-end at 600k docs)."""
+    n = len(series)
+    tok_lists = [tokenize(t) for t in series]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    if total == 0:
+        empty = [np.array([], dtype=object)] * n
+        zeros = [np.array([], dtype=np.int32)] * n
+        return pd.DataFrame({"terms": empty, "tfs": zeros, "poss": zeros,
+                             "doc_len": lens.astype(np.int32)})
+    flat = np.empty(total, dtype=object)
+    flat[:] = [t for toks in tok_lists for t in toks]
+    codes, vocab = pd.factorize(pd.Series(flat))
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, lens)
+    order = np.lexsort((pos_in_doc, codes, doc_idx))
+    d_s, c_s, p_s = doc_idx[order], codes[order], pos_in_doc[order]
+    # entry = (doc, term) run boundaries
+    entry_starts = np.nonzero((np.diff(d_s, prepend=-1) != 0) | (np.diff(c_s, prepend=-1) != 0))[0]
+    tf = np.diff(np.append(entry_starts, total)).astype(np.int32)
+    vocab_arr = vocab.to_numpy() if hasattr(vocab, "to_numpy") else np.asarray(vocab)
+    entry_terms = vocab_arr[c_s[entry_starts]]
+    entry_docs = d_s[entry_starts]
+    # per-doc slice boundaries in entry space and position space
+    e_bounds = np.searchsorted(entry_docs, np.arange(n + 1))
+    p_bounds = np.searchsorted(d_s, np.arange(n + 1))
+    p32 = p_s.astype(np.int32)
+    return pd.DataFrame(
+        {
+            "terms": [entry_terms[e_bounds[i]:e_bounds[i + 1]] for i in range(n)],
+            "tfs": [tf[e_bounds[i]:e_bounds[i + 1]] for i in range(n)],
+            "poss": [p32[p_bounds[i]:p_bounds[i + 1]] for i in range(n)],
+            "doc_len": lens.astype(np.int32),
+        }
+    )
 
 
 def make_pos_tokenizer_udf(tokenizer: str):
@@ -89,21 +124,26 @@ def _gather_segments(values: np.ndarray, seg_starts_src: np.ndarray,
 
 def encode_partials_pos(pdf: pd.DataFrame) -> pd.DataFrame:
     """Phase-1 over one (shard, salt) group of doc rows (doc_id, doc_len,
-    poss: map<term, array<pos>>) → one compressed sorted partial per term,
-    positions included."""
+    terms[], tfs[], poss[] — the parallel-list carrier) → one compressed
+    sorted partial per term, positions included. All-numpy: the cells
+    concatenate without touching per-token python objects."""
     from .index_build import _hash_bucket
 
-    cells = [m.items() if isinstance(m, dict) else m for m in pdf["poss"]]
-    counts = np.fromiter((len(m) for m in cells), dtype=np.int64, count=len(pdf))
+    term_cells = list(pdf["terms"])
+    counts = np.fromiter((len(c) for c in term_cells), dtype=np.int64, count=len(pdf))
     total = int(counts.sum())
     ids = np.repeat(pdf["doc_id"].to_numpy().astype(np.uint64), counts)
     dls = np.repeat(pdf["doc_len"].to_numpy().astype(np.uint64), counts)
-    flat = [kv for m in cells for kv in m]
-    terms = np.empty(total, dtype=object)
-    terms[:] = [kv[0] for kv in flat]
-    pos_lists = [np.asarray(kv[1], dtype=np.uint64) for kv in flat]
-    tf = np.fromiter((p.size for p in pos_lists), dtype=np.int64, count=total)
-    positions = np.concatenate(pos_lists) if pos_lists else np.empty(0, np.uint64)
+    terms = (
+        np.concatenate([np.asarray(c, dtype=object) for c in term_cells])
+        if total else np.empty(0, dtype=object)
+    )
+    tf = (
+        np.concatenate([np.asarray(c, dtype=np.int64) for c in pdf["tfs"]])
+        if total else np.empty(0, np.int64)
+    )
+    pos_cells = [np.asarray(c, dtype=np.uint64) for c in pdf["poss"]]
+    positions = np.concatenate(pos_cells) if pos_cells else np.empty(0, np.uint64)
     entry_pos_starts = np.concatenate([[0], np.cumsum(tf)[:-1]]).astype(np.int64)
 
     codes, uniq_terms = pd.factorize(pd.Series(terms))
@@ -227,8 +267,22 @@ def score_shard_phrase(pdf: pd.DataFrame, phrase_terms: list[str], idf_sum: floa
     terms = np.repeat(pdf["term"].to_numpy(), n_per_blk)
 
     doc_codes, uniq_docs = pd.factorize(ids)
-    per_pos_doc = np.repeat(doc_codes.astype(np.int64), tfs)
-    per_pos_term = np.repeat(terms, tfs)
+
+    # doc-level pre-intersection: a matching doc must hold EVERY phrase
+    # term, so intersect the (entry-level, much smaller than positions)
+    # doc sets first — with one rare term this collapses the position
+    # key-space before any expansion (the conjunctive-query prefilter).
+    cand = None
+    for t in set(phrase_terms):
+        docs_t = np.unique(doc_codes[terms == t])
+        cand = docs_t if cand is None else cand[np.isin(cand, docs_t)]
+        if cand.size == 0:
+            return empty
+    entry_keep = np.isin(doc_codes, cand)
+    pos_keep = np.repeat(entry_keep, tfs)
+    positions = positions[pos_keep]
+    per_pos_doc = np.repeat(doc_codes.astype(np.int64), tfs)[pos_keep]
+    per_pos_term = np.repeat(terms, tfs)[pos_keep]
 
     # keys for term j shifted left by j: alignment ⇔ same key as term 0
     term0 = phrase_terms[0]
