@@ -349,6 +349,43 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_u"), "rank")
 
 
+def q_es_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES aggregations body — terms bucket agg with metric sub-aggs
+    (plans/aggs.py). Sub-metric sums run over a pre-quantized integer
+    column so both engines produce order-free exact sums."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long")
+    )
+    out = compile_aggs(ev, {
+        "aggs": {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 10},
+                "aggs": {
+                    "v_sum": {"sum": {"field": "value_u"}},
+                    "v_cnt": {"value_count": {"field": "value_u"}},
+                },
+            }
+        }
+    })
+    return out["by_type"].select(
+        "key", "doc_count", F.col("v_sum").cast("long").alias("v_sum"), "v_cnt"
+    )
+
+
+def q_es_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram bucket agg under a query filter."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_aggs(ev, {
+        "query": {"range": {"value": {"gte": 10}}},
+        "aggs": {"per_day": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+    })
+    return out["per_day"]
+
+
 def q_tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 group-by agg coverage (TPC-H Q1 shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -462,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "query_ast_bool": q_query_ast_bool,
         "query_ast_terms_prefix": q_query_ast_terms_prefix,
+        "es_terms_agg": q_es_terms_agg,
+        "es_date_histogram": q_es_date_histogram,
         "tpch_q1_agg": q_tpch_q1_agg,
         "join_topk_customers": q_join_topk_customers,
         "window_latest_event": q_window_latest_event,
@@ -652,6 +691,18 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 15
 SELECT doc_id, lang, n_chars FROM documents
 WHERE lang IN ('en', 'de', 'fr') AND n_chars >= 100 AND lang NOT LIKE 'f%'
 ORDER BY doc_id ASC LIMIT 40
+""",
+        "es_terms_agg": """
+SELECT event_type AS key, count(*) AS doc_count,
+       CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum,
+       count(value) AS v_cnt
+FROM events GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
+        "es_date_histogram": """
+SELECT date_trunc('day', ts) AS key, count(*) AS doc_count
+FROM events WHERE value >= 10 GROUP BY 1
+ORDER BY doc_count DESC, key ASC
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

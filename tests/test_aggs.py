@@ -1,0 +1,79 @@
+"""ES aggregations compiler (plans/aggs.py): terms / date_histogram /
+histogram buckets, metric + stats sub-aggs, query-filtered aggs, errors."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+from fluent_plugin_elasticsearch_spark.plans.query_ast import UnsupportedQuery
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        Row(event_id=i,
+            event_type=["click", "view", "error"][i % 3],
+            ts=dt.datetime(2024, 1, 1 + i % 4, 8 + i % 5),
+            value=float(i % 50))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_terms_agg_order_and_size(events):
+    out = compile_aggs(events, {"aggs": {"t": {"terms": {"field": "event_type", "size": 2}}}})
+    rows = out["t"].collect()
+    assert len(rows) == 2
+    assert rows[0]["doc_count"] >= rows[1]["doc_count"]
+    # tie on doc_count=100 → key asc
+    assert [r["key"] for r in rows] == ["click", "error"]
+
+
+def test_terms_with_metric_subaggs(events):
+    out = compile_aggs(events, {
+        "aggs": {"t": {"terms": {"field": "event_type"},
+                       "aggs": {"v_avg": {"avg": {"field": "value"}},
+                                "v_max": {"max": {"field": "value"}}}}}
+    })
+    rows = {r["key"]: r for r in out["t"].collect()}
+    assert set(rows) == {"click", "view", "error"}
+    assert all(r["v_max"] <= 49.0 and r["v_avg"] > 0 for r in rows.values())
+
+
+def test_date_histogram_buckets(events):
+    out = compile_aggs(events, {
+        "aggs": {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}}
+    })
+    rows = out["d"].collect()
+    assert len(rows) == 4
+    assert sum(r["doc_count"] for r in rows) == 300
+    assert all(r["key"].hour == 0 for r in rows)  # truncated to day
+
+
+def test_numeric_histogram(events):
+    out = compile_aggs(events, {"aggs": {"h": {"histogram": {"field": "value", "interval": 10.0}}}})
+    rows = {r["key"]: r["doc_count"] for r in out["h"].collect()}
+    assert set(rows) == {0.0, 10.0, 20.0, 30.0, 40.0}
+    assert sum(rows.values()) == 300
+
+
+def test_stats_and_query_filter(events):
+    out = compile_aggs(events, {
+        "query": {"term": {"event_type": "click"}},
+        "aggs": {"s": {"stats": {"field": "value"}}},
+    })
+    r = out["s"].collect()[0]
+    assert r["s_count"] == 100
+    assert r["s_min"] == 0.0 and r["s_max"] == 49.0  # i=99 → click, 99%50=49
+    assert r["s_sum"] == pytest.approx(r["s_avg"] * r["s_count"])
+
+
+def test_unsupported_agg_raises(events):
+    with pytest.raises(UnsupportedQuery):
+        compile_aggs(events, {"aggs": {"x": {"percentiles": {"field": "value"}}}})
+    with pytest.raises(UnsupportedQuery):
+        compile_aggs(events, {"aggs": {"x": {"date_histogram": {"field": "ts", "calendar_interval": "fortnight"}}}})
