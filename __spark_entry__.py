@@ -161,6 +161,33 @@ def q_create_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _delete_by_query: survivors after deleting matches (AST-compiled
+    predicate, pushed to the scan)."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    body = {"query": {"bool": {"should": [
+        {"term": {"event_type": "error"}},
+        {"range": {"value": {"gt": 150}}},
+    ]}}}
+    out = _wo.delete_by_query(ev, body)
+    return out.select("event_id", "event_type",
+                      F.floor(F.col("value") * 1e2).cast("long").alias("value_u"))
+
+
+def q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _update_by_query with a vectorized 'script': double clicked
+    events' value, stamp a flag column; non-matches untouched."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = _wo.update_by_query(
+        ev,
+        {"query": {"term": {"event_type": "click"}}},
+        {"value": F.col("value") * 2.0, "boosted": F.lit(True)},
+    )
+    return out.select("event_id", "event_type",
+                      F.floor(F.col("value") * 1e2).cast("long").alias("value_u"),
+                      "boosted")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -483,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_triage": q_error_triage,
         "upsert_merge": q_upsert_merge,
         "create_insert_only": q_create_insert_only,
+        "delete_by_query": q_delete_by_query,
+        "update_by_query": q_update_by_query,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -580,6 +609,16 @@ SELECT event_id, CAST(floor(value * 1e6) AS BIGINT) AS value_u FROM target
 UNION ALL
 SELECT event_id, CAST(floor(value * 1e6) AS BIGINT) AS value_u
 FROM batch WHERE event_id NOT IN (SELECT event_id FROM target)
+""",
+        "delete_by_query": """
+SELECT event_id, event_type, CAST(floor(value * 1e2) AS BIGINT) AS value_u
+FROM events WHERE NOT (event_type = 'error' OR value > 150)
+""",
+        "update_by_query": """
+SELECT event_id, event_type,
+       CAST(floor(CASE WHEN event_type = 'click' THEN value * 2.0 ELSE value END * 1e2) AS BIGINT) AS value_u,
+       CASE WHEN event_type = 'click' THEN TRUE END AS boosted
+FROM events
 """,
         "exact_dedup": (
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, "

@@ -162,3 +162,46 @@ def triage_stats(batch_with_status: DataFrame, status_col: str = "status",
         .groupBy("class")
         .agg(F.count("*").alias("n"))
     )
+
+
+def delete_by_query(target: DataFrame, body: dict) -> DataFrame:
+    """ES _delete_by_query: remove every doc matching the query body's
+    filter; returns the surviving table (Iceberg: DELETE FROM … WHERE).
+    The predicate compiles through the same AST as search (plans/query_ast),
+    so it pushes down into the scan."""
+    from ..plans.query_ast import _compile_clause
+
+    query = (body or {}).get("query")
+    if not query:
+        raise ValueError("_delete_by_query requires a query")
+    # null predicate (e.g. range over a NULL cell) must KEEP the row —
+    # ES only deletes definite matches
+    pred = _compile_clause(query)
+    return target.filter(~F.coalesce(pred, F.lit(False)))
+
+
+def update_by_query(target: DataFrame, body: dict, set_cols: dict) -> DataFrame:
+    """ES _update_by_query with a (vectorized) script: rows matching the
+    query get `set_cols` column expressions applied; everything else is
+    untouched (Iceberg: UPDATE … SET … WHERE). `set_cols` maps column name
+    → Column — the engine's T14-style replacement for per-row painless
+    scripts."""
+    from ..plans.query_ast import _compile_clause
+
+    query = (body or {}).get("query")
+    if not query:
+        raise ValueError("_update_by_query requires a query")
+    pred = F.coalesce(_compile_clause(query), F.lit(False))
+    # ONE projection: every set expression evaluates against the ORIGINAL
+    # row (chained withColumn would leak earlier updates into later exprs
+    # and into the predicate)
+    out_cols = [
+        (F.when(pred, set_cols[c]).otherwise(F.col(c)).alias(c) if c in set_cols else F.col(c))
+        for c in target.columns
+    ]
+    out_cols += [
+        F.when(pred, expr).alias(name)
+        for name, expr in set_cols.items()
+        if name not in target.columns
+    ]
+    return target.select(*out_cols)

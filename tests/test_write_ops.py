@@ -113,3 +113,39 @@ def test_affinity_routing_picks_oldest_index(spark):
     out = {r["doc_id"]: r["index_name"] for r in affinity_target_index(batch, docs).collect()}
     assert out["u1"] == "logstash-2024.01.02"  # oldest existing wins
     assert out["u3"] == "logstash-2024.02.01"  # no existing → computed
+
+
+def test_delete_by_query_null_safety(spark):
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.sinks.write_ops import delete_by_query
+
+    df = spark.createDataFrame(
+        [Row(id=1, v=10.0), Row(id=2, v=None), Row(id=3, v=200.0)],
+        "id long, v double",
+    )
+    out = delete_by_query(df, {"query": {"range": {"v": {"gt": 100}}}})
+    # NULL predicate keeps the row — ES only deletes definite matches
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        delete_by_query(df, {})
+
+
+def test_update_by_query_original_row_semantics(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from fluent_plugin_elasticsearch_spark.sinks.write_ops import update_by_query
+
+    df = spark.createDataFrame([Row(id=1, a=10, b=1), Row(id=2, a=99, b=1)])
+    # both set-exprs read the ORIGINAL a, and the predicate uses a too:
+    # chained withColumn semantics would corrupt both
+    out = update_by_query(
+        df, {"query": {"range": {"a": {"lt": 50}}}},
+        {"a": F.col("a") + 1, "b": F.col("a") * 100},
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    assert rows[1]["a"] == 11 and rows[1]["b"] == 1000  # b from original a=10
+    assert rows[2]["a"] == 99 and rows[2]["b"] == 1     # untouched
