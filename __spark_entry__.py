@@ -197,6 +197,14 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tq.token_counts(_read(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight: token-window fragments around the first query-term
+    hit, terms wrapped in <em> tags."""
+    return _tq.highlight_fragments(
+        _read(spark, sf_dir, "documents"), FLAGSHIP_TERMS, window=5
+    ).orderBy("doc_id")
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tq.fingerprints(_read(spark, sf_dir, "documents"))
 
@@ -514,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_by_query": q_update_by_query,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
+        "highlight": q_highlight,
         "fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -635,6 +644,21 @@ SELECT doc_id,
        CAST(coalesce((SELECT sum(CASE WHEN len(t) <= 4 THEN 1 ELSE CAST(ceil(len(t)/4.0) AS BIGINT) END)
         FROM unnest({_TOKS}) AS u(t)), 0) AS BIGINT) AS bpe_est_tokens
 FROM documents ORDER BY doc_id
+""",
+        "highlight": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+h AS (
+  SELECT doc_id, tokens,
+         list_filter(generate_series(1, len(tokens)),
+                     i -> list_contains(['data', 'join', 'query'], tokens[i])) AS hits
+  FROM toks
+)
+SELECT doc_id, len(hits) AS n_hits, list_min(hits) AS first_pos,
+       array_to_string(list_transform(
+         tokens[greatest(list_min(hits) - 5, 1) : greatest(list_min(hits) - 5, 1) + 10],
+         t -> CASE WHEN list_contains(['data', 'join', 'query'], t)
+                   THEN '<em>' || t || '</em>' ELSE t END), ' ') AS fragment
+FROM h WHERE len(hits) > 0 ORDER BY doc_id
 """,
         "fingerprints": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint, "

@@ -118,3 +118,41 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp60"),
     )
+
+
+def highlight_fragments(docs: DataFrame, query_terms: list[str], window: int = 5,
+                        pre_tag: str = "<em>", post_tag: str = "</em>",
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """ES-style highlighting as TOKEN-WINDOW fragments: the fragment is the
+    ±`window` tokens around the FIRST query-term hit, with every query term
+    inside the window wrapped in pre/post tags. Token-based (analyzer-
+    consistent — 'data' never highlights inside 'database') and exactly
+    mirrored by the DuckDB oracle via the same list ops. Docs with no hit
+    are omitted (ES returns no highlight entry for them).
+
+    Pure column expressions over one scan — no shuffle, no Python."""
+    terms = sorted(set(query_terms))
+    arr = F.array(*[F.lit(t) for t in terms])
+    toks = simple_tokens_col(F.col(text_col))
+    # guard sequence(1, 0) (descending!) for empty-token docs
+    idx_seq = F.when(F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks))).otherwise(
+        F.array().cast("array<int>")
+    )
+    hit_idxs = F.filter(idx_seq, lambda i: F.array_contains(arr, F.element_at(toks, i)))
+    first = F.array_min(hit_idxs)
+    start = F.greatest(first - window, F.lit(1))
+    frag_toks = F.slice(toks, start, F.lit(2 * window + 1))
+    marked = F.transform(
+        frag_toks,
+        lambda t: F.when(F.array_contains(arr, t),
+                         F.concat(F.lit(pre_tag), t, F.lit(post_tag))).otherwise(t),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(hit_idxs).alias("n_hits"),
+            first.alias("first_pos"),
+            F.array_join(marked, " ").alias("fragment"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )

@@ -95,3 +95,23 @@ def test_wrap_html_deterministic():
     pdf1 = generate_corpus(30, seed=1)
     pdf2 = generate_corpus(30, seed=1)
     assert pdf1.equals(pdf2)
+
+
+def test_highlight_fragments(spark):
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.textquality import highlight_fragments
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta data gamma delta epsilon zeta"),
+        Row(doc_id=2, text="no hits here at all"),
+        Row(doc_id=3, text="data at the very start"),
+        Row(doc_id=4, text=""),
+    ])
+    out = {r["doc_id"]: r for r in
+           highlight_fragments(docs, ["data", "query"], window=2).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["fragment"] == "alpha beta <em>data</em> gamma delta"
+    assert out[1]["first_pos"] == 3 and out[1]["n_hits"] == 1
+    # window start clamps at the document start (still 2w+1 tokens long)
+    assert out[3]["fragment"] == "<em>data</em> at the very start"
