@@ -421,6 +421,20 @@ def q_es_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["per_day"]
 
 
+def q_es_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles agg — exact linear-interpolation quantiles (identical
+    formula to DuckDB quantile_cont), quantized."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_aggs(ev, {
+        "aggs": {"v": {"percentiles": {"field": "value", "percents": [50, 95, 99]}}}
+    })["v"]
+    return out.select(
+        *[F.floor(F.col(c) * 1e6).cast("long").alias(f"{c}_u") for c in out.columns]
+    )
+
+
 def q_tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 group-by agg coverage (TPC-H Q1 shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -539,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_ast_terms_prefix": q_query_ast_terms_prefix,
         "es_terms_agg": q_es_terms_agg,
         "es_date_histogram": q_es_date_histogram,
+        "es_percentiles": q_es_percentiles,
         "tpch_q1_agg": q_tpch_q1_agg,
         "join_topk_customers": q_join_topk_customers,
         "window_latest_event": q_window_latest_event,
@@ -766,6 +781,12 @@ ORDER BY doc_count DESC, key ASC LIMIT 10
 SELECT date_trunc('day', ts) AS key, count(*) AS doc_count
 FROM events WHERE value >= 10 GROUP BY 1
 ORDER BY doc_count DESC, key ASC
+""",
+        "es_percentiles": """
+SELECT CAST(floor(quantile_cont(value, 0.5) * 1e6) AS BIGINT) AS v_p50_u,
+       CAST(floor(quantile_cont(value, 0.95) * 1e6) AS BIGINT) AS v_p95_u,
+       CAST(floor(quantile_cont(value, 0.99) * 1e6) AS BIGINT) AS v_p99_u
+FROM events
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

@@ -55,12 +55,28 @@ def _bucket_key(kind: str, spec: dict[str, Any]) -> Column:
     raise UnsupportedQuery(f"unsupported bucket agg: {kind}")
 
 
+ES_DEFAULT_PERCENTS = [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+
+
 def _metric_cols(aggs: dict[str, Any]) -> list[Column]:
     cols: list[Column] = []
     for name, spec in aggs.items():
         ((kind, body),) = spec.items()
         field = body["field"]
-        if kind == "stats":
+        if kind == "percentiles":
+            # exact linear-interpolation percentiles (identical to DuckDB's
+            # quantile_cont — cross-engine-verified). ES itself serves
+            # t-digest APPROXIMATIONS; pass approximate=True for Spark's
+            # percentile_approx when an exact global sort-agg is too much.
+            percents = body.get("percents", ES_DEFAULT_PERCENTS)
+            fn = "percentile_approx" if body.get("approximate") else "percentile"
+            extra = ", 10000" if body.get("approximate") else ""
+            for p in percents:
+                label = f"{float(p):g}".replace(".", "_")  # 50 → '50', 99.9 → '99_9'
+                cols.append(
+                    F.expr(f"{fn}({field}, {float(p) / 100.0}{extra})").alias(f"{name}_p{label}")
+                )
+        elif kind == "stats":
             cols += [
                 F.count(field).alias(f"{name}_count"),
                 F.min(field).alias(f"{name}_min"),
@@ -99,7 +115,7 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             if size:
                 df = df.limit(int(size))
             out[name] = df
-        elif kind == "stats" or kind in _METRICS:
+        elif kind in ("stats", "percentiles") or kind in _METRICS:
             out[name] = base.agg(*_metric_cols({name: {kind: inner}}))
         else:
             raise UnsupportedQuery(f"unsupported agg kind: {kind}")

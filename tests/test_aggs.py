@@ -72,8 +72,17 @@ def test_stats_and_query_filter(events):
     assert r["s_sum"] == pytest.approx(r["s_avg"] * r["s_count"])
 
 
+def test_percentiles_agg(events):
+    out = compile_aggs(events, {
+        "aggs": {"p": {"percentiles": {"field": "value", "percents": [50, 99]}}}
+    })
+    r = out["p"].collect()[0]
+    assert r["p_p50"] <= r["p_p99"] <= 49.0
+    assert list(out["p"].columns) == ["p_p50", "p_p99"]
+
+
 def test_unsupported_agg_raises(events):
     with pytest.raises(UnsupportedQuery):
-        compile_aggs(events, {"aggs": {"x": {"percentiles": {"field": "value"}}}})
+        compile_aggs(events, {"aggs": {"x": {"geo_centroid": {"field": "value"}}}})
     with pytest.raises(UnsupportedQuery):
         compile_aggs(events, {"aggs": {"x": {"date_histogram": {"field": "ts", "calendar_interval": "fortnight"}}}})
