@@ -435,6 +435,26 @@ def q_es_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_es_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits sub-agg: top-3 events per event_type by (value desc,
+    event_id asc) — bucket-partitioned window."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import top_hits
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = top_hits(ev, "event_type", 3,
+                   sort=[{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}])
+    return out.select("event_type", "hit_rank", "event_id",
+                      F.floor(F.col("value") * 1e2).cast("long").alias("value_u"))
+
+
+def q_es_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality agg (exact mode — approximate=True gives HLL++)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    return compile_aggs(ev, {"aggs": {"users": {"cardinality": {"field": "user_id"}}}})["users"]
+
+
 def q_tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 group-by agg coverage (TPC-H Q1 shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -554,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_terms_agg": q_es_terms_agg,
         "es_date_histogram": q_es_date_histogram,
         "es_percentiles": q_es_percentiles,
+        "es_top_hits": q_es_top_hits,
+        "es_cardinality": q_es_cardinality,
         "tpch_q1_agg": q_tpch_q1_agg,
         "join_topk_customers": q_join_topk_customers,
         "window_latest_event": q_window_latest_event,
@@ -788,6 +810,16 @@ SELECT CAST(floor(quantile_cont(value, 0.5) * 1e6) AS BIGINT) AS v_p50_u,
        CAST(floor(quantile_cont(value, 0.99) * 1e6) AS BIGINT) AS v_p99_u
 FROM events
 """,
+        "es_top_hits": """
+SELECT event_type, CAST(hit_rank AS INT) AS hit_rank, event_id,
+       CAST(floor(value * 1e2) AS BIGINT) AS value_u
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS hit_rank
+  FROM events
+) WHERE hit_rank <= 3
+""",
+        "es_cardinality": "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS users FROM events",
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (

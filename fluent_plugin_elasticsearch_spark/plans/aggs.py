@@ -76,6 +76,13 @@ def _metric_cols(aggs: dict[str, Any]) -> list[Column]:
                 cols.append(
                     F.expr(f"{fn}({field}, {float(p) / 100.0}{extra})").alias(f"{name}_p{label}")
                 )
+        elif kind == "cardinality":
+            # ES cardinality is an HLL approximation; approximate=True maps
+            # to approx_count_distinct (HLL++), default is exact countDistinct
+            if body.get("approximate"):
+                cols.append(F.approx_count_distinct(field).alias(name))
+            else:
+                cols.append(F.countDistinct(field).alias(name))
         elif kind == "stats":
             cols += [
                 F.count(field).alias(f"{name}_count"),
@@ -115,8 +122,34 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             if size:
                 df = df.limit(int(size))
             out[name] = df
-        elif kind in ("stats", "percentiles") or kind in _METRICS:
+        elif kind in ("stats", "percentiles", "cardinality") or kind in _METRICS:
             out[name] = base.agg(*_metric_cols({name: {kind: inner}}))
         else:
             raise UnsupportedQuery(f"unsupported agg kind: {kind}")
     return out
+
+
+def top_hits(docs: DataFrame, bucket_field: str, size: int,
+             sort: list | None = None, query: dict | None = None) -> DataFrame:
+    """ES top_hits sub-aggregation: the top `size` docs per bucket, by the
+    given ES-style sort spec (default: doc_id asc). Window partitioned by
+    the REAL bucket key — scales with bucket count, no global funnel."""
+    from pyspark.sql import Window
+
+    base = docs
+    if query:
+        base = base.filter(_compile_clause(query))
+    order = []
+    for s in sort or [{"doc_id": {"order": "asc"}}]:
+        if isinstance(s, str):
+            order.append(F.col(s).asc())
+        else:
+            ((field, spec),) = s.items()
+            o = spec.get("order", "asc") if isinstance(spec, dict) else spec
+            order.append(F.col(field).desc() if o == "desc" else F.col(field).asc())
+    w = Window.partitionBy(bucket_field).orderBy(*order)
+    return (
+        base.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= size)
+        .withColumnRenamed("__rank", "hit_rank")
+    )

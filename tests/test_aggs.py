@@ -86,3 +86,26 @@ def test_unsupported_agg_raises(events):
         compile_aggs(events, {"aggs": {"x": {"geo_centroid": {"field": "value"}}}})
     with pytest.raises(UnsupportedQuery):
         compile_aggs(events, {"aggs": {"x": {"date_histogram": {"field": "ts", "calendar_interval": "fortnight"}}}})
+
+
+def test_top_hits_per_bucket(events):
+    from fluent_plugin_elasticsearch_spark.plans.aggs import top_hits
+
+    out = top_hits(events, "event_type", 2,
+                   sort=[{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}])
+    rows = out.collect()
+    assert len(rows) == 6  # 3 buckets × 2
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["event_type"], []).append((r["hit_rank"], r["value"]))
+    for b, hits in by_bucket.items():
+        hits.sort()
+        assert [h for h, _ in hits] == [1, 2]
+        assert hits[0][1] >= hits[1][1]
+
+
+def test_cardinality_exact_and_approx(events):
+    out = compile_aggs(events, {"aggs": {"c": {"cardinality": {"field": "event_type"}}}})
+    assert out["c"].collect()[0]["c"] == 3
+    out2 = compile_aggs(events, {"aggs": {"c": {"cardinality": {"field": "event_type", "approximate": True}}}})
+    assert out2["c"].collect()[0]["c"] == 3  # HLL++ exact at tiny cardinality
