@@ -310,6 +310,16 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(base, context_len=512).orderBy("doc_id")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 64-token windows, 16-token overlap — one explode, no
+    shuffle; chunk ids parallelism-invariant."""
+    from fluent_plugin_elasticsearch_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_len=64, overlap=16
+    ).orderBy("doc_id", "chunk_id")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-keyed stratified sampling by lang (binary-exact
     fractions so both engines compute identical thresholds)."""
@@ -568,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash_signatures,
         "dedup_clusters": q_dedup_clusters,
         "pack_documents": q_pack_documents,
+        "chunk_documents": q_chunk_documents,
         "stratified_sample": q_stratified_sample,
         "query_ast_bool": q_query_ast_bool,
         "query_ast_terms_prefix": q_query_ast_terms_prefix,
@@ -750,6 +761,20 @@ SELECT doc_id, n_tokens, "offset",
        CAST(CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 512
                  ELSE "offset" // 512 END AS BIGINT) AS end_pack_id
 FROM off ORDER BY doc_id
+""",
+        "chunk_documents": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+s AS (
+  SELECT doc_id, len(tokens) AS n, tokens,
+         unnest(generate_series(1, len(tokens), 48)) AS start_pos
+  FROM toks WHERE len(tokens) > 0
+)
+SELECT doc_id,
+       CAST((start_pos - 1) // 48 AS BIGINT) AS chunk_id,
+       CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(least(64, n - start_pos + 1) AS BIGINT) AS n_tokens,
+       array_to_string(tokens[start_pos : start_pos + 63], ' ') AS chunk
+FROM s ORDER BY doc_id, chunk_id
 """,
         # md5-keyed stratified sample: first 15 md5 hex chars as a 60-bit
         # uniform; thresholds are binary-exact fractions of 2^60

@@ -96,3 +96,34 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions: dict,
         frac = F.when(cond, F.lit(float(v))) if frac is None else frac.when(cond, F.lit(float(v)))
     frac = frac.otherwise(F.lit(0.0)) if frac is not None else F.lit(0.0)
     return df.filter(u < (frac * F.lit(float(1 << 60))).cast("decimal(20,0)"))
+
+
+def chunk_documents(docs: DataFrame, chunk_len: int, overlap: int = 0,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """RAG/pretraining chunking: split each document's token stream into
+    windows of `chunk_len` tokens advancing by `chunk_len - overlap`
+    (trailing partial window kept). One projection + explode — no shuffle,
+    no Python; chunk identity (doc_id, chunk_id) is deterministic at any
+    parallelism. Returns (doc_id, chunk_id, start_pos, n_tokens, chunk)."""
+    if not 0 <= overlap < chunk_len:
+        raise ValueError("need 0 <= overlap < chunk_len")
+    step = chunk_len - overlap
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    toks = F.filter(toks, lambda t: t != F.lit(""))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    base = base.filter(F.size("__toks") > 0)
+    starts = F.sequence(F.lit(1), F.size("__toks"), F.lit(step))
+    out = base.select(
+        "doc_id",
+        F.size("__toks").alias("__n"),
+        "__toks",
+        F.explode(starts).alias("start_pos"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start_pos"), chunk_len)
+    return out.select(
+        "doc_id",
+        ((F.col("start_pos") - 1) / step).cast("long").alias("chunk_id"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.least(F.lit(chunk_len), F.col("__n") - F.col("start_pos") + 1).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk"),
+    )

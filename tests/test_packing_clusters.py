@@ -100,3 +100,27 @@ def test_stratified_sample_deterministic_and_sized(spark):
     assert by_lang["zh"] == 0  # absent stratum → dropped
     assert abs(by_lang["en"] / 1000 - 0.5) < 0.08
     assert abs(by_lang["de"] / 1000 - 0.25) < 0.08
+
+
+def test_chunk_documents_windows(spark):
+    from fluent_plugin_elasticsearch_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(f"t{i}" for i in range(10))),
+         Row(doc_id=2, text="one two"),
+         Row(doc_id=3, text="")]
+    )
+    out = chunk_documents(docs, chunk_len=4, overlap=2)
+    rows = sorted(((r["doc_id"], r["chunk_id"], r["start_pos"], r["n_tokens"], r["chunk"])
+                   for r in out.collect()))
+    # doc 1: starts 1,3,5,7,9 (step 2)
+    assert [r[2] for r in rows if r[0] == 1] == [1, 3, 5, 7, 9]
+    assert rows[0][4] == "t0 t1 t2 t3"
+    assert [r for r in rows if r[0] == 1][-1] == (1, 4, 9, 2, "t8 t9")
+    # doc 2: one partial chunk; doc 3 (empty) emits nothing
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 1, 2, "one two")]
+    assert not [r for r in rows if r[0] == 3]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_len=4, overlap=4)
