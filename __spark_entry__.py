@@ -236,6 +236,21 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 kNN search body through the query AST (cosine top-k against a
+    literal query vector)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    body = {"knn": {"field": "embedding", "query_vector": [1.0] * 64, "k": 10}}
+    out = compile_query(docs, body)
+    return out.select(
+        "doc_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_u"), "rank"
+    )
+
+
 def q_bm25_wand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path under the oracle gate: build the compressed
     block-max index over `documents` (simple tokenizer), run block-max WAND
@@ -572,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "knn_query": q_knn_query,
         "bm25_wand_index": q_bm25_wand_index,
         "ngram_overlap_top20": q_ngram_overlap_top20,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -731,6 +747,19 @@ SELECT vec_id, CAST(floor(cosine * 1e6) AS BIGINT) AS cosine_u,
 FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
         "bm25_wand_index": bm25_topk_sql("documents", FLAGSHIP_TERMS, k=10),
+        "knn_query": f"""
+WITH q AS (SELECT [{", ".join(["1.0"] * 64)}]::DOUBLE[] AS qv),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT doc_id, CAST(floor(cosine * 1e6) AS BIGINT) AS cosine_u,
+       CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT) AS rank
+FROM scored ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
         "ngram_overlap_top20": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
 grams AS (

@@ -97,6 +97,25 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
     size = body.get("size")
     out = docs
 
+    if "knn" in body:
+        # ES 8 kNN search body: {"knn": {"field": f, "query_vector": [...],
+        # "k": n}} → brute-force cosine top-k (similarity.cosine_topk plans
+        # TakeOrderedAndProject for the single query); at scale swap in the
+        # LSH/IVF variants behind the same contract.
+        from ..operators.similarity import cosine_topk
+
+        spec = body["knn"]
+        field, qv = spec["field"], [float(x) for x in spec["query_vector"]]
+        k = int(spec.get("k", size or 10))
+        spark = docs.sparkSession
+        qdf = spark.createDataFrame([(0, qv)], f"query_id long, {field} array<double>")
+        emb = docs.withColumn(field, F.transform(field, lambda x: x.cast("double")))
+        top = cosine_topk(emb, qdf, k=k, id_col="doc_id", vec_col=field)
+        return (
+            docs.join(F.broadcast(top.select(F.col("vec_id").alias("doc_id"), "cosine", "rank")), "doc_id")
+            .orderBy("rank")
+        )
+
     if query and "match" in query:
         if index is None:
             raise UnsupportedQuery("match query needs an InvertedIndex")

@@ -155,3 +155,22 @@ def test_ivf_topk_recall(spark, emb):
     assert {r["vec_id"] for r in got} == {1, 2, 3}
     sims = [r["cosine"] for r in got]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_query_body_routes_to_ann(spark, sf_dir):
+    """ES 8 kNN search body via the query AST: single-query path plans
+    TakeOrderedAndProject, no constant-partition window."""
+    from pyspark.sql import functions as F
+
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    out = compile_query(docs, {"knn": {"field": "embedding",
+                                       "query_vector": [1.0] * 64, "k": 5}})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Window" not in plan
+    rows = out.collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0]["cosine"] >= rows[-1]["cosine"]
