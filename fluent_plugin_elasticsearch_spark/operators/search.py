@@ -234,3 +234,33 @@ class InvertedIndex:
             .orderBy("doc_id")
             .limit(page_size)
         )
+
+
+def to_es_response(topk: DataFrame, index_name: str = "docs",
+                   took_ms: int | None = None) -> dict:
+    """Shape a top-k result into the ES search-response envelope the
+    reference's downstream consumers parse (hits.total/max_score/hits[]
+    with _index/_id/_score/_source). Collects — legitimate: a top-k result
+    is driver-sized by construction (k rows), never the corpus."""
+    rows = topk.collect()
+    hits = []
+    for r in rows:
+        d = r.asDict()
+        score = d.pop("score", d.pop("cosine", None))
+        _id = d.pop("doc_id", d.pop("vec_id", None))
+        hits.append({
+            "_index": index_name,
+            "_id": str(_id),
+            "_score": float(score) if score is not None else None,
+            "_source": d,
+        })
+    scores = [h["_score"] for h in hits if h["_score"] is not None]
+    return {
+        "took": took_ms,
+        "timed_out": False,
+        "hits": {
+            "total": {"value": len(hits), "relation": "eq"},
+            "max_score": max(scores) if scores else None,
+            "hits": hits,
+        },
+    }

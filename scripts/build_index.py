@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--n-salts", type=int, default=16)
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--shard-batches", type=int, default=1)
+    ap.add_argument("--positions", action="store_true",
+                    help="store token positions (enables match_phrase; ~2.3x build cost)")
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = ap.parse_args()
 
@@ -67,6 +69,7 @@ def main() -> None:
         n_salts=args.n_salts,
         block_size=args.block_size,
         shard_batches=args.shard_batches,
+        with_positions=args.positions,
     )
     print(json.dumps(res["meta"]))
 

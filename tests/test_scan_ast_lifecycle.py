@@ -219,3 +219,19 @@ def test_multimodal_decoder_swap_point(spark):
         assert all(stub_feats[r["media_id"]] != 255.0 for r in rows)
     finally:
         mm.set_image_decoder(None)
+
+
+def test_es_response_envelope(spark, index_dir):
+    from fluent_plugin_elasticsearch_spark.operators.search import (
+        InvertedIndex,
+        to_es_response,
+    )
+
+    idx = InvertedIndex(spark, index_dir)
+    resp = to_es_response(idx.search("the of", k=5), index_name="webtext")
+    assert resp["hits"]["total"] == {"value": 5, "relation": "eq"}
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 5
+    assert resp["hits"]["max_score"] == hits[0]["_score"]
+    assert all(h["_index"] == "webtext" and h["_id"].isdigit() for h in hits)
+    assert [h["_score"] for h in hits] == sorted((h["_score"] for h in hits), reverse=True)
