@@ -252,15 +252,23 @@ def _simhash_batch(pdf_iter):
         uniq_keys, tf = np.unique(key, return_counts=True)
         u_doc = (uniq_keys // V).astype(np.int64)
         u_code = (uniq_keys % V).astype(np.int64)
-        # hash the unique vocab ONCE; expand to a ±1 sign matrix (V, 64)
+        # hash the unique vocab ONCE; bit matrix (V, 64) as bool
         hv = np.fromiter(
             (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big") for t in vocab),
             dtype=np.uint64, count=V,
         )
-        signs = (2 * ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) - 1)
-        votes = np.zeros((n, 64), dtype=np.int64)
-        np.add.at(votes, u_doc, tf[:, None] * signs[u_code])
-        sigs = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
+        bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(bool)
+        # votes_k = Σ tf·(+1 if bit else −1) = 2·Σ tf[bit set] − Σ tf —
+        # 64 weighted bincounts instead of materializing the (entries × 64)
+        # tf·sign product (which was a ~0.5 GB intermediate per Arrow batch)
+        tch = tf.astype(np.float64)
+        base = np.bincount(u_doc, weights=tch, minlength=n)
+        sigs = np.zeros(n, dtype=np.uint64)
+        entry_bits = bits[u_code]  # (entries, 64) bool — 8x smaller than int64
+        for k in range(64):
+            mask = entry_bits[:, k]
+            pos = np.bincount(u_doc[mask], weights=tch[mask], minlength=n)
+            sigs |= ((2.0 * pos - base) > 0).astype(np.uint64) << shifts[k]
         yield pd.DataFrame({"doc_id": doc_ids, "simhash": sigs.astype(np.int64)})
 
 
@@ -274,10 +282,13 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text", max_bucket: int = 1000) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming. Candidates via
     the 4×16-bit band trick (hamming ≤ 3 ⇒ at least one of 4 bands equal),
-    exact hamming verified with bit_count on the XOR."""
+    exact hamming verified with bit_count on the XOR. `max_bucket` caps hot
+    band buckets (template-heavy corpora concentrate signatures into a few
+    16-bit patterns — an uncapped band self-join is quadratic in the hot
+    bucket; recall loss is confined to pairs that collide ONLY there)."""
     sig = simhash_signatures(docs, id_col, text_col)
     bands = sig.select(
         "doc_id",
@@ -292,6 +303,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    hot = bands.groupBy("band", "bh").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
+    bands = bands.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
