@@ -930,8 +930,12 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 8) -> str:
     """CTE chain toks→grams→sig→bands→pairs, shared by the pair oracle and
     the connected-components clusters oracle."""
     rows = num_hashes // bands
+    # Carter-Wegman minhash (matches operators/dedup.py): one md5 per
+    # shingle, hash k = a + k*b on its 48-bit hex halves (exact int64)
     mins = ",\n         ".join(
-        f"min(md5('{k}_' || shingle)) AS h{k}" for k in range(num_hashes)
+        f"min(CAST(concat('0x', substr(md5(shingle), 1, 12)) AS BIGINT)"
+        f" + {k} * CAST(concat('0x', substr(md5(shingle), 13, 12)) AS BIGINT)) AS h{k}"
+        for k in range(num_hashes)
     )
     band_rows = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
