@@ -81,3 +81,18 @@ def test_multi_query_ann_keeps_partitioned_window(spark, sf_dir):
     assert "Window" in plan and "query_id" in plan
     got = {r["query_id"] for r in top.collect()}
     assert got == {0, 1, 2}
+
+
+def test_aggs_compile_to_partial_aggregates(spark, sf_dir):
+    """ES aggs must plan map-side partial aggregation (two HashAggregates)
+    and push the body's query filter into the parquet scan."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = compile_aggs(ev, {
+        "query": {"range": {"value": {"gte": 10}}},
+        "aggs": {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+    })["d"]
+    plan = plan_of(out)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "GreaterThanOrEqual(value,10.0)" in plan  # pushed to the scan
