@@ -115,3 +115,15 @@ def test_highlight_fragments(spark):
     assert out[1]["first_pos"] == 3 and out[1]["n_hits"] == 1
     # window start clamps at the document start (still 2w+1 tokens long)
     assert out[3]["fragment"] == "<em>data</em> at the very start"
+
+
+def test_extract_udf_byte_identity_spark(spark, corpus_df):
+    """input_hint per-row invariant through the ACTUAL Arrow UDF path (not
+    just the pure-python function): extract_text_udf(html) must be
+    byte-identical to the text column for every corpus row."""
+    from pyspark.sql import functions as F
+
+    from fluent_plugin_elasticsearch_spark.extraction import extract_text_udf
+
+    bad = corpus_df.filter(extract_text_udf(F.col("html")) != F.col("text")).count()
+    assert bad == 0
