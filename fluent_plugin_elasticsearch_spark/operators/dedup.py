@@ -75,7 +75,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     boilerplate still inflates the union denominator — reported Jaccard is
     a slight UNDER-estimate for pairs containing hot shingles (recall-safe
     for the ≥ threshold cut, never a false positive)."""
-    sh = shingles_df(docs, n, id_col, text_col)
+    # persist at the fan-out: sh feeds sizes + hot + BOTH self-join sides —
+    # without it the tokenize/shingle pipeline re-executes 4x (self-joins
+    # get no ReusedExchange; measured 4x wall on the 600k corpus)
+    sh = shingles_df(docs, n, id_col, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = sh.groupBy("shingle").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
     sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
@@ -102,7 +105,7 @@ def ngram_overlap_topk(docs: DataFrame, n: int = 2, k: int = 20,
     ngram_jaccard_pairs exposed as a standalone query, with the hot-shingle
     cap INTACT (this is the copy-paste-able form; never ship the uncapped
     join). Returns (id_a, id_b, inter) ordered (inter desc, id_a, id_b)."""
-    sh = shingles_df(docs, n, id_col, text_col)
+    sh = shingles_df(docs, n, id_col, text_col).persist()  # hot + both join sides
     hot = sh.groupBy("shingle").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
     sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
@@ -154,7 +157,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16, bands: 
     ]
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
-    )
+    ).persist()  # feeds hot-bucket count + BOTH self-join sides: without the
+    # persist the full signature aggregation re-executes 4x (no
+    # ReusedExchange across self-join sides; measured 740s -> see COVERAGE)
     hot = buckets.groupBy("band", "bh").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
     buckets = buckets.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -314,6 +319,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    bands = bands.persist()  # hot count + both self-join sides reuse one pass
     hot = bands.groupBy("band", "bh").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
     bands = bands.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")

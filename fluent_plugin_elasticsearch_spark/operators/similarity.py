@@ -215,7 +215,8 @@ def embedding_nneardup_pairs(embeddings: DataFrame, dim: int, threshold: float =
     LSH self-join candidates, exact cosine filter ≥ threshold."""
     cands = None
     for t in range(n_tables):
-        sig = lsh_signatures(embeddings, dim, n_planes, seed + t, id_col, vec_col)
+        # persist: both self-join sides reuse one signature pass
+        sig = lsh_signatures(embeddings, dim, n_planes, seed + t, id_col, vec_col).persist()
         a, b = sig.alias("a"), sig.alias("b")
         c = a.join(
             b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
