@@ -269,6 +269,21 @@ def q_bm25_wand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_u"))
 
 
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester: top-10 's'-prefixed index terms by df
+    (full engine path: build index, prefix-pruned term_stats scan)."""
+    import tempfile
+
+    from fluent_plugin_elasticsearch_spark.operators.index_build import build_index
+    from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="entry_sug_") + "/idx"
+    build_index(spark, docs, out, id_col="doc_id", text_col="text",
+                tokenizer="simple", n_shards=4, n_salts=4)
+    return InvertedIndex(spark, out).suggest("s", 10)
+
+
 def q_ngram_overlap_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate generation: top-20 doc pairs by shared distinct
     bigrams, through the CAPPED library path (max_bucket=1000 is provably a
@@ -589,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "knn_query": q_knn_query,
         "bm25_wand_index": q_bm25_wand_index,
+        "suggest": q_suggest,
         "ngram_overlap_top20": q_ngram_overlap_top20,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_signatures": q_simhash_signatures,
@@ -747,6 +763,13 @@ SELECT vec_id, CAST(floor(cosine * 1e6) AS BIGINT) AS cosine_u,
 FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
         "bm25_wand_index": bm25_topk_sql("documents", FLAGSHIP_TERMS, k=10),
+        # suggester df = docs containing the term (distinct per doc), like
+        # the index's term_stats
+        "suggest": f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents)
+SELECT term, count(*) AS df FROM t WHERE term LIKE 's%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+""",
         "knn_query": f"""
 WITH q AS (SELECT [{", ".join(["1.0"] * 64)}]::DOUBLE[] AS qv),
 scored AS (

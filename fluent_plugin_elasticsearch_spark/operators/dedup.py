@@ -74,7 +74,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     hot-shingle filter while intersections are counted AFTER, so dropped
     boilerplate still inflates the union denominator — reported Jaccard is
     a slight UNDER-estimate for pairs containing hot shingles (recall-safe
-    for the ≥ threshold cut, never a false positive)."""
+    for the ≥ threshold cut, never a false positive).
+
+    Scale note: this is the EXACT-Jaccard path — at corpus scale run it on
+    a candidate subset (e.g. docs surfaced by minhash_lsh_pairs, the LSH
+    scale path) rather than the whole corpus: the shingle-level
+    intersection join grows with Σ c² over shingle buckets, which is the
+    cost exactness costs."""
     # persist at the fan-out: sh feeds sizes + hot + BOTH self-join sides —
     # without it the tokenize/shingle pipeline re-executes 4x (self-joins
     # get no ReusedExchange; measured 4x wall on the 600k corpus)

@@ -210,6 +210,19 @@ class InvertedIndex:
         local = blocks.groupBy("shard").applyInPandas(shard_phrase, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def suggest(self, prefix: str, k: int = 10) -> DataFrame:
+        """Completion suggester: top-k index terms with the given prefix,
+        ranked by document frequency (df desc, term asc). One scan of the
+        tiny term_stats table with StringStartsWith pushed to parquet
+        (term_stats is range-partitioned and sorted by term, so min/max
+        stats prune most files)."""
+        return (
+            self.term_stats()
+            .filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
     def search_with_urls(self, query_text: str, k: int = 10, mode: str = "wand") -> DataFrame:
         topk = self.search(query_text, k, mode)
         return (

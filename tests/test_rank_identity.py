@@ -116,3 +116,19 @@ def test_search_batch_matches_per_query(spark, index_dir, docs_tokens):
         assert [d for _, d, _ in got] == [d for d, _ in expected], qid
         for (_, _, score), (_, escore) in zip(got, expected):
             assert abs(score - escore) < 1e-9
+
+
+def test_suggest_prefix_completion(spark, index_dir, docs_tokens):
+    """Completion suggester: df-ranked prefix terms match a brute-force
+    recount over the tokenized corpus."""
+    idx = InvertedIndex(spark, index_dir)
+    got = [(r["term"], r["df"]) for r in idx.suggest("ba", 10).collect()]
+    from collections import Counter
+
+    df = Counter()
+    for toks in docs_tokens.values():
+        for t in set(toks):
+            if t.startswith("ba"):
+                df[t] += 1
+    expected = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expected and len(got) > 0
