@@ -701,7 +701,7 @@ FROM batch WHERE event_id NOT IN (SELECT event_id FROM target)
 """,
         "delete_by_query": """
 SELECT event_id, event_type, CAST(floor(value * 1e2) AS BIGINT) AS value_u
-FROM events WHERE NOT (event_type = 'error' OR value > 150)
+FROM events WHERE NOT coalesce(event_type = 'error' OR value > 150, FALSE)
 """,
         "update_by_query": """
 SELECT event_id, event_type,

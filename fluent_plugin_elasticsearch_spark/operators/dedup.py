@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..extraction import simple_tokens_col
+from .caching import pin
 
 
 def normalize_text_col(c):
@@ -84,7 +85,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     # persist at the fan-out: sh feeds sizes + hot + BOTH self-join sides —
     # without it the tokenize/shingle pipeline re-executes 4x (self-joins
     # get no ReusedExchange; measured 4x wall on the 600k corpus)
-    sh = shingles_df(docs, n, id_col, text_col).persist()
+    sh = pin(shingles_df(docs, n, id_col, text_col))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = sh.groupBy("shingle").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
     sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
@@ -111,7 +112,7 @@ def ngram_overlap_topk(docs: DataFrame, n: int = 2, k: int = 20,
     ngram_jaccard_pairs exposed as a standalone query, with the hot-shingle
     cap INTACT (this is the copy-paste-able form; never ship the uncapped
     join). Returns (id_a, id_b, inter) ordered (inter desc, id_a, id_b)."""
-    sh = shingles_df(docs, n, id_col, text_col).persist()  # hot + both join sides
+    sh = pin(shingles_df(docs, n, id_col, text_col))  # hot + both join sides
     hot = sh.groupBy("shingle").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
     sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
@@ -163,7 +164,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16, bands: 
     ]
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
-    ).persist()  # feeds hot-bucket count + BOTH self-join sides: without the
+    )
+    buckets = pin(buckets)  # feeds hot-bucket count + BOTH self-join sides: without the
     # persist the full signature aggregation re-executes 4x (no
     # ReusedExchange across self-join sides; measured 740s -> see COVERAGE)
     hot = buckets.groupBy("band", "bh").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
@@ -325,7 +327,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    bands = bands.persist()  # hot count + both self-join sides reuse one pass
+    bands = pin(bands)  # hot count + both self-join sides reuse one pass
     hot = bands.groupBy("band", "bh").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
     bands = bands.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")

@@ -259,8 +259,15 @@ def to_es_response(topk: DataFrame, index_name: str = "docs",
     hits = []
     for r in rows:
         d = r.asDict()
-        score = d.pop("score", d.pop("cosine", None))
-        _id = d.pop("doc_id", d.pop("vec_id", None))
+        # pop sequentially — d.pop("a", d.pop("b", None)) evaluates the
+        # default eagerly and would strip "b" from _source even when "a"
+        # exists (a row carrying both score and cosine lost its cosine)
+        score = d.pop("score", None)
+        if score is None:
+            score = d.pop("cosine", None)
+        _id = d.pop("doc_id", None)
+        if _id is None:
+            _id = d.pop("vec_id", None)
         hits.append({
             "_index": index_name,
             "_id": str(_id),

@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .caching import pin
 from pyspark.sql import types as T
 
 
@@ -215,8 +217,9 @@ def embedding_nneardup_pairs(embeddings: DataFrame, dim: int, threshold: float =
     LSH self-join candidates, exact cosine filter ≥ threshold."""
     cands = None
     for t in range(n_tables):
-        # persist: both self-join sides reuse one signature pass
-        sig = lsh_signatures(embeddings, dim, n_planes, seed + t, id_col, vec_col).persist()
+        # pin: both self-join sides reuse one signature pass (registry
+        # auto-evicts / release_pins() frees — see caching.py)
+        sig = pin(lsh_signatures(embeddings, dim, n_planes, seed + t, id_col, vec_col))
         a, b = sig.alias("a"), sig.alias("b")
         c = a.join(
             b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))

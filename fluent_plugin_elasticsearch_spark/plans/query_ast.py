@@ -99,22 +99,42 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
 
     if "knn" in body:
         # ES 8 kNN search body: {"knn": {"field": f, "query_vector": [...],
-        # "k": n}} → brute-force cosine top-k (similarity.cosine_topk plans
-        # TakeOrderedAndProject for the single query); at scale swap in the
-        # LSH/IVF variants behind the same contract.
+        # "k": n, "filter": {...}}} → brute-force cosine top-k
+        # (similarity.cosine_topk plans TakeOrderedAndProject for the single
+        # query); at scale swap in the LSH/IVF variants behind the same
+        # contract. The knn-level "filter" is ES's PRE-filter: compiled and
+        # applied to the candidate set before the top-k, so k survivors are
+        # returned. Hybrid knn+query score combination and explicit sort
+        # over knn hits are NOT implemented — raise instead of silently
+        # returning unfiltered/unsorted results.
+        if query:
+            raise UnsupportedQuery(
+                "knn combined with a query section (hybrid scoring) is not"
+                " supported; use knn.filter for pre-filtering")
+        if body.get("sort"):
+            raise UnsupportedQuery("knn results are score-ordered; explicit sort unsupported")
         from ..operators.similarity import cosine_topk
 
         spec = body["knn"]
         field, qv = spec["field"], [float(x) for x in spec["query_vector"]]
         k = int(spec.get("k", size or 10))
+        cand = docs
+        if spec.get("filter"):
+            cand = cand.filter(_compile_clause(spec["filter"]))
         spark = docs.sparkSession
         qdf = spark.createDataFrame([(0, qv)], f"query_id long, {field} array<double>")
-        emb = docs.withColumn(field, F.transform(field, lambda x: x.cast("double")))
+        emb = cand.withColumn(field, F.transform(field, lambda x: x.cast("double")))
         top = cosine_topk(emb, qdf, k=k, id_col="doc_id", vec_col=field)
-        return (
-            docs.join(F.broadcast(top.select(F.col("vec_id").alias("doc_id"), "cosine", "rank")), "doc_id")
+        out = (
+            cand.join(F.broadcast(top.select(F.col("vec_id").alias("doc_id"), "cosine", "rank")), "doc_id")
             .orderBy("rank")
         )
+        src = body.get("_source")
+        if src is False:
+            out = out.select("doc_id", "cosine", "rank")
+        elif isinstance(src, list):
+            out = out.select("doc_id", *[c for c in src if c != "doc_id"], "cosine", "rank")
+        return out
 
     if query and "match" in query:
         if index is None:

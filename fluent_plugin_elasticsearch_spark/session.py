@@ -14,11 +14,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Only honor a tmpfs-scratch opt-in when /dev/shm has this much free room —
+# below it, a big build's shuffle files would ENOSPC where /tmp would not.
+_TMPFS_MIN_FREE_BYTES = 24 * 1024**3
+
+
 def get_spark(
     app_name: str = "fluent_plugin_elasticsearch_spark",
     cores: int | str = "*",
     shuffle_partitions: int = 32,
     extra_conf: dict | None = None,
+    tmpfs_scratch: bool = False,
 ) -> SparkSession:
     # Make the package importable in Python workers regardless of cwd.
     # (Cluster deployment ships it via `spark-submit --py-files` instead —
@@ -50,14 +56,23 @@ def get_spark(
         # delta-gap+varint codec; zstd squeezes the parquet envelope)
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
-    # Shuffle/spill scratch on tmpfs when present: on this box every level
-    # of the scaling proxy shares ONE vda disk, so shuffle-file I/O is a
-    # constant that caps the N→4N ratio; RAM-disk scratch (SPARK_LOCAL_DIRS
-    # equivalent) is standard tuning for memory-rich nodes. Overridable via
-    # SPARK_GRAFT_LOCAL_DIR; falls back to the default /tmp when no tmpfs.
+    # Shuffle/spill scratch on tmpfs is OPT-IN only (SPARK_GRAFT_LOCAL_DIR
+    # env or tmpfs_scratch=True): tmpfs is typically capped at half of RAM
+    # and a large build spills 10-15 GB, so silently defaulting to /dev/shm
+    # can ENOSPC builds that would have succeeded on disk. The scaling
+    # benchmark (scripts/scaling.py) opts in explicitly; the path carries a
+    # per-uid suffix so multi-tenant boxes don't collide; and we require
+    # enough free tmpfs headroom before honoring the opt-in.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+    if local_dir is None and tmpfs_scratch and os.path.isdir("/dev/shm"):
+        cand = f"/dev/shm/spark-local-{os.getuid()}"
+        try:
+            st = os.statvfs("/dev/shm")
+            free_bytes = st.f_bavail * st.f_frsize
+        except OSError:
+            free_bytes = 0
+        if free_bytes >= _TMPFS_MIN_FREE_BYTES:
+            local_dir = cand
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():

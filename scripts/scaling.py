@@ -26,7 +26,7 @@ from fluent_plugin_elasticsearch_spark.operators.index_build import (
     build_index, build_compute_only, with_doc_id)
 
 cores, n_docs, corpus = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-spark = get_spark(app_name=f"scale{{cores}}", cores=cores, shuffle_partitions=2*cores)
+spark = get_spark(app_name=f"scale{{cores}}", cores=cores, shuffle_partitions=2*cores, tmpfs_scratch=True)
 docs = with_doc_id(spark.read.parquet(corpus), "url")
 docs.count()  # warm the scan (input materialization is not the engine)
 # JIT/worker warm-up: a small build first so the timed region measures
