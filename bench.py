@@ -45,7 +45,10 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
     from fluent_plugin_elasticsearch_spark.session import get_spark
 
     res = out if out is not None else {}
-    spark = get_spark(app_name=f"bench{cores}", cores=cores, shuffle_partitions=2 * cores)
+    # tmpfs scratch: explicit benchmark opt-in (library default is off;
+    # see session.py — the advisor flagged silent tmpfs redirection)
+    spark = get_spark(app_name=f"bench{cores}", cores=cores, shuffle_partitions=2 * cores,
+                      tmpfs_scratch=True)
 
     # --- corpus materialization (untimed: input generation, not the engine)
     from fluent_plugin_elasticsearch_spark.corpus import write_corpus_spark

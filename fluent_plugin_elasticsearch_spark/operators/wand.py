@@ -133,147 +133,210 @@ def score_shard_batch(pdf: pd.DataFrame, query_terms: dict[int, dict[str, float]
     )
 
 
-class _Cursor:
-    """Per-term posting cursor over compressed blocks (lazy block decode)."""
 
-    __slots__ = ("term", "idf", "blocks", "last_docs", "bi", "pos", "ids", "tfs", "dls",
-                 "ub", "avgdl", "k1", "b", "done")
+# Blocks gathered per essential term per scoring window. Small windows
+# refresh θ often (growing the non-essential set sooner); large windows
+# amortize the per-window fixed cost. 32 blocks = 4096 postings/term.
+NB_PER_TERM = 32
 
-    def __init__(self, term: str, idf: float, blocks: pd.DataFrame,
-                 avgdl: float, k1: float, b: float):
-        self.term, self.idf = term, idf
-        self.blocks = blocks.sort_values("first_doc").reset_index(drop=True)
-        self.last_docs = self.blocks["last_doc"].to_numpy(dtype=np.int64)
-        self.avgdl, self.k1, self.b = avgdl, k1, b
-        self.ub = idf * float(self.blocks["max_tfn"].max())  # global term UB
-        self.bi = -1
-        self.done = False
-        self._load(0)
+# When the non-essential terms hold less than this fraction of the remaining
+# postings, windowed pruning cannot pay for its own overhead — finish the
+# sweep with ONE exhaustive batch over the remaining range instead. Bounds
+# the worst case (all-head disjunctions, where nothing is prunable) at
+# roughly one exhaustive pass.
+NE_MIN_FRACTION = 0.2
 
-    def _load(self, bi: int) -> None:
-        if bi >= len(self.blocks):
-            self.done = True
-            return
-        if bi != self.bi:
-            row = self.blocks.iloc[bi]
-            n = int(row["n_docs"])
-            self.ids = delta_decode(row["docs_enc"], n).astype(np.int64)
-            self.tfs = varint_decode(row["tfs_enc"], n)
-            self.dls = varint_decode(row["dls_enc"], n)
-            self.bi = bi
-        self.pos = 0
+def _decode_selected(sel: np.ndarray, docs_enc: list, tfs_enc: list, dls_enc: list,
+                     nblk: np.ndarray, idf_blk: np.ndarray,
+                     avgdl: float, k1: float, b: float) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-decode a set of blocks (ascending global index = term-sorted
+    order) in ONE segmented pass: (doc_ids, bm25 contribution) arrays."""
+    from .codec import segmented_cumsum
 
-    @property
-    def doc(self) -> int:
-        return int(self.ids[self.pos])
-
-    def block_ub(self) -> float:
-        return self.idf * float(self.blocks["max_tfn"].iloc[self.bi])
-
-    def block_last(self) -> int:
-        return int(self.last_docs[self.bi])
-
-    def score_current(self) -> float:
-        tf = float(self.tfs[self.pos])
-        dl = float(self.dls[self.pos])
-        return self.idf * (self.k1 + 1.0) * tf / (
-            tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
-        )
-
-    def advance_to(self, target: int) -> None:
-        """Move to first doc >= target."""
-        if self.done:
-            return
-        if self.block_last() < target:
-            nbi = int(np.searchsorted(self.last_docs, target))
-            self._load(nbi)
-            if self.done:
-                return
-        p = int(np.searchsorted(self.ids[self.pos:], target)) + self.pos
-        if p >= self.ids.size:  # target beyond this block (only when block_last < target handled above)
-            self._load(self.bi + 1)
-        else:
-            self.pos = p
-
-    def next(self) -> None:
-        self.pos += 1
-        if self.pos >= self.ids.size:
-            self._load(self.bi + 1)
+    n_sel = nblk[sel]
+    total = int(n_sel.sum())
+    starts = np.concatenate([[0], np.cumsum(n_sel)[:-1]])
+    gaps = varint_decode(b"".join(docs_enc[bi] for bi in sel), total)
+    ids = segmented_cumsum(gaps, starts, n_sel).astype(np.int64)
+    tfs = varint_decode(b"".join(tfs_enc[bi] for bi in sel), total)
+    dls = varint_decode(b"".join(dls_enc[bi] for bi in sel), total)
+    con = np.repeat(idf_blk[sel], n_sel) * _tfn(tfs, dls, avgdl, k1, b)
+    return ids, con
 
 
 def score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
                      avgdl: float, k1: float, b: float) -> pd.DataFrame:
-    """Block-max WAND top-k for one shard. Scores are bit-compatible with
-    the exhaustive path (same per-term formula; per-doc sum in sorted-term
-    order)."""
-    cursors = [
-        _Cursor(term, idfs[term], sub, avgdl, k1, b)
-        for term, sub in pdf.groupby("term", sort=True)
-    ]
-    heap: list[tuple[float, int]] = []  # (score, doc_id), kept sorted desc-score
+    """Top-k BM25 for one shard with MaxScore/block-max pruning — fully
+    vectorized, block-at-a-time (the round-2 per-doc cursor DAAT loop's
+    Python constant set head-term latency; this kernel has no per-doc or
+    per-posting Python — every decode is one segmented numpy pass over the
+    window's selected blocks).
+
+    MaxScore term split (Turtle & Flood): with terms sorted by global upper
+    bound (idf × max block max_tfn) ascending, the maximal prefix whose
+    cumulative UB ≤ θ−EPS is NON-ESSENTIAL — a doc containing only those
+    terms cannot beat the running k-th score θ, so candidates come only
+    from the ESSENTIAL terms' postings. The shard is swept in doc-id order
+    in windows of ≤ NB_PER_TERM blocks per essential term:
+
+      1. batch-decode the window's essential blocks, union → candidates;
+      2. select non-essential blocks whose [first_doc, last_doc] contains a
+         candidate (block-max-style selective decode), batch-decode ALL
+         selected blocks in global (term-sorted) order, keep postings whose
+         doc is a candidate, one np.add.at accumulation;
+      3. merge into the running top-k, raise θ, recompute the term split.
+
+    When the split leaves under NE_MIN_FRACTION of the remaining postings
+    non-essential, pruning cannot win — the sweep finishes with a single
+    exhaustive batch over the rest (heads saturate θ in the first window,
+    so all-stopword disjunctions cost ≈ one exhaustive pass, not a windowed
+    crawl).
+
+    Scores are bit-compatible with the exhaustive path: selected blocks
+    decode in term-sorted order and each doc's postings live entirely
+    inside one window (blocks partition a term's postings by doc range;
+    windows partition the doc-id space), so each doc's floating-point sum
+    order is identical. Tie-safety: docs are scored in increasing doc_id
+    order, so a pruned doc that merely TIES θ would lose the (score desc,
+    doc_id asc) tie-break anyway — the split prunes at ≤ θ−EPS, strictly
+    below θ."""
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable").reset_index(drop=True)
+    firsts = pdf["first_doc"].to_numpy(dtype=np.int64)
+    lasts = pdf["last_doc"].to_numpy(dtype=np.int64)
+    nblk = pdf["n_docs"].to_numpy(dtype=np.int64)
+    idf_blk = pdf["term"].map(idfs).to_numpy(dtype=np.float64)
+    ub_blk = idf_blk * pdf["max_tfn"].to_numpy(dtype=np.float64)
+    docs_enc = pdf["docs_enc"].tolist()
+    tfs_enc = pdf["tfs_enc"].tolist()
+    dls_enc = pdf["dls_enc"].tolist()
+
+    # per-term contiguous block slices (pdf is term-sorted; within a term
+    # blocks are first_doc-sorted and non-overlapping)
+    codes = np.asarray(pd.factorize(pdf["term"])[0])
+    n_terms = int(codes[-1]) + 1
+    t_start = np.searchsorted(codes, np.arange(n_terms), side="left")
+    t_end = np.searchsorted(codes, np.arange(n_terms), side="right")
+    term_ub = np.array([ub_blk[t_start[t]:t_end[t]].max() for t in range(n_terms)])
+    ub_order = np.argsort(term_ub, kind="stable")  # ascending UB
+    ub_cum = np.cumsum(term_ub[ub_order])
+
+    best_ids = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float64)
     theta = -np.inf
 
-    def push(score: float, doc: int) -> None:
-        nonlocal theta
-        if len(heap) < k:
-            heap.append((score, doc))
-            if len(heap) == k:
-                heap.sort(key=lambda x: (-x[0], x[1]))
-                theta = heap[-1][0]
-        elif score > theta:
-            heap[-1] = (score, doc)
-            heap.sort(key=lambda x: (-x[0], x[1]))
-            theta = heap[-1][0]
+    def merge(cands: np.ndarray, scores: np.ndarray) -> None:
+        nonlocal best_ids, best_scores, theta
+        best_ids = np.concatenate([best_ids, cands])
+        best_scores = np.concatenate([best_scores, scores])
+        if best_ids.size >= k:
+            cand_i, cand_s = _topk_ties(best_ids, best_scores, k)
+            order = np.lexsort((cand_i, -cand_s))[:k]
+            best_ids, best_scores = cand_i[order], cand_s[order]
+            theta = best_scores[-1]
 
+    def score_range(sel: np.ndarray, lo: int, hi: int | None,
+                    cands: np.ndarray | None) -> None:
+        """Decode `sel` blocks, keep postings in [lo, hi) — hi=None means
+        unbounded (doc ids are arbitrary int64, so no sentinel is safe) —
+        and, when `cands` is given, only candidate docs; accumulate, merge."""
+        ids, con = _decode_selected(sel, docs_enc, tfs_enc, dls_enc, nblk,
+                                    idf_blk, avgdl, k1, b)
+        m = ids >= lo
+        if hi is not None:
+            m &= ids < hi
+        if cands is None:
+            u, inv = np.unique(ids[m], return_inverse=True)
+            sc = np.zeros(u.size, dtype=np.float64)
+            np.add.at(sc, inv, con[m])
+            merge(u, sc)
+            return
+        p = np.searchsorted(cands, ids)
+        np.clip(p, 0, cands.size - 1, out=p)
+        m &= cands[p] == ids
+        sc = np.zeros(cands.size, dtype=np.float64)
+        np.add.at(sc, p[m], con[m])
+        merge(cands, sc)
+
+    cur = int(firsts.min())
     while True:
-        active = [c for c in cursors if not c.done]
-        if not active:
+        ne = int(np.searchsorted(ub_cum, theta - EPS, side="right"))
+        ess = np.sort(ub_order[ne:])
+        if ess.size == 0:
+            break  # even all terms together cannot beat θ
+        # remaining blocks per term (those with last_doc >= cur)
+        rem_first = np.array([
+            int(t_start[t]) + int(np.searchsorted(lasts[t_start[t]:t_end[t]], cur))
+            for t in range(n_terms)
+        ])
+        rem_post = np.array([
+            int(nblk[rem_first[t]:t_end[t]].sum()) for t in range(n_terms)
+        ])
+        total_rem = int(rem_post.sum())
+        if total_rem == 0:
             break
-        active.sort(key=lambda c: c.doc)
-        # pivot: first prefix whose summed global UBs can beat theta
-        acc = 0.0
-        pivot_i = -1
-        for i, c in enumerate(active):
-            acc += c.ub
-            if acc > theta - EPS or len(heap) < k:
-                pivot_i = i
-                break
-        if pivot_i < 0:
-            break  # no prefix can beat theta — done
-        pivot_doc = active[pivot_i].doc
-
-        if active[0].doc == pivot_doc:
-            # sorted ascending + first == pivot ⇒ every cursor on pivot_doc
-            # is aligned (their current blocks contain pivot_doc). Include
-            # cursors beyond the pivot index that tie on the same doc.
-            involved = [c for c in active if c.doc == pivot_doc]
-            block_ub = sum(c.block_ub() for c in involved)
-            if len(heap) == k and block_ub <= theta - EPS:
-                # Block-max skip (BMW "NextShallow"): within the involved
-                # cursors' current blocks no doc can beat theta on these
-                # terms alone — but cap the jump at the next non-aligned
-                # cursor's doc, where an additional term starts contributing.
-                target = max(min(c.block_last() for c in involved) + 1, pivot_doc + 1)
-                rest = [c.doc for c in active if c.doc > pivot_doc]
-                if rest:
-                    target = min(target, min(rest))
-                for c in involved:
-                    c.advance_to(target)
+        ne_mask = np.ones(n_terms, dtype=bool)
+        ne_mask[ess] = False
+        ne_post = int(rem_post[ne_mask].sum())
+        if ne_post < NE_MIN_FRACTION * total_rem:
+            # pruning can't pay for itself — one exhaustive batch to finish
+            sel = np.concatenate([
+                np.arange(rem_first[t], t_end[t]) for t in range(n_terms)
+            ]).astype(np.int64)
+            if sel.size:
+                score_range(np.sort(sel), cur, None, None)
+            break
+        # window = next NB_PER_TERM blocks of each essential term; hi is the
+        # smallest bound through which every essential list is COMPLETE
+        hi: int | None = None
+        ess_sel: list[np.ndarray] = []
+        for t in ess:
+            b0, te = int(rem_first[t]), int(t_end[t])
+            if b0 >= te:
                 continue
-            # full score of pivot_doc (sorted-term order for determinism)
-            contribs = {c.term: c.score_current() for c in involved}
-            score = 0.0
-            for t in sorted(contribs):
-                score += contribs[t]
-            push(score, pivot_doc)
-            for c in involved:
-                c.next()
-        else:
-            # advance the lagging cursor with the smallest doc to pivot_doc
-            active[0].advance_to(pivot_doc)
-
-    heap.sort(key=lambda x: (-x[0], x[1]))
-    return pd.DataFrame(
-        {"doc_id": np.array([d for _, d in heap], dtype=np.int64),
-         "score": np.array([s for s, _ in heap], dtype=np.float64)}
-    )
+            b1 = min(b0 + NB_PER_TERM, te)
+            ess_sel.append(np.arange(b0, b1))
+            if b1 < te:
+                nxt = int(lasts[b1 - 1]) + 1
+                hi = nxt if hi is None else min(hi, nxt)
+        if not ess_sel:
+            break
+        sel_e = np.concatenate(ess_sel)
+        if hi is not None:
+            sel_e = sel_e[firsts[sel_e] < hi]
+        if sel_e.size == 0:
+            cur = hi
+            continue
+        e_ids, _ = _decode_selected(np.sort(sel_e), docs_enc, tfs_enc, dls_enc,
+                                    nblk, idf_blk, avgdl, k1, b)
+        em = e_ids >= cur
+        if hi is not None:
+            em &= e_ids < hi
+        cands = np.unique(e_ids[em])
+        if cands.size:
+            # non-essential blocks overlapping the window AND containing ≥1
+            # candidate (vectorized first/last check)
+            ne_sel: list[np.ndarray] = []
+            for t in ub_order[:ne]:
+                ts, te = int(rem_first[t]), int(t_end[t])
+                if hi is None:
+                    a1 = te
+                else:
+                    a1 = int(t_start[t]) + int(np.searchsorted(firsts[t_start[t]:t_end[t]], hi))
+                if ts >= a1:
+                    continue
+                blks = np.arange(ts, a1)
+                p = np.searchsorted(cands, firsts[blks])
+                ok = p < cands.size
+                ok[ok] &= cands[p[ok]] <= lasts[blks][ok]
+                if ok.any():
+                    ne_sel.append(blks[ok])
+            sel = np.sort(np.concatenate([sel_e] + ne_sel)) if ne_sel else np.sort(sel_e)
+            score_range(sel, cur, hi, cands)
+        if hi is None:
+            break  # every essential list was consumed to its end
+        cur = hi
+    order = np.lexsort((best_ids, -best_scores))[:k]
+    return pd.DataFrame({"doc_id": best_ids[order], "score": best_scores[order]})
