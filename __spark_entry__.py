@@ -461,6 +461,60 @@ def q_es_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["per_day"]
 
 
+def q_es_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES NESTED bucket agg (bucket-in-bucket): terms(event_type, size 3)
+    → date_histogram(day) with an avg leaf metric — compiled to ONE
+    two-key groupBy (plans/aggs.py:_compile_bucket_path); parent
+    doc_counts and the per-level size via windows over the aggregated
+    bucket rows. Flattened ES response: one row per leaf bucket, ordered
+    parent-first ES-style."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long")
+    )
+    out = compile_aggs(ev, {
+        "aggs": {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 3},
+                "aggs": {
+                    "per_day": {
+                        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                        "aggs": {"v_sum": {"sum": {"field": "value_u"}}},
+                    }
+                },
+            }
+        }
+    })["by_type"]
+    return out.select(
+        "by_type_key", "per_day_key", "doc_count",
+        F.col("v_sum").cast("long").alias("v_sum"), "by_type_doc_count",
+    )
+
+
+def q_es_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters agg: named filter buckets, each counting independently
+    (a doc may land in several buckets), with a sum sub-metric."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long")
+    )
+    out = compile_aggs(ev, {
+        "aggs": {
+            "slices": {
+                "filters": {"filters": {
+                    "errors": {"term": {"event_type": "error"}},
+                    "big": {"range": {"value": {"gte": 100}}},
+                    "clicks": {"term": {"event_type": "click"}},
+                }},
+                "aggs": {"v_sum": {"sum": {"field": "value_u"}}},
+            }
+        }
+    })["slices"]
+    return out.select("key", "doc_count", F.col("v_sum").cast("long").alias("v_sum"))
+
+
 def q_es_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percentiles agg — exact linear-interpolation quantiles (identical
     formula to DuckDB quantile_cont), quantized."""
@@ -616,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_ast_terms_prefix": q_query_ast_terms_prefix,
         "es_terms_agg": q_es_terms_agg,
         "es_date_histogram": q_es_date_histogram,
+        "es_nested_agg": q_es_nested_agg,
+        "es_filters_agg": q_es_filters_agg,
         "es_percentiles": q_es_percentiles,
         "es_top_hits": q_es_top_hits,
         "es_cardinality": q_es_cardinality,
@@ -880,6 +936,35 @@ ORDER BY doc_count DESC, key ASC LIMIT 10
 SELECT date_trunc('day', ts) AS key, count(*) AS doc_count
 FROM events WHERE value >= 10 GROUP BY 1
 ORDER BY doc_count DESC, key ASC
+""",
+        "es_nested_agg": """
+WITH leaf AS (
+  SELECT event_type AS by_type_key, date_trunc('day', ts) AS per_day_key,
+         count(*) AS doc_count,
+         CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum
+  FROM events GROUP BY 1, 2
+), parent AS (
+  SELECT *, CAST(sum(doc_count) OVER (PARTITION BY by_type_key) AS BIGINT) AS by_type_doc_count
+  FROM leaf
+), ranked AS (
+  SELECT *, dense_rank() OVER (ORDER BY by_type_doc_count DESC, by_type_key ASC) AS pr
+  FROM parent
+)
+SELECT by_type_key, per_day_key, doc_count, v_sum, by_type_doc_count
+FROM ranked WHERE pr <= 3
+ORDER BY by_type_doc_count DESC, by_type_key ASC, doc_count DESC, per_day_key ASC
+""",
+        "es_filters_agg": """
+SELECT 'big' AS key, count(*) AS doc_count,
+       CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum
+FROM events WHERE value >= 100
+UNION ALL
+SELECT 'clicks', count(*), CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT)
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'errors', count(*), CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT)
+FROM events WHERE event_type = 'error'
+ORDER BY key ASC
 """,
         "es_percentiles": """
 SELECT CAST(floor(quantile_cont(value, 0.5) * 1e6) AS BIGINT) AS v_p50_u,

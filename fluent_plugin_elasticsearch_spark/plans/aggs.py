@@ -98,11 +98,106 @@ def _metric_cols(aggs: dict[str, Any]) -> list[Column]:
     return cols
 
 
+_BUCKET_KINDS = ("terms", "date_histogram", "histogram")
+
+
+def _compile_bucket_path(base: DataFrame, name: str, spec: dict[str, Any]) -> DataFrame:
+    """Compile one bucket agg, possibly with NESTED bucket sub-aggs
+    (terms inside date_histogram inside terms, …), to ONE multi-key
+    groupBy over the leaf path — the flattened-bucket-tree plan: a single
+    shuffle on the composite bucket key regardless of depth, then window
+    functions over the (already tiny) aggregated bucket rows for parent
+    doc_counts, per-level `size` and ES bucket ordering.
+
+    Output columns: `<level>_key` per bucket level, `doc_count` (leaf),
+    `<level>_doc_count` per NON-leaf level, plus leaf metric columns.
+    Rows are ordered ES-style — each level by (its doc_count desc, key
+    asc) within its parent — and each level's `size` keeps its top-N
+    buckets (dense_rank over bucket totals: every row of a bucket shares
+    the rank, so whole subtrees survive or drop together; parent counts
+    are computed before any size cut, matching ES which counts ALL docs in
+    a bucket regardless of how many child buckets are returned)."""
+    from pyspark.sql import Window
+
+    levels: list[tuple[str, Column, int | None]] = []
+    metrics: dict[str, Any] = {}
+    cur_name, cur_spec = name, spec
+    while True:
+        sub = cur_spec.get("aggs")
+        ((kind, inner),) = ((k, v) for k, v in cur_spec.items() if k != "aggs")
+        if kind not in _BUCKET_KINDS:
+            raise UnsupportedQuery(f"unsupported bucket agg: {kind}")
+        key_name = f"{cur_name}_key"
+        size = inner.get("size")
+        levels.append((cur_name, _bucket_key(kind, inner).alias(key_name),
+                       int(size) if size else None))
+        if not sub:
+            break
+        bucket_subs = {
+            n: s for n, s in sub.items()
+            if next(iter(k for k in s if k != "aggs")) in _BUCKET_KINDS
+        }
+        metric_subs = {n: s for n, s in sub.items() if n not in bucket_subs}
+        if len(bucket_subs) > 1:
+            raise UnsupportedQuery(
+                "at most one nested bucket agg per level (issue sibling"
+                " buckets as separate top-level aggs)")
+        if bucket_subs:
+            if metric_subs:
+                raise UnsupportedQuery(
+                    "metrics alongside a nested bucket are unsupported —"
+                    " attach metrics to the leaf or issue a separate agg")
+            ((cur_name, cur_spec),) = bucket_subs.items()
+            continue
+        metrics = metric_subs
+        break
+
+    keys = [lv[1] for lv in levels]
+    key_names = [f"{lv[0]}_key" for lv in levels]
+    df = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("doc_count"), *_metric_cols(metrics)
+    )
+    if len(levels) == 1:  # historical single-level shape: key/doc_count,
+        # TakeOrderedAndProject instead of a single-partition window
+        df = df.withColumnRenamed(key_names[0], "key")
+        df = df.orderBy(F.desc("doc_count"), F.asc("key"))
+        if levels[0][2]:
+            df = df.limit(levels[0][2])
+        return df
+    # parent doc_counts + per-level size, shallow → deep (a size cut drops
+    # whole subtrees, so deeper counts computed later are unaffected)
+    for depth, (lname, _, size) in enumerate(levels):
+        prefix = key_names[:depth]
+        if depth < len(levels) - 1:
+            cnt_col = f"{lname}_doc_count"
+            df = df.withColumn(
+                cnt_col,
+                F.sum("doc_count").over(Window.partitionBy(*prefix, key_names[depth])),
+            )
+        else:
+            cnt_col = "doc_count"
+        if size:
+            rw = Window.partitionBy(*prefix).orderBy(
+                F.col(cnt_col).desc(), F.col(key_names[depth]).asc())
+            df = (
+                df.withColumn("__rank", F.dense_rank().over(rw))
+                .filter(F.col("__rank") <= size)
+                .drop("__rank")
+            )
+    order: list[Column] = []
+    for depth, (lname, _, _) in enumerate(levels):
+        cnt = "doc_count" if depth == len(levels) - 1 else f"{lname}_doc_count"
+        order += [F.col(cnt).desc(), F.col(key_names[depth]).asc()]
+    return df.orderBy(*order)
+
+
 def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
     """Compile the body's `aggs` over docs (after its `query` filter).
     Returns {agg_name: DataFrame} — bucket aggs yield (key, doc_count,
-    <sub-metrics...>) ordered (doc_count desc, key asc); top-level metric
-    aggs yield a single row."""
+    <sub-metrics...>) ordered (doc_count desc, key asc), nested bucket
+    aggs a flattened (<level>_key..., doc_count, <level>_doc_count...,
+    metrics) frame (see _compile_bucket_path); top-level metric aggs a
+    single row; `filters` aggs one row per named filter."""
     out: dict[str, DataFrame] = {}
     base = docs
     query = body.get("query")
@@ -111,17 +206,24 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
     for name, spec in (body.get("aggs") or {}).items():
         sub = spec.get("aggs")
         ((kind, inner),) = ((k, v) for k, v in spec.items() if k != "aggs")
-        if kind in ("terms", "date_histogram", "histogram"):
-            key = _bucket_key(kind, inner).alias("key")
-            aggs_cols = [F.count(F.lit(1)).alias("doc_count")]
-            if sub:
-                aggs_cols += _metric_cols(sub)
-            df = base.groupBy(key).agg(*aggs_cols)
-            df = df.orderBy(F.desc("doc_count"), F.asc("key"))
-            size = inner.get("size")
-            if size:
-                df = df.limit(int(size))
-            out[name] = df
+        if kind in _BUCKET_KINDS:
+            out[name] = _compile_bucket_path(base, name, spec)
+        elif kind == "filters":
+            # ES filters agg: {"filters": {"filters": {name: clause, ...}}}
+            # — a doc may land in SEVERAL buckets (each filter counts
+            # independently), so this is a union of small aggregates, not a
+            # groupBy. Deterministic bucket order: key asc.
+            parts = []
+            for fname in sorted(inner["filters"]):
+                clause = inner["filters"][fname]
+                agg = base.filter(_compile_clause(clause)).agg(
+                    F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {})
+                )
+                parts.append(agg.select(F.lit(fname).alias("key"), "*"))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            out[name] = df.orderBy(F.asc("key"))
         elif kind in ("stats", "percentiles", "cardinality") or kind in _METRICS:
             out[name] = base.agg(*_metric_cols({name: {kind: inner}}))
         else:

@@ -109,3 +109,93 @@ def test_cardinality_exact_and_approx(events):
     assert out["c"].collect()[0]["c"] == 3
     out2 = compile_aggs(events, {"aggs": {"c": {"cardinality": {"field": "event_type", "approximate": True}}}})
     assert out2["c"].collect()[0]["c"] == 3  # HLL++ exact at tiny cardinality
+
+
+def test_nested_bucket_agg(events):
+    """terms → date_histogram nesting: one flattened row per leaf bucket,
+    parent doc_count = sum of its leaves, ES ordering parent-first."""
+    out = compile_aggs(events, {
+        "aggs": {"t": {
+            "terms": {"field": "event_type"},
+            "aggs": {"d": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"v_sum": {"sum": {"field": "value"}}},
+            }},
+        }}
+    })["t"]
+    rows = out.collect()
+    assert set(out.columns) == {"t_key", "d_key", "doc_count", "v_sum", "t_doc_count"}
+    # parent count consistency
+    by_parent = {}
+    for r in rows:
+        by_parent.setdefault(r["t_key"], []).append(r)
+    for key, grp in by_parent.items():
+        assert all(r["t_doc_count"] == sum(g["doc_count"] for g in grp) for r in grp)
+    # ordering: parent blocks contiguous, parent count desc then key asc
+    parent_seq = []
+    for r in rows:
+        if not parent_seq or parent_seq[-1][0] != r["t_key"]:
+            parent_seq.append((r["t_key"], r["t_doc_count"]))
+    assert parent_seq == sorted(parent_seq, key=lambda p: (-p[1], p[0]))
+    # within parent: leaf doc_count desc then key asc
+    for key, grp in by_parent.items():
+        assert grp == sorted(grp, key=lambda r: (-r["doc_count"], r["d_key"]))
+
+
+def test_nested_bucket_size_keeps_whole_subtrees(events):
+    out = compile_aggs(events, {
+        "aggs": {"t": {
+            "terms": {"field": "event_type", "size": 2},
+            "aggs": {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+        }}
+    })["t"]
+    rows = out.collect()
+    parents = {r["t_key"] for r in rows}
+    assert parents == {"click", "error"}  # 100/100/100 tie → key asc picks first two
+    # every surviving parent keeps ALL its day buckets (4 days in fixture)
+    for p in parents:
+        assert len([r for r in rows if r["t_key"] == p]) == 4
+
+
+def test_nested_child_size_is_per_parent(events):
+    out = compile_aggs(events, {
+        "aggs": {"t": {
+            "terms": {"field": "event_type"},
+            "aggs": {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day",
+                                              "size": 2}}},
+        }}
+    })["t"]
+    rows = out.collect()
+    by_parent = {}
+    for r in rows:
+        by_parent.setdefault(r["t_key"], []).append(r)
+    assert all(len(g) == 2 for g in by_parent.values())
+
+
+def test_nested_intermediate_metric_raises(events):
+    with pytest.raises(UnsupportedQuery, match="leaf"):
+        compile_aggs(events, {
+            "aggs": {"t": {
+                "terms": {"field": "event_type"},
+                "aggs": {
+                    "v": {"avg": {"field": "value"}},
+                    "d": {"date_histogram": {"field": "ts", "calendar_interval": "day"}},
+                },
+            }}
+        })
+
+
+def test_filters_agg_buckets(events):
+    out = compile_aggs(events, {
+        "aggs": {"f": {
+            "filters": {"filters": {
+                "clicks": {"term": {"event_type": "click"}},
+                "big": {"range": {"value": {"gte": 25}}},
+            }},
+            "aggs": {"v_sum": {"sum": {"field": "value"}}},
+        }}
+    })["f"]
+    rows = {r["key"]: r for r in out.collect()}
+    assert set(rows) == {"clicks", "big"}
+    assert rows["clicks"]["doc_count"] == 100
+    assert rows["big"]["doc_count"] == 150  # values 25..49 of 0..49 cycle
