@@ -51,6 +51,28 @@ def q_bm25_topk_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25.bm25_topk_df(_read(spark, sf_dir, "documents"), BM25_TERMS_2, k=10)
 
 
+def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match best_fields over (text, source): per-field BM25
+    statistics, per-doc MAX of quantized field scores (Lucene DisMax)."""
+    return _bm25.multi_match_df(
+        _read(spark, sf_dir, "documents"), ["fast", "table", "src1"],
+        ["text", "source"], k=10, match_type="best_fields")
+
+
+def q_multi_match_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match most_fields: SUM of per-field scores."""
+    return _bm25.multi_match_df(
+        _read(spark, sf_dir, "documents"), ["fast", "table", "src1"],
+        ["text", "source"], k=10, match_type="most_fields")
+
+
+def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query_string-lite: boolean AND/OR gate + BM25 scoring over the
+    unique terms (corpus-global df, like the ES bool-of-match compile)."""
+    return _bm25.query_string_df(
+        _read(spark, sf_dir, "documents"), "fast AND table OR window", k=10)
+
+
 def q_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 extension — ES match_phrase with Lucene PhraseQuery scoring
     (tf = exact adjacent phrase frequency, idf = Σ constituent idfs)."""
@@ -634,6 +656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_topk_mixed": q_bm25_topk_mixed,
+        "multi_match": q_multi_match,
+        "multi_match_most_fields": q_multi_match_most_fields,
+        "query_string": q_query_string,
         "match_phrase": q_match_phrase,
         "ids_query": q_ids_query,
         "scan_page": q_scan_page,
@@ -690,6 +715,8 @@ def oracle_sql() -> dict[str, str]:
     from fluent_plugin_elasticsearch_spark.operators.bm25 import (
         bm25_topk_sql,
         match_phrase_sql,
+        multi_match_sql,
+        query_string_sql,
     )
 
     ids_list = ", ".join(str(i) for i in IDS_SET)
@@ -697,6 +724,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_topk_sql("documents", FLAGSHIP_TERMS, k=10),
         "bm25_topk_mixed": bm25_topk_sql("documents", BM25_TERMS_2, k=10),
         "match_phrase": match_phrase_sql("documents", PHRASE, k=10),
+        "multi_match": multi_match_sql(
+            "documents", ["fast", "table", "src1"], ["text", "source"],
+            k=10, match_type="best_fields"),
+        "multi_match_most_fields": multi_match_sql(
+            "documents", ["fast", "table", "src1"], ["text", "source"],
+            k=10, match_type="most_fields"),
+        "query_string": query_string_sql("documents", "fast AND table OR window", k=10),
         "ids_query": f"SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN ({ids_list})",
         "scan_page": "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id > 100 ORDER BY doc_id LIMIT 50",
         "sorted_scan_desc": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20",

@@ -217,3 +217,255 @@ GROUP BY doc_id
 ORDER BY score_u DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_scores_df(docs: DataFrame, query_terms: list[str],
+                   id_col: str = "doc_id", text_col: str = "text",
+                   k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """All matching docs' quantized BM25 scores (doc_id, score_u) for one
+    field — the un-truncated core of bm25_topk_df, reused by multi_match.
+    Same order-deterministic term-asc fold and floor(×1e6) quantization."""
+    terms = sorted(set(query_terms))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    base = toks.select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
+    tfq = (
+        base.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tfq.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (k1 + 1.0)
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+        .select(
+            "doc_id",
+            F.floor(
+                F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["contrib"]) * 1e6
+            ).cast("long").alias("score_u"),
+        )
+    )
+
+
+def multi_match_df(docs: DataFrame, query_terms: list[str], fields: list[str],
+                   k: int = 10, match_type: str = "best_fields",
+                   id_col: str = "doc_id",
+                   k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES `multi_match` over several text columns: per-field BM25 (each
+    field has its OWN df/avgdl statistics, like per-field Lucene indexes),
+    combined per doc — `best_fields` takes the MAX field score (Lucene
+    DisMax, tie_breaker 0), `most_fields` SUMS them. Combination happens on
+    the already-quantized per-field integers, so the result is
+    order-free-exact and the DuckDB mirror (multi_match_sql) agrees
+    bit-for-bit. Returns (doc_id, score_u), tie (score desc, doc_id asc).
+
+    Plan shape: one tokenize+aggregate pipeline per field (k fields = k
+    parallel aggregations over the same scan — Catalyst caches the scan),
+    then a full outer join on doc_id of k tiny (matched docs only) score
+    tables. Reference context: the plugin forwards query bodies verbatim
+    (in_elasticsearch.rb:94-99); this implements the ES-side semantics."""
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"unsupported multi_match type: {match_type}")
+    per = []
+    for i, f in enumerate(fields):
+        s = bm25_scores_df(docs, query_terms, id_col, f, k1, b)
+        per.append(s.withColumnRenamed("score_u", f"s_{i}"))
+    joined = per[0]
+    for p in per[1:]:
+        joined = joined.join(p, "doc_id", "full_outer")
+    parts = [F.coalesce(F.col(f"s_{i}"), F.lit(0)) for i in range(len(fields))]
+    if match_type == "best_fields":
+        comb = F.greatest(*parts) if len(parts) > 1 else parts[0]
+    else:
+        comb = parts[0]
+        for p in parts[1:]:
+            comb = comb + p
+    return (
+        joined.select("doc_id", comb.cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def multi_match_sql(table: str, query_terms: list[str], fields: list[str],
+                    k: int = 10, match_type: str = "best_fields",
+                    id_col: str = "doc_id",
+                    k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of multi_match_df (same per-field pipeline as
+    bm25_topk_sql, combined on quantized integers)."""
+    terms = sorted(set(query_terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    ctes = []
+    for i, f in enumerate(fields):
+        ctes.append(f"""
+f{i}_toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower({f}), '[^a-z0-9]+'),
+                     t -> t <> '') AS tokens
+  FROM {table}
+),
+f{i}_stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM f{i}_toks),
+f{i}_tfq AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM f{i}_toks
+  ) WHERE term IN ({in_list}) GROUP BY doc_id, dl, term
+),
+f{i}_dfq AS (SELECT term, count(*) AS df FROM f{i}_tfq GROUP BY term),
+f{i}_scores AS (
+  SELECT doc_id,
+         CAST(floor(list_sum(list(contrib ORDER BY term)) * 1e6) AS BIGINT) AS s_{i}
+  FROM (
+    SELECT t.doc_id, t.term,
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * {k1 + 1.0} * t.tf
+             / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl)) AS contrib
+    FROM f{i}_tfq t JOIN f{i}_dfq d USING (term) CROSS JOIN f{i}_stats s
+  ) GROUP BY doc_id
+)""")
+    join = "f0_scores"
+    for i in range(1, len(fields)):
+        join += f" FULL OUTER JOIN f{i}_scores USING (doc_id)"
+    parts = [f"coalesce(s_{i}, 0)" for i in range(len(fields))]
+    comb = f"greatest({', '.join(parts)})" if match_type == "best_fields" else " + ".join(parts)
+    return f"""
+WITH {', '.join(ctes)}
+SELECT doc_id, CAST({comb} AS BIGINT) AS score_u
+FROM {join}
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def parse_query_string(q: str) -> list[list[str]]:
+    """query_string-lite grammar: terms separated by OR form alternative
+    groups; AND (or plain whitespace) separates terms within a group; no
+    parentheses, phrases or wildcards. Returns OR-of-AND groups of
+    tokenized terms."""
+    import re as _re
+
+    from ..textproc import tokenize_simple
+
+    groups = []
+    for disj in _re.split(r"\s+OR\s+", q.strip()):
+        terms: list[str] = []
+        for conj in _re.split(r"\s+AND\s+", disj):
+            terms += tokenize_simple(conj)
+        if terms:
+            groups.append(terms)
+    return groups
+
+
+def query_string_df(docs: DataFrame, query: str, k: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES `query_string`-lite: the boolean structure GATES matching (a doc
+    qualifies iff some OR-group has ALL its terms present), the score is
+    the standard BM25 sum over every unique query term the doc contains —
+    ES compiles query_string to a bool of match clauses with exactly this
+    shape. df statistics stay corpus-global (ES semantics), the boolean
+    gate is a token-array membership filter pushed into the same scan.
+    Returns (doc_id, score_u), tie (score desc, doc_id asc)."""
+    groups = parse_query_string(query)
+    if not groups:
+        raise ValueError("empty query_string")
+    uniq = sorted({t for g in groups for t in g})
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    cond = F.lit(False)
+    for g in groups:
+        gc = F.lit(True)
+        for t in g:
+            gc = gc & F.array_contains("tokens", t)
+        cond = cond | gc
+    matched = toks.filter(cond).select("doc_id")
+    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    base = toks.select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
+    tfq = (
+        base.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tfq.join(matched, "doc_id", "left_semi")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (k1 + 1.0)
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+        .select(
+            "doc_id",
+            F.floor(
+                F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["contrib"]) * 1e6
+            ).cast("long").alias("score_u"),
+        )
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def query_string_sql(table: str, query: str, k: int = 10,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of query_string_df."""
+    groups = parse_query_string(query)
+    uniq = sorted({t for g in groups for t in g})
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    in_list = ", ".join(lit(t) for t in uniq)
+    cond = " OR ".join(
+        "(" + " AND ".join(f"list_contains(tokens, {lit(t)})" for t in g) + ")"
+        for g in groups
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+'),
+                     t -> t <> '') AS tokens
+  FROM {table}
+),
+matched AS (SELECT doc_id FROM toks WHERE {cond}),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+base AS (SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM toks),
+tfq AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM base WHERE term IN ({in_list})
+  GROUP BY doc_id, dl, term
+),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+scored AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * {k1 + 1.0} * t.tf
+           / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl)) AS contrib
+  FROM tfq t JOIN dfq d USING (term) CROSS JOIN stats s
+  WHERE t.doc_id IN (SELECT doc_id FROM matched)
+)
+SELECT doc_id,
+       CAST(floor(list_sum(list(contrib ORDER BY term)) * 1e6) AS BIGINT) AS score_u
+FROM scored
+GROUP BY doc_id
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""

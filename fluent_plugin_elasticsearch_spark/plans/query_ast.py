@@ -146,6 +146,30 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score"), F.asc("doc_id")
         )
 
+    if query and "multi_match" in query:
+        # self-contained DataFrame scorer (per-field BM25 statistics) — no
+        # inverted index needed; see operators/bm25.multi_match_df
+        from ..operators.bm25 import multi_match_df
+        from ..textproc import tokenize_simple
+
+        spec = query["multi_match"]
+        terms = tokenize_simple(spec["query"])
+        topk = multi_match_df(docs, terms, list(spec["fields"]), k=size or 10,
+                              match_type=spec.get("type", "best_fields"))
+        return docs.join(F.broadcast(topk), "doc_id").orderBy(
+            F.desc("score_u"), F.asc("doc_id")
+        )
+
+    if query and "query_string" in query:
+        from ..operators.bm25 import query_string_df
+
+        spec = query["query_string"]
+        field = spec.get("default_field", "text")
+        topk = query_string_df(docs, spec["query"], k=size or 10, text_col=field)
+        return docs.join(F.broadcast(topk), "doc_id").orderBy(
+            F.desc("score_u"), F.asc("doc_id")
+        )
+
     if query and "match_phrase" in query:
         if index is None:
             raise UnsupportedQuery("match_phrase query needs an InvertedIndex")

@@ -235,3 +235,57 @@ def test_es_response_envelope(spark, index_dir):
     assert resp["hits"]["max_score"] == hits[0]["_score"]
     assert all(h["_index"] == "webtext" and h["_id"].isdigit() for h in hits)
     assert [h["_score"] for h in hits] == sorted((h["_score"] for h in hits), reverse=True)
+
+
+@pytest.fixture(scope="module")
+def text_docs(spark):
+    rows = [
+        Row(doc_id=0, text="fast table scan", source="alpha site"),
+        Row(doc_id=1, text="slow join", source="fast mirror"),
+        Row(doc_id=2, text="window agg fast", source="beta"),
+        Row(doc_id=3, text="nothing here", source="gamma"),
+        Row(doc_id=4, text="fast fast table", source="fast alpha"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_multi_match_best_vs_most(text_docs):
+    from fluent_plugin_elasticsearch_spark.operators.bm25 import multi_match_df
+
+    best = {r["doc_id"]: r["score_u"]
+            for r in multi_match_df(text_docs, ["fast"], ["text", "source"],
+                                    k=10, match_type="best_fields").collect()}
+    most = {r["doc_id"]: r["score_u"]
+            for r in multi_match_df(text_docs, ["fast"], ["text", "source"],
+                                    k=10, match_type="most_fields").collect()}
+    # doc 4 matches in BOTH fields: most_fields sums, best_fields takes max
+    assert most[4] > best[4]
+    # doc 1 matches only in source; doc 3 matches nowhere
+    assert 1 in best and 3 not in best
+    # single-field matchers identical under both types
+    assert best[1] == most[1]
+
+
+def test_query_string_gate_and_score(text_docs):
+    from fluent_plugin_elasticsearch_spark.operators.bm25 import query_string_df
+
+    # 'fast AND table' → docs 0 and 4 only; 'OR join' admits doc 1
+    got = {r["doc_id"] for r in
+           query_string_df(text_docs, "fast AND table", k=10).collect()}
+    assert got == {0, 4}
+    got2 = {r["doc_id"] for r in
+            query_string_df(text_docs, "fast AND table OR join", k=10).collect()}
+    assert got2 == {0, 1, 4}
+
+
+def test_compile_query_routes_multi_match_and_query_string(text_docs):
+    out = compile_query(text_docs, {
+        "query": {"multi_match": {"query": "fast table", "fields": ["text", "source"]}},
+        "size": 3,
+    })
+    rows = out.collect()
+    assert len(rows) == 3 and "score_u" in out.columns
+    out2 = compile_query(text_docs, {
+        "query": {"query_string": {"query": "fast AND table"}}, "size": 10,
+    })
+    assert {r["doc_id"] for r in out2.collect()} == {0, 4}
