@@ -46,6 +46,7 @@ onto an Iceberg table partitioned by ``shard``):
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
@@ -70,6 +71,11 @@ PARTIAL_SCHEMA = (
     "docs_enc binary, tfs_enc binary, dls_enc binary"
 )
 N_TERM_BUCKETS = 64  # phase-2 merge granularity within a shard
+
+# Conservative in-task footprint per corpus token in a phase-1 pandas group
+# (per-doc tf-map entries: object header + short string + two ints). Used
+# only for the group-memory warning, never for allocation.
+PHASE1_BYTES_PER_TOKEN = 64
 BLOCK_SCHEMA = (
     "shard int, term string, block_id int, n_docs int, first_doc long, "
     "last_doc long, docs_enc binary, tfs_enc binary, dls_enc binary, max_tfn double"
@@ -314,6 +320,7 @@ def build_index(
     input_partitions: int | None = None,
     on_batch_done=None,
     with_positions: bool = False,
+    max_group_bytes: int = 2 * 1024**3,
 ) -> dict:
     """Build the full index at ``out_dir``. ``shard_batches>1`` splits the
     build into resumable per-shard-group jobs (manifest-checkpointed); a
@@ -388,6 +395,31 @@ def build_index(
             F.min("doc_id").alias("min_id"),
         ).collect()[0].asDict()
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    # --- phase-1 group-memory guard -------------------------------------
+    # Phase 1 materializes one (shard, salt) group per applyInPandas task:
+    # ~corpus/(n_shards·n_salts) of per-doc tf-map entries live in that
+    # task's pandas frame at once. SIZING RULE the caller must satisfy:
+    #     n_shards · n_salts ≥ total_tokens × PHASE1_BYTES_PER_TOKEN
+    #                          / target_group_bytes
+    # (defaults 8×8 are sandbox-scale; the 600k-doc bench uses 64×8; at
+    # 10^12 docs size n_shards·n_salts so a group stays under executor
+    # memory). We estimate from the Observation-carried token count and
+    # WARN rather than fail — the estimate is intentionally conservative
+    # (every token counted as a distinct map entry).
+    est_group_bytes = (
+        int(stats["total_tokens"]) * PHASE1_BYTES_PER_TOKEN / (n_shards * n_salts)
+    )
+    if est_group_bytes > max_group_bytes:
+        import warnings
+
+        need = math.ceil(int(stats["total_tokens"]) * PHASE1_BYTES_PER_TOKEN / max_group_bytes)
+        warnings.warn(
+            f"phase-1 group estimate ~{est_group_bytes / 1e9:.1f} GB exceeds "
+            f"max_group_bytes={max_group_bytes / 1e9:.1f} GB: raise n_shards*n_salts "
+            f"to >= {need} (currently {n_shards * n_salts}) or tasks may OOM",
+            ResourceWarning,
+            stacklevel=2,
+        )
     if stats["min_id"] is not None and int(stats["min_id"]) < 0:
         # codec stores uint64 gaps; signed/unsigned order must agree for
         # rank-identical tie-breaks — derive ids via with_doc_id() instead

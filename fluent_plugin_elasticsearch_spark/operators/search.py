@@ -29,28 +29,55 @@ _TOKENIZE = {"unicode": tokenize_unicode, "simple": tokenize_simple, "simple_udf
 
 TOPK_SCHEMA = "doc_id long, score double"
 
-# Below this many postings (per shard, query terms only) the vectorized
-# exhaustive decode beats the WAND DAAT loop: the Python-loop constant of
-# cursor pivoting dominates exactly when there is little to skip. Both
-# paths are rank-identical (property-tested), so the fallback is purely a
-# latency decision.
+# Below this many postings (per shard, query terms only) the one-pass
+# exhaustive decode beats the windowed MaxScore sweep: with nothing to
+# skip, the sweep's per-window fixed cost is pure overhead. Both paths are
+# rank-identical (property-tested), so the fallback is purely a latency
+# decision.
 WAND_FALLBACK_POSTINGS = 16384
 
 
 class InvertedIndex:
-    def __init__(self, spark: SparkSession, path: str, cache_term_stats: bool = False):
+    def __init__(self, spark: SparkSession, path: str,
+                 cache_term_stats: bool | str = False):
+        """``cache_term_stats``: opt-in term→df cache — one parquet read at
+        open time saves one Spark job per query.
+
+        * ``True`` — plain driver dict. A Python str→int dict costs
+          ~100-200 B/entry, so this holds to ~10^6–10^7 terms (hundreds of
+          MB of driver heap); beyond that leave it off (per-query pruned
+          lookup) or use "broadcast".
+        * ``"broadcast"`` — the map lives in a Spark broadcast variable:
+          one torrent-distributed, MEMORY_AND_DISK-backed copy in the block
+          manager (spill-able, shared by every query and executor) instead
+          of raw driver heap; same lookup API via ``.value``.
+        * ``False`` (default) — per-query pruned term_stats lookup; the
+          right mode for vocabularies that shouldn't live in one process."""
         self.spark = spark
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
-        # opt-in driver-side term→df cache: one parquet read at open time,
-        # saves one Spark job per query. Fits comfortably for ≤ ~10^8 terms;
-        # at larger vocabularies leave off (per-query pruned lookup instead).
         self._df_cache: dict[str, int] | None = None
+        self._df_cache_bc = None
         if cache_term_stats:
-            self._df_cache = {
-                r["term"]: int(r["df"]) for r in self.term_stats().collect()
-            }
+            m = {r["term"]: int(r["df"]) for r in self.term_stats().collect()}
+            if cache_term_stats == "broadcast":
+                self._df_cache_bc = spark.sparkContext.broadcast(m)
+            else:
+                self._df_cache = m
+
+    def _lookup_dfs(self, terms: list[str]) -> dict[str, int]:
+        """term→df for the query terms, from whichever cache mode is on
+        (falling back to a pruned parquet lookup)."""
+        if self._df_cache is not None:
+            return {t: self._df_cache[t] for t in terms if t in self._df_cache}
+        if self._df_cache_bc is not None:
+            m = self._df_cache_bc.value
+            return {t: m[t] for t in terms if t in m}
+        return {
+            r["term"]: int(r["df"])
+            for r in self.term_stats().filter(F.col("term").isin(terms)).collect()
+        }
 
     # --- table accessors -------------------------------------------------
     def postings(self) -> DataFrame:
@@ -100,13 +127,7 @@ class InvertedIndex:
         empty = spark.createDataFrame([], TOPK_SCHEMA)
         if not terms:
             return empty
-        if self._df_cache is not None:
-            dfs = {t: self._df_cache[t] for t in terms if t in self._df_cache}
-        else:
-            dfs = {
-                r["term"]: int(r["df"])
-                for r in self.term_stats().filter(F.col("term").isin(terms)).collect()
-            }
+        dfs = self._lookup_dfs(terms)
         if not dfs:
             return empty
         n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
@@ -139,13 +160,7 @@ class InvertedIndex:
         empty = spark.createDataFrame([], "query_id long, doc_id long, score double, rank int")
         if not all_terms:
             return empty
-        if self._df_cache is not None:
-            dfs = {t: self._df_cache[t] for t in all_terms if t in self._df_cache}
-        else:
-            dfs = {
-                r["term"]: int(r["df"])
-                for r in self.term_stats().filter(F.col("term").isin(all_terms)).collect()
-            }
+        dfs = self._lookup_dfs(all_terms)
         if not dfs:
             return empty
         n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
@@ -189,13 +204,7 @@ class InvertedIndex:
         if not terms:
             return empty
         uniq = sorted(set(terms))
-        if self._df_cache is not None:
-            dfs = {t: self._df_cache[t] for t in uniq if t in self._df_cache}
-        else:
-            dfs = {
-                r["term"]: int(r["df"])
-                for r in self.term_stats().filter(F.col("term").isin(uniq)).collect()
-            }
+        dfs = self._lookup_dfs(uniq)
         if len(dfs) < len(set(terms)):
             return empty  # a phrase term absent from the corpus ⇒ no match
         n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]

@@ -29,8 +29,9 @@ def test_bm25_df_broadcasts_small_sides(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_warm_search_has_single_stage_no_exchange(spark, index_dir):
-    idx = InvertedIndex(spark, index_dir, cache_term_stats=True).warm()
+@pytest.mark.parametrize("cache_mode", [True, "broadcast"])
+def test_warm_search_has_single_stage_no_exchange(spark, index_dir, cache_mode):
+    idx = InvertedIndex(spark, index_dir, cache_term_stats=cache_mode).warm()
     q = idx.search("the of", k=5, mode="exhaustive")
     plan = plan_of(q)
     assert "InMemoryTableScan" in plan

@@ -113,3 +113,31 @@ def test_partial_tokenized_staging_is_rebuilt(spark, small_docs, tmp_path):
     assert os.path.exists(f"{out}/_tokenized/_SUCCESS")
     idx = InvertedIndex(spark, out)
     assert idx.meta["n_docs"] == 200
+
+
+def test_phase1_group_memory_warning(spark, tmp_path):
+    """A deliberately under-sharded build (1 shard x 1 salt with a tiny
+    max_group_bytes) must emit the ResourceWarning carrying the sizing
+    rule; a correctly sized build must not."""
+    import warnings
+
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.index_build import build_index
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta " * 5) for i in range(50)]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        build_index(spark, docs, str(tmp_path / "idx_warn"), id_col="doc_id",
+                    text_col="text", tokenizer="simple", n_shards=1, n_salts=1,
+                    max_group_bytes=1024)
+        msgs = [str(w.message) for w in caught if issubclass(w.category, ResourceWarning)]
+    assert any("n_shards*n_salts" in m for m in msgs), msgs
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        build_index(spark, docs, str(tmp_path / "idx_ok"), id_col="doc_id",
+                    text_col="text", tokenizer="simple", n_shards=2, n_salts=2)
+        msgs = [str(w.message) for w in caught if issubclass(w.category, ResourceWarning)]
+    assert not msgs, msgs
