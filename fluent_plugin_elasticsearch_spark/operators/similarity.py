@@ -181,33 +181,65 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
     return base.mapInPandas(assign, "vec_id long, list_id int")
 
 
+class IvfIndex:
+    """Serving-mode IVF-flat index: centroid training and corpus
+    assignment run ONCE (the assignment DataFrame is persisted — the
+    expensive distributed pass), then any number of query batches reuse
+    them. This is the offline-query-set framing BM25 gets from
+    search_batch: per-batch cost is the probed lists only, amortizing the
+    assignment job to zero across batches. On a cluster, write `assigned`
+    out partitioned by list_id once and every probe becomes a
+    partition-pruned scan."""
+
+    def __init__(self, embeddings: DataFrame, dim: int, n_lists: int = 16,
+                 seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+                 sample: int = 4096, iters: int = 10):
+        self.embeddings = embeddings
+        self.dim, self.id_col, self.vec_col = dim, id_col, vec_col
+        self.cent = train_ivf_centroids(
+            embeddings, dim, n_lists, sample=sample, iters=iters, seed=seed,
+            vec_col=vec_col)
+        self.assigned = pin(ivf_assign(embeddings, self.cent, id_col, vec_col))
+
+    def search(self, query_df: DataFrame, k: int = 10, n_probe: int = 4,
+               qid_col: str = "query_id") -> DataFrame:
+        """Probe the `n_probe` nearest lists per query, exact cosine
+        re-rank of those lists' vectors only. Work per query ≈
+        n_probe/n_lists of the corpus — the standard recall/cost dial."""
+        vec_col, id_col = self.vec_col, self.id_col
+        # query → probed lists (driver-side: queries are small by contract)
+        qpdf = query_df.select(
+            F.col(qid_col).alias("query_id"), F.col(vec_col).alias("vec")).toPandas()
+        qmat = np.stack(qpdf["vec"].to_numpy()).astype(np.float64)
+        qmat /= np.linalg.norm(qmat, axis=1, keepdims=True) + 1e-12
+        probes = np.argsort(-(qmat @ self.cent.T.astype(np.float64)), axis=1)[:, :n_probe]
+        probe_rows = [
+            (int(qid), int(lid))
+            for qid, lids in zip(qpdf["query_id"], probes)
+            for lid in lids
+        ]
+        spark = self.embeddings.sparkSession
+        probe_df = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+        cands = self.assigned.join(F.broadcast(probe_df), "list_id").select("query_id", "vec_id")
+        pairs = (
+            cands.join(self.embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__ev")), "vec_id")
+            .join(F.broadcast(query_df.select(F.col(qid_col).cast("long").alias("query_id"), F.col(vec_col).alias("__qv"))), "query_id")
+            .select("query_id", "vec_id", cosine_col(F.col("__ev"), F.col("__qv")).alias("cosine"))
+        )
+        return per_query_topk(pairs, k, len(qpdf))
+
+    def close(self) -> None:
+        self.assigned.unpersist(blocking=False)
+
+
 def ivf_cosine_topk(embeddings: DataFrame, query_df: DataFrame, dim: int, k: int = 10,
                     n_lists: int = 16, n_probe: int = 4, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id") -> DataFrame:
-    """IVF-flat ANN: probe the `n_probe` nearest lists per query, exact
-    cosine re-rank of only those lists' vectors. Work per query ≈
-    n_probe/n_lists of the corpus — the standard recall/cost dial."""
-    cent = train_ivf_centroids(embeddings, dim, n_lists, seed=seed, vec_col=vec_col)
-    assigned = ivf_assign(embeddings, cent, id_col, vec_col)
-    # query → probed lists (driver-side: queries are small)
-    qpdf = query_df.select(F.col(qid_col).alias("query_id"), F.col(vec_col).alias("vec")).toPandas()
-    qmat = np.stack(qpdf["vec"].to_numpy()).astype(np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True) + 1e-12
-    probes = np.argsort(-(qmat @ cent.T.astype(np.float64)), axis=1)[:, :n_probe]
-    probe_rows = [
-        (int(qid), int(lid))
-        for qid, lids in zip(qpdf["query_id"], probes)
-        for lid in lids
-    ]
-    probe_df = embeddings.sparkSession.createDataFrame(probe_rows, "query_id long, list_id int")
-    cands = assigned.join(F.broadcast(probe_df), "list_id").select("query_id", "vec_id")
-    pairs = (
-        cands.join(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__ev")), "vec_id")
-        .join(F.broadcast(query_df.select(F.col(qid_col).cast("long").alias("query_id"), F.col(vec_col).alias("__qv"))), "query_id")
-        .select("query_id", "vec_id", cosine_col(F.col("__ev"), F.col("__qv")).alias("cosine"))
-    )
-    return per_query_topk(pairs, k, len(qpdf))
+    """One-shot IVF-flat ANN (train + assign + probe). For repeated query
+    batches build an IvfIndex instead — it reuses the assignment job."""
+    idx = IvfIndex(embeddings, dim, n_lists, seed, id_col, vec_col)
+    return idx.search(query_df, k, n_probe, qid_col)
 
 
 def embedding_nneardup_pairs(embeddings: DataFrame, dim: int, threshold: float = 0.95,

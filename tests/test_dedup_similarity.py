@@ -174,3 +174,25 @@ def test_knn_query_body_routes_to_ann(spark, sf_dir):
     rows = out.collect()
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
     assert rows[0]["cosine"] >= rows[-1]["cosine"]
+
+
+def test_ivf_index_reuses_assignment(spark, emb):
+    """IvfIndex: one persisted assignment serves multiple query batches,
+    results identical to the one-shot ivf_cosine_topk."""
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        IvfIndex,
+        ivf_cosine_topk,
+    )
+
+    q1 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding"))
+    q2 = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(1).alias("query_id"), F.col("embedding"))
+    idx = IvfIndex(emb, dim=16, n_lists=4, seed=7)
+    assert idx.assigned.is_cached
+    got1 = idx.search(q1, k=3, n_probe=2).collect()
+    got2 = idx.search(q2, k=3, n_probe=2).collect()  # second batch, same assignment
+    ref1 = ivf_cosine_topk(emb, q1, dim=16, k=3, n_lists=4, n_probe=2, seed=7).collect()
+    assert [(r["vec_id"], r["rank"]) for r in got1] == [(r["vec_id"], r["rank"]) for r in ref1]
+    assert len(got2) == 3 and got2[0]["vec_id"] == 1  # self is nearest
+    idx.close()
