@@ -99,6 +99,19 @@ def q_scan_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy term query: edit-distance match via JVM-side levenshtein
+    (plans/query_ast.py), pushdown-friendly scan + filter."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {
+        "query": {"fuzzy": {"source": {"value": "src1", "fuzziness": 1}}},
+        "sort": [{"doc_id": {"order": "asc"}}],
+    })
+    return out.select("doc_id", "source")
+
+
 def q_sorted_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 — sort on metadata field, descending (affinity lookup order)."""
     docs = _read(spark, sf_dir, "documents")
@@ -662,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase": q_match_phrase,
         "ids_query": q_ids_query,
         "scan_page": q_scan_page,
+        "fuzzy_query": q_fuzzy_query,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
         "genid_sha256": q_genid_sha256,
@@ -733,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "query_string": query_string_sql("documents", "fast AND table OR window", k=10),
         "ids_query": f"SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN ({ids_list})",
         "scan_page": "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id > 100 ORDER BY doc_id LIMIT 50",
+        "fuzzy_query": "SELECT doc_id, source FROM documents WHERE levenshtein(source, 'src1') <= 1 ORDER BY doc_id ASC",
         "sorted_scan_desc": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20",
         "genid_md5": (
             "SELECT event_id, to_base64(unhex(md5(concat_ws('_', CAST(user_id AS VARCHAR), event_type)))) AS _hash FROM events"

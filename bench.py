@@ -113,9 +113,17 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
     qs = entry_mod.queries()
     per_q = {}
     for name in picks:
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        per_q[name] = round(time.time() - t0, 3)
+        # best-of-2 serial trials: the hypervisor's 25-50% wall variance
+        # (documented at the build timer above) otherwise dominates these
+        # sub-second queries — round 2's one-shot token_counts reading
+        # moved 0.56->0.82 s on noise alone
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            w = time.time() - t0
+            best = w if best is None else min(best, w)
+        per_q[name] = round(best, 3)
     # --- batched ANN serving (offline query sets): 100-query batch — one
     # corpus pass scores every query (brute), and IVF with the assignment
     # job run ONCE and reused (IvfIndex), serve time measured separately

@@ -69,6 +69,16 @@ def _compile_clause(q: dict[str, Any]) -> Column:
             for ch in str(value)
         ) + "$"
         return F.col(field).rlike(pat)
+    if kind == "fuzzy":  # {"fuzzy": {"field": {"value": v, "fuzziness": n}}}
+        ((field, spec),) = body.items()
+        if isinstance(spec, dict):
+            value = spec["value"]
+            fuzz = int(spec.get("fuzziness", 2))
+        else:
+            value, fuzz = spec, 2
+        # term-level edit distance, JVM-side levenshtein (ES AUTO defaults
+        # to ≤2 edits; we take an explicit integer fuzziness)
+        return F.levenshtein(F.col(field), F.lit(str(value))) <= fuzz
     if kind == "bool":
         c = F.lit(True)
         for must in body.get("must", []) + body.get("filter", []):
