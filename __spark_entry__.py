@@ -584,6 +584,114 @@ def q_es_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_aggs(ev, {"aggs": {"users": {"cardinality": {"field": "user_id"}}}})["users"]
 
 
+def q_es_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range agg: independent [from, to) buckets (overlap allowed) with
+    a metric sub-agg, returned in given order (plans/aggs._range_agg)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long")
+    )
+    out = compile_aggs(ev, {
+        "aggs": {"vr": {
+            "range": {"field": "value", "ranges": [
+                {"to": 50}, {"from": 50, "to": 150}, {"from": 100}]},
+            "aggs": {"v_sum": {"sum": {"field": "value_u"}}},
+        }}
+    })
+    return out["vr"].select(
+        "bucket_idx", "key", "doc_count", F.col("v_sum").cast("long").alias("v_sum")
+    )
+
+
+def q_es_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_range agg over the events timestamp."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_aggs(ev, {
+        "aggs": {"dr": {"date_range": {"field": "ts", "ranges": [
+            {"to": "2024-01-08 00:00:00"},
+            {"from": "2024-01-08 00:00:00", "to": "2024-01-15 00:00:00"},
+            {"from": "2024-01-15 00:00:00"},
+        ]}}}
+    })
+    return out["dr"]
+
+
+def q_es_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats metric agg (population variance / std-dev, ES
+    semantics). Moments are quantized for the cross-engine hash — float
+    summation order differs between engines above the 1e-6 quantum only
+    if the accumulators disagree, so sums run over pre-quantized ints and
+    the derived moments are floor-quantized at 1e2."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long")
+    )
+    out = compile_aggs(ev, {"aggs": {"vs": {"extended_stats": {"field": "value_u"}}}})["vs"]
+    return out.select(
+        F.col("vs_count").alias("cnt"),
+        F.col("vs_min").cast("long").alias("vmin"),
+        F.col("vs_max").cast("long").alias("vmax"),
+        F.col("vs_sum").cast("long").alias("vsum"),
+        F.floor(F.col("vs_avg") * 1e2).cast("long").alias("vavg_u"),
+        F.col("vs_sum_of_squares").cast("long").alias("vsumsq"),
+        F.floor(F.col("vs_variance") / 1e4).cast("long").alias("vvar_u"),
+        F.floor(F.col("vs_std_deviation") / 1e1).cast("long").alias("vstd_u"),
+    )
+
+
+def q_es_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES missing agg: docs where the field is null (events.props parses
+    to NULL k for some rows — use a derived nullable column)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "big_val", F.when(F.col("value") > 100, F.col("value"))
+    )
+    return compile_aggs(ev, {"aggs": {"m": {"missing": {"field": "big_val"}}}})["m"]
+
+
+def q_es_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms: event types over-represented among
+    high-value events vs the whole stream, default JLH scoring
+    (plans/aggs._significant_terms)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_aggs(ev, {
+        "query": {"range": {"value": {"gte": 120.0}}},
+        "aggs": {"sig": {"significant_terms": {"field": "event_type", "size": 5}}},
+    })
+    return out["sig"]
+
+
+def q_es_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite agg PAGE 2: keyset `after` cursor over
+    (event_type, day) bucket tuples — the scale-safe agg pagination
+    (plans/aggs._composite). The page-2 framing exercises the strict
+    lexicographic-after filter, not just the groupBy."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    body = {"aggs": {"c": {"composite": {
+        "size": 8,
+        "sources": [
+            {"etype": {"terms": {"field": "event_type"}}},
+            {"day": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+        ],
+    }}}}
+    page1 = compile_aggs(ev, body)["c"].collect()
+    last = page1[-1]
+    body["aggs"]["c"]["composite"]["after"] = {
+        "etype": last["etype"], "day": last["day"].strftime("%Y-%m-%d %H:%M:%S")}
+    page2 = compile_aggs(ev, {"aggs": {"c": {"composite": {
+        **body["aggs"]["c"]["composite"]}}}})["c"]
+    return page2
+
+
 def q_tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 group-by agg coverage (TPC-H Q1 shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -711,6 +819,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_date_histogram": q_es_date_histogram,
         "es_nested_agg": q_es_nested_agg,
         "es_filters_agg": q_es_filters_agg,
+        "es_range_agg": q_es_range_agg,
+        "es_date_range_agg": q_es_date_range_agg,
+        "es_extended_stats": q_es_extended_stats,
+        "es_missing_agg": q_es_missing_agg,
+        "es_significant_terms": q_es_significant_terms,
+        "es_composite_agg": q_es_composite_agg,
         "es_percentiles": q_es_percentiles,
         "es_top_hits": q_es_top_hits,
         "es_cardinality": q_es_cardinality,
@@ -1014,6 +1128,65 @@ UNION ALL
 SELECT 'errors', count(*), CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT)
 FROM events WHERE event_type = 'error'
 ORDER BY key ASC
+""",
+        "es_range_agg": """
+SELECT 0 AS bucket_idx, '*-50' AS key, count(*) AS doc_count,
+       CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum
+FROM events WHERE value < 50
+UNION ALL
+SELECT 1, '50-150', count(*), CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT)
+FROM events WHERE value >= 50 AND value < 150
+UNION ALL
+SELECT 2, '100-*', count(*), CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT)
+FROM events WHERE value >= 100
+ORDER BY bucket_idx
+""",
+        "es_date_range_agg": """
+SELECT 0 AS bucket_idx, '*-2024-01-08 00:00:00' AS key, count(*) AS doc_count
+FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+UNION ALL
+SELECT 1, '2024-01-08 00:00:00-2024-01-15 00:00:00', count(*)
+FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+UNION ALL
+SELECT 2, '2024-01-15 00:00:00-*', count(*)
+FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+ORDER BY bucket_idx
+""",
+        "es_extended_stats": """
+WITH q AS (SELECT CAST(floor(value * 1e2) AS BIGINT) AS v FROM events)
+SELECT count(*) AS cnt,
+       CAST(min(v) AS BIGINT) AS vmin,
+       CAST(max(v) AS BIGINT) AS vmax,
+       CAST(sum(v) AS BIGINT) AS vsum,
+       CAST(floor(avg(v) * 1e2) AS BIGINT) AS vavg_u,
+       CAST(sum(v * v) AS BIGINT) AS vsumsq,
+       CAST(floor(var_pop(v) / 1e4) AS BIGINT) AS vvar_u,
+       CAST(floor(stddev_pop(v) / 1e1) AS BIGINT) AS vstd_u
+FROM q
+""",
+        "es_missing_agg": """
+SELECT CAST(sum(CASE WHEN value > 100 THEN 0 ELSE 1 END) AS BIGINT) AS doc_count
+FROM events
+""",
+        "es_significant_terms": """
+WITH fg AS (SELECT event_type AS key, count(*) AS doc_count FROM events
+            WHERE value >= 120.0 GROUP BY 1),
+     bg AS (SELECT event_type AS key, count(*) AS bg_count FROM events GROUP BY 1),
+     t AS (SELECT (SELECT count(*) FROM events WHERE value >= 120.0) AS fg_total,
+                  (SELECT count(*) FROM events) AS bg_total)
+SELECT key, doc_count, bg_count,
+       CAST(floor((doc_count * 1.0 / fg_total - bg_count * 1.0 / bg_total)
+            * ((doc_count * 1.0 / fg_total) / (bg_count * 1.0 / bg_total)) * 1e6) AS BIGINT) AS score_u
+FROM fg JOIN bg USING (key) CROSS JOIN t
+WHERE doc_count * 1.0 / fg_total > bg_count * 1.0 / bg_total
+ORDER BY score_u DESC, key ASC LIMIT 5
+""",
+        "es_composite_agg": """
+WITH b AS (SELECT event_type AS etype, date_trunc('day', ts) AS day,
+                  count(*) AS doc_count
+           FROM events GROUP BY 1, 2),
+     o AS (SELECT *, row_number() OVER (ORDER BY etype, day) AS rn FROM b)
+SELECT etype, day, doc_count FROM o WHERE rn > 8 ORDER BY etype, day LIMIT 8
 """,
         "es_percentiles": """
 SELECT CAST(floor(quantile_cont(value, 0.5) * 1e6) AS BIGINT) AS v_p50_u,

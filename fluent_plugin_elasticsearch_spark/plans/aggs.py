@@ -91,6 +91,19 @@ def _metric_cols(aggs: dict[str, Any]) -> list[Column]:
                 F.sum(field).alias(f"{name}_sum"),
                 F.avg(field).alias(f"{name}_avg"),
             ]
+        elif kind == "extended_stats":
+            # ES extended_stats: stats + sum_of_squares + POPULATION
+            # variance/std_deviation (ES divides by N, not N-1)
+            cols += [
+                F.count(field).alias(f"{name}_count"),
+                F.min(field).alias(f"{name}_min"),
+                F.max(field).alias(f"{name}_max"),
+                F.sum(field).alias(f"{name}_sum"),
+                F.avg(field).alias(f"{name}_avg"),
+                F.sum(F.col(field) * F.col(field)).alias(f"{name}_sum_of_squares"),
+                F.var_pop(field).alias(f"{name}_variance"),
+                F.stddev_pop(field).alias(f"{name}_std_deviation"),
+            ]
         elif kind in _METRICS:
             cols.append(_METRICS[kind](field).alias(name))
         else:
@@ -224,11 +237,126 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             for p in parts[1:]:
                 df = df.unionByName(p)
             out[name] = df.orderBy(F.asc("key"))
-        elif kind in ("stats", "percentiles", "cardinality") or kind in _METRICS:
+        elif kind in ("range", "date_range"):
+            out[name] = _range_agg(base, kind, inner, sub)
+        elif kind == "missing":
+            # ES missing agg: one bucket counting docs where the field is
+            # null — a single partial-aggregated scan, no shuffle key
+            out[name] = base.agg(
+                F.sum(F.when(F.col(inner["field"]).isNull(), 1).otherwise(0))
+                .cast("long").alias("doc_count")
+            )
+        elif kind == "significant_terms":
+            out[name] = _significant_terms(docs, base, inner)
+        elif kind == "composite":
+            out[name] = _composite(base, inner, sub)
+        elif kind in ("stats", "extended_stats", "percentiles", "cardinality") or kind in _METRICS:
             out[name] = base.agg(*_metric_cols({name: {kind: inner}}))
         else:
             raise UnsupportedQuery(f"unsupported agg kind: {kind}")
     return out
+
+
+def _range_agg(base: DataFrame, kind: str, inner: dict[str, Any],
+               sub: dict[str, Any] | None) -> DataFrame:
+    """ES range / date_range agg: each range is an INDEPENDENT
+    [from, to) filter (ranges may overlap — a doc can count in several),
+    so like the filters agg this is a union of small filtered aggregates,
+    not a groupBy. Buckets come back in the given order (`bucket_idx`),
+    keyed ES-style `{from}-{to}` with `*` for an open end."""
+    field = inner["field"]
+    parts = []
+    for idx, r in enumerate(inner["ranges"]):
+        frm, to = r.get("from"), r.get("to")
+        cond = F.lit(True)
+        if frm is not None:
+            fc = F.to_timestamp(F.lit(frm)) if kind == "date_range" else F.lit(float(frm))
+            cond = cond & (F.col(field) >= fc)
+        if to is not None:
+            tc = F.to_timestamp(F.lit(to)) if kind == "date_range" else F.lit(float(to))
+            cond = cond & (F.col(field) < tc)
+        key = r.get("key") or (
+            f"{'*' if frm is None else frm}-{'*' if to is None else to}"
+        )
+        agg = base.filter(cond).agg(
+            F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {})
+        )
+        parts.append(agg.select(
+            F.lit(idx).alias("bucket_idx"), F.lit(str(key)).alias("key"), "*"
+        ))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.orderBy(F.asc("bucket_idx"))
+
+
+def _significant_terms(bg_docs: DataFrame, fg_docs: DataFrame,
+                       spec: dict[str, Any]) -> DataFrame:
+    """ES significant_terms: terms over-represented in the FOREGROUND
+    (query-filtered) set vs the BACKGROUND (whole index), scored with the
+    default JLH: (fg_rate - bg_rate) * (fg_rate / bg_rate); only terms
+    with fg_rate > bg_rate qualify (ES drops the rest).
+
+    Plan: two partial-aggregated groupBys on the term field (fg is a
+    filtered subset of the same scan), joined on the term — the join key
+    is the agg key so AQE turns it into a broadcast of the (tiny) fg side;
+    totals ride in as broadcast single-row crossJoins. Scores are
+    quantized (floor x 1e6) so ordering is integer-deterministic
+    cross-engine."""
+    field = spec["field"]
+    size = int(spec.get("size", 10))
+    fg = fg_docs.groupBy(F.col(field).alias("key")).agg(F.count(F.lit(1)).alias("doc_count"))
+    bg = bg_docs.groupBy(F.col(field).alias("key")).agg(F.count(F.lit(1)).alias("bg_count"))
+    fgt = fg_docs.agg(F.count(F.lit(1)).alias("fg_total"))
+    bgt = bg_docs.agg(F.count(F.lit(1)).alias("bg_total"))
+    fr = F.col("doc_count") / F.col("fg_total")
+    br = F.col("bg_count") / F.col("bg_total")
+    return (
+        fg.join(bg, "key")
+        .crossJoin(F.broadcast(fgt))
+        .crossJoin(F.broadcast(bgt))
+        .filter(fr > br)
+        .select(
+            "key", "doc_count", "bg_count",
+            F.floor((fr - br) * (fr / br) * 1e6).cast("long").alias("score_u"),
+        )
+        .orderBy(F.desc("score_u"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def _composite(base: DataFrame, spec: dict[str, Any],
+               sub: dict[str, Any] | None) -> DataFrame:
+    """ES composite agg: multi-source bucket tuples in KEY order with
+    `after`-cursor keyset pagination — the at-scale way to page through
+    an unbounded bucket space (each page is an independent groupBy + a
+    sargable keyset filter + LIMIT; no scroll state server-side).
+
+    Sources may be terms / date_histogram / histogram. Docs missing any
+    source key are dropped (ES missing_bucket=false default). The `after`
+    cursor is strict lexicographic-greater over the source tuple."""
+    keys: list[Column] = []
+    names: list[str] = []
+    for s in spec["sources"]:
+        ((sname, sdef),) = s.items()
+        ((skind, sinner),) = sdef.items()
+        keys.append(_bucket_key(skind, sinner).alias(sname))
+        names.append(sname)
+    for k in keys:
+        base = base.filter(k.isNotNull())
+    df = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {})
+    )
+    after = spec.get("after")
+    if after:
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for n in names:
+            v = F.lit(after[n])
+            cond = cond | (eq & (F.col(n) > v))
+            eq = eq & (F.col(n) == v)
+        df = df.filter(cond)
+    return df.orderBy(*[F.asc(n) for n in names]).limit(int(spec.get("size", 10)))
 
 
 def top_hits(docs: DataFrame, bucket_field: str, size: int,

@@ -1,0 +1,205 @@
+"""Multi-process scaling evidence: a real Spark STANDALONE cluster on
+localhost — separate master / worker / executor JVMs — at two cluster
+sizes: 1 worker x 8 pinned cores (N) vs 4 workers x 8 pinned cores each
+(4N), each worker taskset-pinned to its own physical core quarter so an
+"8-core machine" cannot silently borrow the other 24 cores.
+
+This goes beyond scripts/scaling.py's local[8]-vs-local[32] thread proxy:
+executors here are separate OS processes with separate JVM heaps that
+communicate over real (loopback) netty shuffle — the closest this sandbox
+can get to separate machines. The one thing it cannot multiply is the
+box's shared memory bandwidth and single disk (see SCALING.json's
+workload_ceiling_calibration for that bound).
+
+The driver is submitted with ``spark-submit --py-files engine.zip``, the
+north-rule deployment shape.
+
+Usage: python scripts/scaling_cluster.py [n_docs] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pyspark
+
+SPARK_HOME = os.path.dirname(os.path.abspath(pyspark.__file__))
+SPARK_CLASS = os.path.join(SPARK_HOME, "bin", "spark-class")
+SPARK_SUBMIT = os.path.join(SPARK_HOME, "bin", "spark-submit")
+MASTER_URL = "spark://127.0.0.1:7077"
+MASTER_UI = "http://127.0.0.1:8080/json/"
+
+QUARTERS = ["0-7", "8-15", "16-23", "24-31"]
+
+
+def _env() -> dict:
+    env = dict(os.environ)
+    env["SPARK_HOME"] = SPARK_HOME
+    env.setdefault("SPARK_NO_DAEMONIZE", "1")
+    return env
+
+
+def start_master(log_dir: str) -> subprocess.Popen:
+    log = open(os.path.join(log_dir, "master.log"), "w")
+    return subprocess.Popen(
+        [SPARK_CLASS, "org.apache.spark.deploy.master.Master",
+         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8080"],
+        stdout=log, stderr=subprocess.STDOUT, env=_env(),
+    )
+
+
+def start_worker(i: int, log_dir: str, mem: str = "24g") -> subprocess.Popen:
+    """One worker JVM pinned to core quarter i, scratch on tmpfs."""
+    env = _env()
+    scratch = f"/dev/shm/spark-cluster-{os.getuid()}-w{i}"
+    os.makedirs(scratch, exist_ok=True)
+    env["SPARK_LOCAL_DIRS"] = scratch
+    env["SPARK_WORKER_DIR"] = os.path.join(log_dir, f"work{i}")
+    log = open(os.path.join(log_dir, f"worker{i}.log"), "w")
+    pin = ["taskset", "-c", QUARTERS[i]] if shutil.which("taskset") else []
+    return subprocess.Popen(
+        pin + [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
+               "--cores", "8", "--memory", mem, "--port", str(40000 + i),
+               "--webui-port", str(41000 + i), MASTER_URL],
+        stdout=log, stderr=subprocess.STDOUT, env=env,
+    )
+
+
+def wait_workers(n: int, timeout: float = 90.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            with urllib.request.urlopen(MASTER_UI, timeout=5) as r:
+                st = json.load(r)
+            if sum(1 for w in st.get("workers", []) if w.get("state") == "ALIVE") >= n:
+                return
+        except Exception:
+            pass
+        time.sleep(1.0)
+    raise RuntimeError(f"only some of {n} workers registered within {timeout}s")
+
+
+def make_zip() -> str:
+    zpath = os.path.join(tempfile.gettempdir(), "engine.zip")
+    if os.path.exists(zpath):
+        os.unlink(zpath)
+    base = zpath[:-4]
+    shutil.make_archive(base, "zip", root_dir=REPO,
+                        base_dir="fluent_plugin_elasticsearch_spark")
+    return zpath
+
+
+def submit(n_workers: int, corpus: str, n_docs: int, zpath: str,
+           trials: int = 2) -> dict:
+    total_cores = 8 * n_workers
+    best = None
+    walls, cwalls = [], []
+    for _ in range(trials):
+        cmd = [
+            SPARK_SUBMIT, "--master", MASTER_URL, "--py-files", zpath,
+            "--conf", "spark.executor.cores=8",
+            "--conf", "spark.executor.memory=18g",
+            "--conf", f"spark.cores.max={total_cores}",
+            "--conf", f"spark.sql.shuffle.partitions={2 * total_cores}",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+            "--conf", "spark.sql.parquet.compression.codec=zstd",
+            "--conf", "spark.sql.files.maxPartitionBytes=33554432",
+            "--conf", "spark.locality.wait=0",
+            "--conf", "spark.driver.memory=8g",
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(REPO, "scripts", "scale_cluster_child.py"),
+            corpus, str(n_docs),
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3600, env=_env())
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+            raise RuntimeError(f"child produced no JSON at {n_workers} workers")
+        res = json.loads(lines[-1])
+        walls.append(round(res["wall_s"], 2))
+        cwalls.append(round(res["compute_wall_s"], 2))
+        print(f"  trial workers={n_workers}: full={res['wall_s']:.1f}s "
+              f"compute={res['compute_wall_s']:.1f}s execs={res['executors']}",
+              file=sys.stderr, flush=True)
+        if best is None or res["wall_s"] < best["wall_s"]:
+            best = res
+    best["trial_walls_s"] = walls
+    best["trial_compute_walls_s"] = cwalls
+    best["best_compute_wall_s"] = min(cwalls)
+    best["compute_docs_per_sec"] = round(n_docs / min(cwalls), 1)
+    best["docs_per_sec"] = round(n_docs / min(walls), 1)
+    return best
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 600_000
+
+    corpus = tempfile.mkdtemp(prefix="cluster_corpus_") + "/webtext"
+    from fluent_plugin_elasticsearch_spark.corpus import write_corpus_spark
+    from fluent_plugin_elasticsearch_spark.session import get_spark
+
+    s = get_spark("cluster_gen", cores="*")
+    write_corpus_spark(s, corpus, n_docs, seed=42, avg_len=120)
+    s.stop()
+
+    zpath = make_zip()
+    log_dir = tempfile.mkdtemp(prefix="cluster_logs_")
+    procs: list[subprocess.Popen] = []
+    result: dict = {"n_docs": n_docs, "log_dir": log_dir}
+    try:
+        procs.append(start_master(log_dir))
+        time.sleep(3)
+
+        # level N: ONE worker pinned to cores 0-7
+        procs.append(start_worker(0, log_dir))
+        wait_workers(1)
+        lo = submit(1, corpus, n_docs, zpath)
+
+        # level 4N: THREE more workers, one per remaining core quarter
+        for i in (1, 2, 3):
+            procs.append(start_worker(i, log_dir))
+        wait_workers(4)
+        hi = submit(4, corpus, n_docs, zpath)
+
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+        ceff = (lo["best_compute_wall_s"] / hi["best_compute_wall_s"]) / 4.0
+        result.update({
+            "workers1x8": lo, "workers4x8": hi,
+            "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+            "scaling_efficiency": round(eff, 3),
+            "compute_speedup": round(lo["best_compute_wall_s"] / hi["best_compute_wall_s"], 3),
+            "compute_scaling_efficiency": round(ceff, 3),
+        })
+        print(json.dumps(result, indent=2))
+        if "--json" in sys.argv:
+            with open(sys.argv[sys.argv.index("--json") + 1], "w") as f:
+                json.dump(result, f, indent=2)
+    finally:
+        for p in reversed(procs):
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=15)
+            except Exception:
+                p.kill()
+        for d in glob.glob(f"/dev/shm/spark-cluster-{os.getuid()}-w*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

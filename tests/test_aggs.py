@@ -7,6 +7,7 @@ import datetime as dt
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
 from fluent_plugin_elasticsearch_spark.plans.query_ast import UnsupportedQuery
@@ -199,3 +200,99 @@ def test_filters_agg_buckets(events):
     assert set(rows) == {"clicks", "big"}
     assert rows["clicks"]["doc_count"] == 100
     assert rows["big"]["doc_count"] == 150  # values 25..49 of 0..49 cycle
+
+
+def test_range_agg_buckets(events):
+    out = compile_aggs(events, {
+        "aggs": {"r": {"range": {"field": "value",
+                                 "ranges": [{"to": 10}, {"from": 10, "to": 30}, {"from": 30}]},
+                       "aggs": {"v_avg": {"avg": {"field": "value"}}}}}
+    })
+    rows = out["r"].collect()
+    assert [r["key"] for r in rows] == ["*-10", "10-30", "30-*"]
+    # from inclusive, to exclusive: 300 events, value = i % 50 uniform
+    assert rows[0]["doc_count"] == 60 and rows[1]["doc_count"] == 120 and rows[2]["doc_count"] == 120
+    assert rows[0]["v_avg"] < 10 <= rows[1]["v_avg"] < 30 <= rows[2]["v_avg"]
+
+
+def test_range_agg_overlap_counts_twice(events):
+    out = compile_aggs(events, {
+        "aggs": {"r": {"range": {"field": "value",
+                                 "ranges": [{"to": 30}, {"from": 10}]}}}
+    })
+    rows = out["r"].collect()
+    assert rows[0]["doc_count"] + rows[1]["doc_count"] > 300  # overlap [10,30)
+
+
+def test_date_range_agg(events):
+    out = compile_aggs(events, {
+        "aggs": {"d": {"date_range": {"field": "ts", "ranges": [
+            {"to": "2024-01-03 00:00:00"}, {"from": "2024-01-03 00:00:00"}]}}}
+    })
+    rows = out["d"].collect()
+    assert rows[0]["doc_count"] + rows[1]["doc_count"] == 300
+    assert rows[0]["doc_count"] == 150  # days 1,2 of the 4-day cycle
+
+
+def test_extended_stats(events):
+    out = compile_aggs(events, {"aggs": {"s": {"extended_stats": {"field": "value"}}}})
+    r = out["s"].collect()[0]
+    assert r["s_count"] == 300
+    assert abs(r["s_variance"] - (r["s_sum_of_squares"] / r["s_count"] - (r["s_sum"] / r["s_count"]) ** 2)) < 1e-6
+    assert abs(r["s_std_deviation"] ** 2 - r["s_variance"]) < 1e-6
+
+
+def test_missing_agg(spark, events):
+    withnull = events.withColumn(
+        "maybe", F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double")).otherwise(F.col("value")))
+    out = compile_aggs(withnull, {"aggs": {"m": {"missing": {"field": "maybe"}}}})
+    assert out["m"].collect()[0]["doc_count"] == 60
+
+
+def test_significant_terms_jlh(events):
+    # foreground = high values; 'error' rows (i%3==2) never reach value>=40
+    out = compile_aggs(events, {
+        "query": {"range": {"value": {"gte": 40.0}}},
+        "aggs": {"sig": {"significant_terms": {"field": "event_type", "size": 5}}},
+    })
+    rows = out["sig"].collect()
+    keys = [r["key"] for r in rows]
+    # only over-represented terms qualify; scores sorted desc
+    assert all(rows[i]["score_u"] >= rows[i + 1]["score_u"] for i in range(len(rows) - 1))
+    for r in rows:
+        assert r["doc_count"] / 60 > r["bg_count"] / 300  # fg_rate > bg_rate
+    assert "error" not in keys or rows[-1]["key"] != keys[0]
+
+
+def test_composite_pagination_covers_all_buckets(events):
+    body = {"aggs": {"c": {"composite": {
+        "size": 3, "sources": [
+            {"etype": {"terms": {"field": "event_type"}}},
+            {"val": {"histogram": {"field": "value", "interval": 25.0}}},
+        ]}}}}
+    seen = []
+    after = None
+    while True:
+        spec = dict(body["aggs"]["c"]["composite"])
+        if after:
+            spec["after"] = after
+        out = compile_aggs(events, {"aggs": {"c": {"composite": spec}}})
+        rows = out["c"].collect()
+        if not rows:
+            break
+        seen += [(r["etype"], r["val"], r["doc_count"]) for r in rows]
+        after = {"etype": rows[-1]["etype"], "val": rows[-1]["val"]}
+        assert len(rows) <= 3
+    # 3 types x 2 histogram buckets, each 50 docs; pages never overlap
+    assert len(seen) == 6 and len(set(seen)) == 6
+    assert all(c == 50 for _, _, c in seen)
+    assert seen == sorted(seen)
+
+
+def test_composite_with_metrics(events):
+    out = compile_aggs(events, {"aggs": {"c": {"composite": {
+        "size": 10, "sources": [{"etype": {"terms": {"field": "event_type"}}}]},
+        "aggs": {"v_max": {"max": {"field": "value"}}}}}})
+    rows = out["c"].collect()
+    assert [r["etype"] for r in rows] == ["click", "error", "view"]
+    assert all(r["v_max"] <= 49.0 for r in rows)
