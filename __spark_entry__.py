@@ -23,6 +23,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 from fluent_plugin_elasticsearch_spark.operators import bm25 as _bm25  # noqa: E402
+from fluent_plugin_elasticsearch_spark.operators import relevance as _rel  # noqa: E402
 from fluent_plugin_elasticsearch_spark.operators import dedup as _dedup  # noqa: E402
 from fluent_plugin_elasticsearch_spark.operators import similarity as _sim  # noqa: E402
 from fluent_plugin_elasticsearch_spark.operators import textquality as _tq  # noqa: E402
@@ -110,6 +111,107 @@ def q_fuzzy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sort": [{"doc_id": {"order": "asc"}}],
     })
     return out.select("doc_id", "source")
+
+
+def q_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dis_max compound query: max of subquery BM25 scores +
+    tie_breaker x the rest (operators/relevance.dis_max_df)."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.dis_max_df(
+        _read(spark, sf_dir, "documents"),
+        [("text", ["spark", "query"]), ("text", ["fast", "merge"])],
+        tie_breaker=0.3, k=20)
+
+
+def q_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: BM25 positive, docs matching the negative clause
+    demoted by negative_boost (not excluded)."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import _compile_clause
+
+    return rel.boosting_df(
+        _read(spark, sf_dir, "documents"), ["spark", "merge"],
+        _compile_clause({"term": {"lang": "zh"}}), negative_boost=0.5, k=20)
+
+
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score field_value_factor: bm25 x log1p(0.01 x n_chars),
+    boost_mode=multiply."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.function_score_df(
+        _read(spark, sf_dir, "documents"), ["spark", "window"],
+        "n_chars", factor=0.01, modifier="log1p", k=20)
+
+
+def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing: best hit per lang, then global top-k."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.collapse_topk(
+        _read(spark, sf_dir, "documents"), ["spark", "merge"], "lang", k=10)
+
+
+def q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix: adjacency with the last term as a prefix
+    (search-as-you-type)."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.match_phrase_prefix_df(
+        _read(spark, sf_dir, "documents"), ["merge", "par"], k=20)
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this: tf-idf-selected interesting terms from the seed
+    doc drive a BM25 search, seed excluded."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.more_like_this_df(
+        _read(spark, sf_dir, "documents"), like_id=0, max_query_terms=8, k=20)
+
+
+def q_regexp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES regexp term query: whole-value regex match (anchored rlike)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_query(ev, {
+        "query": {"regexp": {"event_type": "p.*e|sig.*"}},
+        "sort": [{"event_id": {"order": "asc"}}],
+        "size": 500,
+    })
+    return out.select("event_id", "event_type")
+
+
+def q_terms_set_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set: at least minimum_should_match of the given terms
+    present in the doc's token array."""
+    from fluent_plugin_elasticsearch_spark.extraction import simple_tokens_col
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import _compile_clause
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "tokens", simple_tokens_col(F.col("text")))
+    c = _compile_clause({"terms_set": {"tokens": {
+        "terms": ["spark", "merge", "window"], "minimum_should_match": 3}}})
+    return docs.filter(c).select("doc_id").orderBy("doc_id")
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after keyset pagination — PAGE 2 of a (value desc,
+    event_id asc) sort: cursor from page 1's last row, strict-after
+    filter (plans/query_ast). The scale story vs from/size: the filter is
+    sargable, so deep pages stay O(page)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    ev = _read(spark, sf_dir, "events")
+    body = {"sort": [{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}],
+            "size": 50}
+    page1 = compile_query(ev, body).select("event_id", "value").collect()
+    cursor = [page1[-1]["value"], page1[-1]["event_id"]]
+    out = compile_query(ev, {**body, "search_after": cursor})
+    return out.select("event_id", "event_type",
+                      F.floor(F.col("value") * 1e2).cast("long").alias("value_u"))
 
 
 def q_sorted_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,6 +886,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ids_query": q_ids_query,
         "scan_page": q_scan_page,
         "fuzzy_query": q_fuzzy_query,
+        "dis_max": q_dis_max,
+        "boosting_query": q_boosting_query,
+        "function_score": q_function_score,
+        "collapse": q_collapse,
+        "match_phrase_prefix": q_match_phrase_prefix,
+        "more_like_this": q_more_like_this,
+        "regexp_query": q_regexp_query,
+        "terms_set_query": q_terms_set_query,
+        "search_after": q_search_after,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
         "genid_sha256": q_genid_sha256,
@@ -862,6 +973,39 @@ def oracle_sql() -> dict[str, str]:
         "ids_query": f"SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN ({ids_list})",
         "scan_page": "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id > 100 ORDER BY doc_id LIMIT 50",
         "fuzzy_query": "SELECT doc_id, source FROM documents WHERE levenshtein(source, 'src1') <= 1 ORDER BY doc_id ASC",
+        "dis_max": _rel.dis_max_sql(
+            "documents", [("text", ["spark", "query"]), ("text", ["fast", "merge"])],
+            tie_breaker=0.3, k=20),
+        "boosting_query": _rel.boosting_sql(
+            "documents", ["spark", "merge"], "lang = 'zh'", negative_boost=0.5, k=20),
+        "function_score": _rel.function_score_sql(
+            "documents", ["spark", "window"], "n_chars", factor=0.01,
+            modifier="log1p", k=20),
+        "collapse": _rel.collapse_sql("documents", ["spark", "merge"], "lang", k=10),
+        "match_phrase_prefix": _rel.match_phrase_prefix_sql(
+            "documents", ["merge", "par"], k=20),
+        "more_like_this": _rel.more_like_this_sql(
+            "documents", like_id=0, max_query_terms=8, k=20),
+        "regexp_query": """
+SELECT event_id, event_type FROM events
+WHERE regexp_full_match(event_type, 'p.*e|sig.*')
+ORDER BY event_id ASC LIMIT 500
+""",
+        "terms_set_query": f"""
+SELECT doc_id FROM (
+  SELECT doc_id, {_TOKS} AS tokens FROM documents
+) WHERE len(list_intersect(tokens, ['spark', 'merge', 'window'])) >= 3
+ORDER BY doc_id
+""",
+        "search_after": """
+WITH o AS (
+  SELECT event_id, event_type, CAST(floor(value * 1e2) AS BIGINT) AS value_u,
+         row_number() OVER (ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+)
+SELECT event_id, event_type, value_u FROM o
+WHERE rn > 50 ORDER BY rn LIMIT 50
+""",
         "sorted_scan_desc": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20",
         "genid_md5": (
             "SELECT event_id, to_base64(unhex(md5(concat_ws('_', CAST(user_id AS VARCHAR), event_type)))) AS _hash FROM events"

@@ -1,0 +1,494 @@
+"""Search-relevance compositions over the pure-DataFrame BM25 core:
+dis_max, boosting, function_score (field_value_factor), field collapsing,
+match_phrase_prefix, and more_like_this — the remaining ES compound-query
+surface the reference plugin forwards verbatim (in_elasticsearch.rb:94-99
+passes arbitrary query bodies; out_elasticsearch.rb never rewrites them).
+
+Each operator has a paired DuckDB SQL generator computing the identical
+result (same tokenizer, same formula order, same floor(x1e6) quantization
+contract as operators/bm25.py) so the driver's oracle gate verifies them
+value-exact.
+
+Scale shape: every operator here composes the bm25_scores_df pipeline
+(scan -> explode -> partial-aggregated groupBy on (doc_id, term) ->
+broadcast df join) with per-doc integer arithmetic — no new shuffle
+beyond the score aggregation itself; combination/collapse windows run on
+the already-tiny matched-doc set or are keyed by the collapse field.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import BM25_B, BM25_K1
+from ..extraction import simple_tokens_col
+from .bm25 import bm25_scores_df
+
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def _scores_cte(i: int, table: str, field: str, terms: list[str],
+                id_col: str = "doc_id",
+                k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """One per-subquery quantized-score CTE chain (DuckDB), mirroring
+    bm25_scores_df on `field` with `terms`: yields q{i}_scores(doc_id, s_{i})."""
+    uniq = sorted(set(terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    toks = _TOKS_SQL.format(col=field)
+    return f"""
+q{i}_toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}
+),
+q{i}_stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM q{i}_toks),
+q{i}_tfq AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM q{i}_toks
+  ) WHERE term IN ({in_list}) GROUP BY doc_id, dl, term
+),
+q{i}_dfq AS (SELECT term, count(*) AS df FROM q{i}_tfq GROUP BY term),
+q{i}_scores AS (
+  SELECT doc_id,
+         CAST(floor(list_sum(list(contrib ORDER BY term)) * 1e6) AS BIGINT) AS s_{i}
+  FROM (
+    SELECT t.doc_id, t.term,
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * {k1 + 1.0} * t.tf
+             / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl)) AS contrib
+    FROM q{i}_tfq t JOIN q{i}_dfq d USING (term) CROSS JOIN q{i}_stats s
+  ) GROUP BY doc_id
+)"""
+
+
+def dis_max_df(docs: DataFrame, queries: list[tuple[str, list[str]]],
+               tie_breaker: float = 0.0, k: int = 10,
+               id_col: str = "doc_id",
+               k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES dis_max: score = max(subquery scores) + tie_breaker * (sum of the
+    OTHER matching subqueries' scores) — Lucene DisjunctionMaxQuery.
+    Each subquery is a (text_column, query_terms) match with its own field
+    statistics. Combination runs on the already-quantized per-subquery
+    integers (tie_breaker multiply is one IEEE float op, identical in both
+    engines), re-floored to keep the integer contract.
+    Returns (doc_id, score_u), tie-break (score desc, doc_id asc)."""
+    per = []
+    for i, (field, terms) in enumerate(queries):
+        s = bm25_scores_df(docs, terms, id_col, field, k1, b)
+        per.append(s.withColumnRenamed("score_u", f"s_{i}"))
+    joined = per[0]
+    for p in per[1:]:
+        joined = joined.join(p, "doc_id", "full_outer")
+    parts = [F.coalesce(F.col(f"s_{i}"), F.lit(0)) for i in range(len(queries))]
+    mx = F.greatest(*parts) if len(parts) > 1 else parts[0]
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    comb = F.floor(mx + tie_breaker * (total - mx)).cast("long")
+    return (
+        joined.select("doc_id", comb.alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def dis_max_sql(table: str, queries: list[tuple[str, list[str]]],
+                tie_breaker: float = 0.0, k: int = 10,
+                id_col: str = "doc_id",
+                k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of dis_max_df."""
+    ctes = [_scores_cte(i, table, f, t, id_col, k1, b)
+            for i, (f, t) in enumerate(queries)]
+    join = "q0_scores"
+    for i in range(1, len(queries)):
+        join += f" FULL OUTER JOIN q{i}_scores USING (doc_id)"
+    parts = [f"coalesce(s_{i}, 0)" for i in range(len(queries))]
+    mx = f"greatest({', '.join(parts)})" if len(parts) > 1 else parts[0]
+    total = " + ".join(parts)
+    return f"""
+WITH {', '.join(ctes)}
+SELECT doc_id,
+       CAST(floor({mx} + {tie_breaker} * (({total}) - {mx})) AS BIGINT) AS score_u
+FROM {join}
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def boosting_df(docs: DataFrame, positive_terms: list[str],
+                negative: Column, negative_boost: float = 0.5,
+                k: int = 10, id_col: str = "doc_id", text_col: str = "text",
+                k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES boosting query: positive matches score normally; docs ALSO
+    matching the `negative` clause (a compiled query_ast Column over the
+    docs table) keep their positive score DEMOTED by negative_boost —
+    demotion, not exclusion. floor(score_u * nb) keeps the integer
+    contract. Returns (doc_id, score_u)."""
+    scores = bm25_scores_df(docs, positive_terms, id_col, text_col, k1, b)
+    neg_ids = docs.filter(negative).select(F.col(id_col).alias("doc_id"),
+                                           F.lit(True).alias("__neg"))
+    return (
+        scores.join(F.broadcast(neg_ids), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__neg"),
+                   F.floor(F.col("score_u") * negative_boost).cast("long"))
+            .otherwise(F.col("score_u")).alias("score_u"),
+        )
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def boosting_sql(table: str, positive_terms: list[str], negative_pred: str,
+                 negative_boost: float = 0.5, k: int = 10,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of boosting_df (negative clause as a SQL predicate)."""
+    cte = _scores_cte(0, table, text_col, positive_terms, id_col, k1, b)
+    return f"""
+WITH {cte},
+neg AS (SELECT {id_col} AS doc_id FROM {table} WHERE {negative_pred})
+SELECT s.doc_id,
+       CAST(CASE WHEN n.doc_id IS NOT NULL
+            THEN floor(s.s_0 * {negative_boost}) ELSE s.s_0 END AS BIGINT) AS score_u
+FROM q0_scores s LEFT JOIN neg n USING (doc_id)
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+_MODIFIERS = {
+    "none": lambda c: c,
+    "log1p": lambda c: F.log(F.lit(1.0) + c),
+    "sqrt": F.sqrt,
+}
+_MODIFIERS_SQL = {
+    "none": lambda e: e,
+    "log1p": lambda e: f"ln(1.0 + {e})",
+    "sqrt": lambda e: f"sqrt({e})",
+}
+
+
+def function_score_df(docs: DataFrame, query_terms: list[str],
+                      factor_field: str, factor: float = 1.0,
+                      modifier: str = "log1p", k: int = 10,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES function_score with field_value_factor (boost_mode=multiply,
+    the default): final = bm25 * modifier(factor * doc[field]). The boost
+    multiplies the quantized score and is re-floored — identical float ops
+    in both engines. Returns (doc_id, score_u)."""
+    if modifier not in _MODIFIERS:
+        raise ValueError(f"unsupported modifier: {modifier}")
+    scores = bm25_scores_df(docs, query_terms, id_col, text_col, k1, b)
+    vals = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(factor_field).cast("double").alias("__fv"))
+    boost = _MODIFIERS[modifier](F.lit(float(factor)) * F.col("__fv"))
+    return (
+        scores.join(vals, "doc_id")
+        .select("doc_id",
+                F.floor(F.col("score_u") * boost).cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def function_score_sql(table: str, query_terms: list[str],
+                       factor_field: str, factor: float = 1.0,
+                       modifier: str = "log1p", k: int = 10,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of function_score_df."""
+    cte = _scores_cte(0, table, text_col, query_terms, id_col, k1, b)
+    boost = _MODIFIERS_SQL[modifier](f"{factor} * CAST(v.{factor_field} AS DOUBLE)")
+    return f"""
+WITH {cte}
+SELECT s.doc_id,
+       CAST(floor(s.s_0 * {boost}) AS BIGINT) AS score_u
+FROM q0_scores s JOIN {table} v ON s.doc_id = v.{id_col}
+ORDER BY score_u DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
+def collapse_topk(docs: DataFrame, query_terms: list[str],
+                  collapse_field: str, k: int = 10,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES field collapsing: the single best hit per collapse_field value
+    (score desc, doc_id asc within the group), then the global top-k of
+    the survivors. The dedup window is PARTITIONED BY the collapse field —
+    scales with group count, no single-partition funnel; the global top-k
+    over one-row-per-group is a TakeOrderedAndProject.
+    Returns (doc_id, <collapse_field>, score_u)."""
+    from pyspark.sql import Window
+
+    scores = bm25_scores_df(docs, query_terms, id_col, text_col, k1, b)
+    keyed = scores.join(
+        docs.select(F.col(id_col).alias("doc_id"), collapse_field), "doc_id")
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.desc("score_u"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", collapse_field, "score_u")
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def collapse_sql(table: str, query_terms: list[str], collapse_field: str,
+                 k: int = 10, id_col: str = "doc_id", text_col: str = "text",
+                 k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of collapse_topk."""
+    cte = _scores_cte(0, table, text_col, query_terms, id_col, k1, b)
+    return f"""
+WITH {cte},
+keyed AS (
+  SELECT s.doc_id, v.{collapse_field}, s.s_0 AS score_u,
+         row_number() OVER (PARTITION BY v.{collapse_field}
+                            ORDER BY s.s_0 DESC, s.doc_id ASC) AS rn
+  FROM q0_scores s JOIN {table} v ON s.doc_id = v.{id_col}
+)
+SELECT doc_id, {collapse_field}, score_u
+FROM keyed WHERE rn = 1
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def match_phrase_prefix_df(docs: DataFrame, phrase_terms: list[str],
+                           k: int = 10, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES match_phrase_prefix: like match_phrase but the LAST term matches
+    as a prefix (search-as-you-type). Phrase frequency counts adjacent
+    occurrences whose final token startswith the prefix; the last term's
+    df is the count of docs containing ANY token with that prefix; scoring
+    is the Lucene phrase formula (idf sum x phrase-tf saturation) as in
+    bm25.match_phrase_df. Adjacency stays JVM-side (element_at +
+    startswith inside an aggregate — whole-stage codegen, no Python).
+    Returns (doc_id, score_u)."""
+    n_terms = len(phrase_terms)
+    if n_terms == 0:
+        raise ValueError("empty phrase")
+    exact, prefix = phrase_terms[:-1], phrase_terms[-1]
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    base = toks.select("doc_id", F.size("tokens").alias("dl"), "tokens")
+
+    def occurs_at(i):
+        cond = F.lit(True)
+        for j, t in enumerate(exact):
+            cond = cond & (F.element_at(F.col("tokens"), i + j) == F.lit(t))
+        return cond & F.element_at(F.col("tokens"), i + n_terms - 1).startswith(prefix)
+
+    upper = F.size("tokens") - n_terms + 1
+    pf = F.when(
+        upper >= 1,
+        F.aggregate(
+            F.sequence(F.lit(1), upper),
+            F.lit(0),
+            lambda acc, i: acc + F.when(occurs_at(i), F.lit(1)).otherwise(F.lit(0)),
+        ),
+    ).otherwise(F.lit(0))
+    matched = base.withColumn("pf", pf).filter(F.col("pf") > 0)
+    dfs = [
+        toks.select(
+            F.sum(F.when(F.array_contains("tokens", t), 1).otherwise(0)).alias(f"df{i}")
+        )
+        for i, t in enumerate(exact)
+    ]
+    dfs.append(toks.select(
+        F.sum(F.when(
+            F.exists("tokens", lambda x: x.startswith(prefix)), 1).otherwise(0)
+        ).alias(f"df{n_terms - 1}")
+    ))
+    df_all = dfs[0]
+    for d in dfs[1:]:
+        df_all = df_all.crossJoin(d)
+    scored = matched.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(df_all))
+    idf_sum = None
+    for i in range(n_terms):
+        idf_i = F.log(1.0 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5))
+        idf_sum = idf_i if idf_sum is None else idf_sum + idf_i
+    score = (
+        idf_sum * (k1 + 1.0) * F.col("pf")
+        / (F.col("pf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.select("doc_id", F.floor(score * 1e6).cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def match_phrase_prefix_sql(table: str, phrase_terms: list[str], k: int = 10,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of match_phrase_prefix_df."""
+    n_terms = len(phrase_terms)
+    exact, prefix = phrase_terms[:-1], phrase_terms[-1]
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    adj_parts = [f"tokens[i + {j}] = {lit(t)}" for j, t in enumerate(exact)]
+    adj_parts.append(f"starts_with(tokens[i + {n_terms - 1}], {lit(prefix)})")
+    adj = " AND ".join(adj_parts)
+    df_parts = [
+        f"sum(CASE WHEN list_contains(tokens, {lit(t)}) THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(exact)
+    ]
+    df_parts.append(
+        f"sum(CASE WHEN len(list_filter(tokens, x -> starts_with(x, {lit(prefix)}))) > 0"
+        f" THEN 1 ELSE 0 END) AS df{n_terms - 1}")
+    df_cols = ",\n         ".join(df_parts)
+    idf_sum = " + ".join(
+        f"ln(1.0 + (s.n - d.df{i} + 0.5) / (d.df{i} + 0.5))" for i in range(n_terms)
+    )
+    toks = _TOKS_SQL.format(col=text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+dfs AS (SELECT {df_cols} FROM toks),
+matched AS (
+  SELECT doc_id, len(tokens) AS dl,
+         list_sum(list_transform(
+           generate_series(1, greatest(len(tokens) - {n_terms - 1}, 0)),
+           i -> CASE WHEN {adj} THEN 1 ELSE 0 END)) AS pf
+  FROM toks
+)
+SELECT m.doc_id,
+       CAST(floor(({idf_sum}) * {k1 + 1.0} * m.pf
+            / (m.pf + {k1} * (1.0 - {b} + {b} * m.dl / s.avgdl)) * 1e6) AS BIGINT) AS score_u
+FROM matched m CROSS JOIN stats s CROSS JOIN dfs d
+WHERE m.pf > 0
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def more_like_this_df(docs: DataFrame, like_id: int,
+                      max_query_terms: int = 10, k: int = 10,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      min_term_len: int = 3,
+                      k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES more_like_this (single liked doc): pick the seed doc's
+    max_query_terms most INTERESTING terms by tf x idf (idf from corpus
+    document frequency; deterministic tie-break score desc, term asc; ES
+    min_term_freq=1 default, min_term_len filters noise tokens), then run
+    standard BM25 with those terms, excluding the seed doc itself.
+
+    Plan: the term-selection aggregate produces max_query_terms rows —
+    broadcast-joined into the scoring pipeline as the term filter, so the
+    whole operator is two passes over the corpus (selection df + scoring)
+    with only tiny shuffles. Returns (doc_id, score_u)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    base = toks.select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
+    seed_tf = (
+        base.filter((F.col("doc_id") == like_id) & (F.length("term") >= min_term_len))
+        .groupBy("term").agg(F.count("*").alias("tf"))
+    )
+    term_df = base.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    sel = (
+        seed_tf.join(term_df, "term")
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select(
+            "term",
+            F.floor(
+                F.col("tf") * F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * 1e6
+            ).cast("long").alias("interest_u"),
+        )
+        .orderBy(F.desc("interest_u"), F.asc("term"))
+        .limit(max_query_terms)
+        .select("term")
+    )
+    tfq = (
+        base.join(F.broadcast(sel), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tfq.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (k1 + 1.0)
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.filter(F.col("doc_id") != like_id)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+        .select(
+            "doc_id",
+            F.floor(
+                F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["contrib"]) * 1e6
+            ).cast("long").alias("score_u"),
+        )
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def more_like_this_sql(table: str, like_id: int, max_query_terms: int = 10,
+                       k: int = 10, id_col: str = "doc_id",
+                       text_col: str = "text", min_term_len: int = 3,
+                       k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of more_like_this_df — same tf x idf term selection
+    (same quantized tie-break), same BM25 pipeline gated on the selected
+    terms, seed doc excluded. NOTE: the scoring tfq's df is computed over
+    docs matching the selected terms, same as the DataFrame side."""
+    toks = _TOKS_SQL.format(col=text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+base AS (SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM toks),
+seed_tf AS (
+  SELECT term, count(*) AS tf FROM base
+  WHERE doc_id = {like_id} AND length(term) >= {min_term_len}
+  GROUP BY term
+),
+term_df AS (SELECT term, count(DISTINCT doc_id) AS df FROM base GROUP BY term),
+sel AS (
+  SELECT t.term,
+         CAST(floor(t.tf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 1e6) AS BIGINT) AS interest_u
+  FROM seed_tf t JOIN term_df d USING (term) CROSS JOIN stats s
+  ORDER BY interest_u DESC, term ASC
+  LIMIT {max_query_terms}
+),
+tfq AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM base WHERE term IN (SELECT term FROM sel)
+  GROUP BY doc_id, dl, term
+),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+scored AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * {k1 + 1.0} * t.tf
+           / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl)) AS contrib
+  FROM tfq t JOIN dfq d USING (term) CROSS JOIN stats s
+  WHERE t.doc_id <> {like_id}
+)
+SELECT doc_id,
+       CAST(floor(list_sum(list(contrib ORDER BY term)) * 1e6) AS BIGINT) AS score_u
+FROM scored
+GROUP BY doc_id
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""

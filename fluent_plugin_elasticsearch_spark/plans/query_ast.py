@@ -79,6 +79,18 @@ def _compile_clause(q: dict[str, Any]) -> Column:
         # term-level edit distance, JVM-side levenshtein (ES AUTO defaults
         # to ≤2 edits; we take an explicit integer fuzziness)
         return F.levenshtein(F.col(field), F.lit(str(value))) <= fuzz
+    if kind == "regexp":  # ES regexp: pattern must match the WHOLE value
+        ((field, value),) = body.items()
+        if isinstance(value, dict):
+            value = value["value"]
+        return F.col(field).rlike(f"^(?:{value})$")
+    if kind == "terms_set":
+        # {"terms_set": {field: {"terms": [...], "minimum_should_match": m}}}
+        # — at least m DISTINCT provided terms present in the array column
+        ((field, spec),) = body.items()
+        terms = [F.lit(t) for t in spec["terms"]]
+        m = int(spec.get("minimum_should_match", 1))
+        return F.size(F.array_intersect(F.col(field), F.array(*terms))) >= m
     if kind == "bool":
         c = F.lit(True)
         for must in body.get("must", []) + body.get("filter", []):
@@ -200,16 +212,38 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         out = out.select("doc_id", *[c for c in src if c != "doc_id"])
 
     sort_cols = []
+    sort_keys: list[tuple[str, bool]] = []  # (field, ascending) for search_after
     for s in body.get("sort", []):
         if s == "_doc":  # index order: no sort (S4, in_elasticsearch.rb:33)
             continue
         if isinstance(s, str):
             sort_cols.append(F.col(s))
+            sort_keys.append((s, True))
         else:
             ((field, spec),) = s.items()
             order = spec.get("order", "asc") if isinstance(spec, dict) else spec
             field = "index_name" if field == "_index" else field
             sort_cols.append(F.col(field).desc() if order == "desc" else F.col(field).asc())
+            sort_keys.append((field, order != "desc"))
+
+    after = body.get("search_after")
+    if after is not None:
+        # ES search_after: keyset pagination — rows STRICTLY after the
+        # cursor tuple in the sort order. Unlike from/size this is
+        # stateless and sargable (the leading-key bound pushes into the
+        # scan), so deep pagination costs O(page) not O(offset) — the
+        # at-scale replacement for scroll the reference's scan relies on.
+        if len(sort_keys) != len(after):
+            raise UnsupportedQuery(
+                "search_after needs one cursor value per explicit sort key")
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for (field, asc), v in zip(sort_keys, after):
+            fc, vc = F.col(field), F.lit(v)
+            cond = cond | (eq & ((fc > vc) if asc else (fc < vc)))
+            eq = eq & (fc == vc)
+        out = out.filter(cond)
+
     if sort_cols:  # one orderBy — chained orderBy calls would replace each other
         out = out.orderBy(*sort_cols)
 

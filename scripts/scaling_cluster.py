@@ -101,7 +101,7 @@ def make_zip() -> str:
 
 
 def submit(n_workers: int, corpus: str, n_docs: int, zpath: str,
-           trials: int = 2) -> dict:
+           trials: int = 3) -> dict:
     total_cores = 8 * n_workers
     best = None
     walls, cwalls = [], []

@@ -1,0 +1,158 @@
+"""Relevance compositions (operators/relevance.py) + new query-AST
+clauses (regexp, terms_set, search_after): semantics checked against
+brute-force Python, SQL mirrors checked against DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+    UnsupportedQuery,
+    _compile_clause,
+    compile_query,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a quick brown cat sits on the mat",
+    "spark engines merge sorted partitions quickly",
+    "the lazy dog sleeps all day in the sun",
+    "quick quick quick repetition here",
+    "merge partition merge partition merge",
+    "wholly unrelated content about gardening roses",
+    "fox and dog are friends in the park",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [Row(doc_id=i, text=t, lang=["en", "fr"][i % 2], n_chars=len(t))
+            for i, t in enumerate(TEXTS)]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def duck(tmp_path_factory, docs):
+    con = duckdb.connect()
+    pdf = docs.toPandas()
+    con.register("docs", pdf)
+    return con
+
+
+def _match(spark_df, con, sql):
+    got = [(r["doc_id"], r["score_u"]) for r in spark_df.collect()]
+    want = [(int(a), int(b)) for a, b in con.sql(sql).fetchall()]
+    assert got == want
+
+
+def test_dis_max_matches_sql(docs, duck):
+    qs = [("text", ["quick", "fox"]), ("text", ["merge", "partition"])]
+    df = rel.dis_max_df(docs, qs, tie_breaker=0.3, k=8)
+    _match(df, duck, rel.dis_max_sql("docs", qs, tie_breaker=0.3, k=8))
+
+
+def test_dis_max_tiebreaker_zero_is_pure_max(docs):
+    qs = [("text", ["quick"]), ("text", ["merge"])]
+    both = rel.dis_max_df(docs, qs, tie_breaker=0.0, k=8).collect()
+    a = {r["doc_id"]: r["score_u"] for r in rel.dis_max_df(docs, [qs[0]], k=8).collect()}
+    b = {r["doc_id"]: r["score_u"] for r in rel.dis_max_df(docs, [qs[1]], k=8).collect()}
+    for r in both:
+        assert r["score_u"] == max(a.get(r["doc_id"], 0), b.get(r["doc_id"], 0))
+
+
+def test_boosting_demotes_not_excludes(docs, duck):
+    neg = _compile_clause({"term": {"lang": "fr"}})
+    df = rel.boosting_df(docs, ["quick", "dog"], neg, negative_boost=0.4, k=8)
+    rows = {r["doc_id"]: r["score_u"] for r in df.collect()}
+    plain = {r["doc_id"]: r["score_u"]
+             for r in rel.boosting_df(docs, ["quick", "dog"], F.lit(False), k=8).collect()}
+    for did, s in rows.items():
+        if did % 2 == 1:  # lang == fr
+            assert s == int(plain[did] * 0.4) or s == plain[did] * 0.4 // 1
+        else:
+            assert s == plain[did]
+    _match(df, duck, rel.boosting_sql("docs", ["quick", "dog"], "lang = 'fr'",
+                                      negative_boost=0.4, k=8))
+
+
+def test_function_score_matches_sql(docs, duck):
+    df = rel.function_score_df(docs, ["quick"], "n_chars", factor=0.1,
+                               modifier="log1p", k=8)
+    _match(df, duck, rel.function_score_sql("docs", ["quick"], "n_chars",
+                                            factor=0.1, modifier="log1p", k=8))
+
+
+def test_collapse_one_hit_per_group(docs, duck):
+    df = rel.collapse_topk(docs, ["quick", "merge"], "lang", k=8)
+    rows = df.collect()
+    langs = [r["lang"] for r in rows]
+    assert len(langs) == len(set(langs))  # one survivor per collapse value
+    got = [(r["doc_id"], r["lang"], r["score_u"]) for r in rows]
+    want = [(int(a), b, int(c)) for a, b, c in duck.sql(
+        rel.collapse_sql("docs", ["quick", "merge"], "lang", k=8)).fetchall()]
+    assert got == want
+
+
+def test_match_phrase_prefix(docs, duck):
+    # "quick bro" should hit docs 0 and 1 (quick brown...), not doc 4
+    df = rel.match_phrase_prefix_df(docs, ["quick", "bro"], k=8)
+    ids = [r["doc_id"] for r in df.collect()]
+    assert set(ids) == {0, 1}
+    _match(df, duck, rel.match_phrase_prefix_sql("docs", ["quick", "bro"], k=8))
+
+
+def test_match_phrase_prefix_last_term_whole_word_still_matches(docs):
+    ids = {r["doc_id"] for r in
+           rel.match_phrase_prefix_df(docs, ["lazy", "dog"], k=8).collect()}
+    assert ids == {0, 3}
+
+
+def test_more_like_this(docs, duck):
+    df = rel.more_like_this_df(docs, like_id=0, max_query_terms=5, k=8)
+    rows = df.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 0 not in ids  # seed excluded
+    assert len(ids) > 0
+    _match(df, duck, rel.more_like_this_sql("docs", like_id=0,
+                                            max_query_terms=5, k=8))
+
+
+def test_regexp_clause_full_match(docs):
+    out = docs.filter(_compile_clause({"regexp": {"lang": "e."}}))
+    assert {r["lang"] for r in out.collect()} == {"en"}
+    # not a substring match: "n" alone must not match "en"
+    assert docs.filter(_compile_clause({"regexp": {"lang": "n"}})).count() == 0
+
+
+def test_terms_set_minimum_should_match(spark, docs):
+    toks = docs.withColumn("tokens", F.split(F.col("text"), " "))
+    c = _compile_clause({"terms_set": {"tokens": {
+        "terms": ["quick", "fox", "merge"], "minimum_should_match": 2}}})
+    ids = {r["doc_id"] for r in toks.filter(c).collect()}
+    # brute-force check
+    want = {i for i, t in enumerate(TEXTS)
+            if len({"quick", "fox", "merge"} & set(t.split())) >= 2}
+    assert ids == want
+
+
+def test_search_after_keyset(docs):
+    body = {"sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+            "size": 3}
+    page1 = compile_query(docs, body).collect()
+    cursor = [page1[-1]["n_chars"], page1[-1]["doc_id"]]
+    page2 = compile_query(docs, {**body, "search_after": cursor}).collect()
+    got = [r["doc_id"] for r in page1 + page2]
+    # matches one global sort of everything
+    full = [r["doc_id"] for r in compile_query(
+        docs, {"sort": body["sort"], "size": 6}).collect()]
+    assert got == full
+    assert len(set(got)) == 6
+
+
+def test_search_after_requires_matching_sort(docs):
+    with pytest.raises(UnsupportedQuery):
+        compile_query(docs, {"sort": [{"n_chars": "asc"}], "search_after": [1, 2]})

@@ -74,7 +74,9 @@ def test_query_ast(docs):
     proj = compile_query(docs, {"query": {"match_all": {}}, "_source": False})
     assert proj.columns == ["doc_id"]
     with pytest.raises(UnsupportedQuery):
-        compile_query(docs, {"query": {"regexp": {"x": 1}}})
+        compile_query(docs, {"query": {"span_near": {"clauses": []}}})
+    # regexp: supported since round 3, anchored whole-value match
+    assert compile_query(docs, {"query": {"regexp": {"lang": "e."}}}).count() == 10
     # fuzzy: term-level edit distance (supported since round 3)
     fz = compile_query(docs, {"query": {"fuzzy": {"lang": {"value": "enn", "fuzziness": 1}}}})
     assert fz.count() == 10  # 'en' at distance 1; 'de' at 3
