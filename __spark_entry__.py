@@ -214,6 +214,58 @@ def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.floor(F.col("value") * 1e2).cast("long").alias("value_u"))
 
 
+def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore: BM25 retrieves a top-100 window, only that window is
+    re-ranked with the expensive phrase scorer (score_mode=total)."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.rescore_df(
+        _read(spark, sf_dir, "documents"), ["merge", "table"], ["merge", "part"],
+        window_size=100, query_weight=1.0, rescore_query_weight=2.0, k=20)
+
+
+def q_es_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg metric agg: sum(v*w)/sum(w) over pre-quantized
+    integers (exact cross-engine sums; single float division)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long"))
+    out = compile_aggs(ev, {"aggs": {"w": {"weighted_avg": {
+        "value": {"field": "value_u"}, "weight": {"field": "user_id"}}}}})["w"]
+    return out.select(F.floor(F.col("w") * 1e2).cast("long").alias("wavg_u"))
+
+
+def q_es_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix agg: per-filter buckets plus pairwise
+    intersections (key 'a&b')."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_aggs(ev, {"aggs": {"adj": {"adjacency_matrix": {"filters": {
+        "clicks": {"term": {"event_type": "click"}},
+        "hot": {"range": {"value": {"gte": 120.0}}},
+        "early": {"range": {"ts": {"lt": "2024-01-08 00:00:00"}}},
+    }}}}})
+    return out["adj"]
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT baseline path
+    (operators/similarity.embedding_neardup_exact): O(n²/2) self-join with
+    the JVM fold cosine. The LSH-bucketed variant
+    (embedding_nneardup_pairs) is the corpus-scale path — recall-tested in
+    pytest; this entry pins the exact contract the LSH path approximates."""
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        embedding_neardup_exact)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_exact(emb, threshold=0.40)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_u")
+    ).orderBy("id_a", "id_b")
+
+
 def q_sorted_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 — sort on metadata field, descending (affinity lookup order)."""
     docs = _read(spark, sf_dir, "documents")
@@ -895,6 +947,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_query": q_regexp_query,
         "terms_set_query": q_terms_set_query,
         "search_after": q_search_after,
+        "rescore": q_rescore,
+        "es_weighted_avg": q_es_weighted_avg,
+        "es_adjacency_matrix": q_es_adjacency_matrix,
+        "embedding_neardup": q_embedding_neardup,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
         "genid_sha256": q_genid_sha256,
@@ -986,6 +1042,39 @@ def oracle_sql() -> dict[str, str]:
             "documents", ["merge", "par"], k=20),
         "more_like_this": _rel.more_like_this_sql(
             "documents", like_id=0, max_query_terms=8, k=20),
+        "rescore": _rel.rescore_sql(
+            "documents", ["merge", "table"], ["merge", "part"],
+            window_size=100, query_weight=1.0, rescore_query_weight=2.0, k=20),
+        "es_weighted_avg": """
+SELECT CAST(floor(sum(CAST(floor(value * 1e2) AS BIGINT) * user_id) * 1.0
+            / sum(user_id) * 1e2) AS BIGINT) AS wavg_u
+FROM events
+""",
+        "es_adjacency_matrix": """
+SELECT 'clicks' AS key, count(*) AS doc_count FROM events WHERE event_type = 'click'
+UNION ALL SELECT 'early', count(*) FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+UNION ALL SELECT 'hot', count(*) FROM events WHERE value >= 120.0
+UNION ALL SELECT 'clicks&early', count(*) FROM events
+  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+UNION ALL SELECT 'clicks&hot', count(*) FROM events
+  WHERE event_type = 'click' AND value >= 120.0
+UNION ALL SELECT 'early&hot', count(*) FROM events
+  WHERE ts < TIMESTAMP '2024-01-08 00:00:00' AND value >= 120.0
+ORDER BY key ASC
+""",
+        "embedding_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) * 1e6
+       ) AS BIGINT) AS cosine_u
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.40
+ORDER BY id_a, id_b
+""",
         "regexp_query": """
 SELECT event_id, event_type FROM events
 WHERE regexp_full_match(event_type, 'p.*e|sig.*')

@@ -492,3 +492,65 @@ GROUP BY doc_id
 ORDER BY score_u DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def rescore_df(docs: DataFrame, query_terms: list[str],
+               phrase_terms: list[str], window_size: int = 100,
+               query_weight: float = 1.0, rescore_query_weight: float = 2.0,
+               k: int = 10, id_col: str = "doc_id", text_col: str = "text",
+               k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES rescore: cheap BM25 retrieves the top window_size candidates,
+    then only THAT window is re-ranked with an expensive phrase query:
+    final = query_weight * bm25 + rescore_query_weight * phrase_score
+    (ES score_mode=total). Docs in the window that don't match the phrase
+    keep their weighted base score.
+
+    Scale shape: this is the two-phase serving pattern — the expensive
+    scorer touches window_size rows, not the corpus. Here the phrase
+    scores come from the same corpus pass and are broadcast-joined onto
+    the (tiny) window. Returns (doc_id, score_u)."""
+    from .bm25 import match_phrase_df
+
+    base = bm25_scores_df(docs, query_terms, id_col, text_col, k1, b)
+    window = base.orderBy(F.desc("score_u"), F.asc("doc_id")).limit(window_size)
+    phrase = match_phrase_df(docs, phrase_terms, k=1_000_000_000,
+                             id_col=id_col, text_col=text_col, k1=k1, b=b)
+    combined = (
+        window.join(F.broadcast(phrase.withColumnRenamed("score_u", "p_u")),
+                    "doc_id", "left")
+        .select(
+            "doc_id",
+            F.floor(query_weight * F.col("score_u")
+                    + rescore_query_weight * F.coalesce(F.col("p_u"), F.lit(0)))
+            .cast("long").alias("score_u"),
+        )
+    )
+    return combined.orderBy(F.desc("score_u"), F.asc("doc_id")).limit(k)
+
+
+def rescore_sql(table: str, query_terms: list[str], phrase_terms: list[str],
+                window_size: int = 100, query_weight: float = 1.0,
+                rescore_query_weight: float = 2.0, k: int = 10,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of rescore_df (embeds the match_phrase pipeline as a
+    subquery with the same unbounded k)."""
+    from .bm25 import match_phrase_sql
+
+    cte = _scores_cte(0, table, text_col, query_terms, id_col, k1, b)
+    phrase = match_phrase_sql(table, phrase_terms, k=1_000_000_000,
+                              id_col=id_col, text_col=text_col, k1=k1, b=b)
+    return f"""
+WITH {cte},
+win AS (
+  SELECT doc_id, s_0 FROM q0_scores
+  ORDER BY s_0 DESC, doc_id ASC LIMIT {window_size}
+),
+phrase AS (SELECT doc_id AS p_id, score_u AS p_u FROM ({phrase}))
+SELECT w.doc_id,
+       CAST(floor({query_weight} * w.s_0
+            + {rescore_query_weight} * coalesce(p.p_u, 0)) AS BIGINT) AS score_u
+FROM win w LEFT JOIN phrase p ON w.doc_id = p.p_id
+ORDER BY score_u DESC, w.doc_id ASC
+LIMIT {k}
+"""

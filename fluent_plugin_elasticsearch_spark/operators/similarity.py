@@ -265,3 +265,29 @@ def embedding_nneardup_pairs(embeddings: DataFrame, dim: int, threshold: float =
         .select("id_a", "id_b", cosine_col(F.col("__va"), F.col("__vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_neardup_exact(embeddings: DataFrame, threshold: float,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs: full O(n²/2) self-join
+    with the JVM-side fold cosine (zip_with + aggregate — no Python).
+    This is the verification baseline for embedding_nneardup_pairs (the
+    LSH-bucketed scale path): identical output contract (id_a < id_b,
+    cosine ≥ threshold), guaranteed-complete recall.
+
+    Scale note: quadratic — run on a bounded candidate set (one LSH/IVF
+    bucket, a dedup cluster, a sampled audit slice), never the full corpus.
+    The self-join is range-free so Spark plans a broadcast NL join when one
+    side fits; both sides cast to double ONCE before the join."""
+    ev = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    a = ev.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = ev.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_col(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

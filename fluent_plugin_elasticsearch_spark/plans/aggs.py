@@ -62,6 +62,14 @@ def _metric_cols(aggs: dict[str, Any]) -> list[Column]:
     cols: list[Column] = []
     for name, spec in aggs.items():
         ((kind, body),) = spec.items()
+        if kind == "weighted_avg":
+            # ES weighted_avg: {"value": {"field": v}, "weight": {"field": w}}
+            # → sum(v*w)/sum(w), one partial-aggregated pass
+            v, w = body["value"]["field"], body["weight"]["field"]
+            cols.append(
+                (F.sum(F.col(v) * F.col(w)) / F.sum(F.col(w))).alias(name)
+            )
+            continue
         field = body["field"]
         if kind == "percentiles":
             # exact linear-interpolation percentiles (identical to DuckDB's
@@ -237,6 +245,28 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             for p in parts[1:]:
                 df = df.unionByName(p)
             out[name] = df.orderBy(F.asc("key"))
+        elif kind == "adjacency_matrix":
+            # ES adjacency_matrix: one bucket per named filter plus one per
+            # pair intersection (key "a&b", names sorted) — like the
+            # filters agg, a union of independent filtered aggregates;
+            # empty intersections are kept with doc_count 0 (ES drops
+            # them, but a stable row set hashes deterministically).
+            specs = inner["filters"]
+            names_sorted = sorted(specs)
+            combos: list[tuple[str, Any]] = [(n, _compile_clause(specs[n])) for n in names_sorted]
+            for i, na in enumerate(names_sorted):
+                for nb in names_sorted[i + 1:]:
+                    combos.append((f"{na}&{nb}",
+                                   _compile_clause(specs[na]) & _compile_clause(specs[nb])))
+            parts = []
+            for cname, clause in combos:
+                agg = base.filter(clause).agg(
+                    F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
+                parts.append(agg.select(F.lit(cname).alias("key"), "*"))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            out[name] = df.orderBy(F.asc("key"))
         elif kind in ("range", "date_range"):
             out[name] = _range_agg(base, kind, inner, sub)
         elif kind == "missing":
@@ -250,7 +280,8 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = _significant_terms(docs, base, inner)
         elif kind == "composite":
             out[name] = _composite(base, inner, sub)
-        elif kind in ("stats", "extended_stats", "percentiles", "cardinality") or kind in _METRICS:
+        elif (kind in ("stats", "extended_stats", "percentiles", "cardinality",
+                       "weighted_avg") or kind in _METRICS):
             out[name] = base.agg(*_metric_cols({name: {kind: inner}}))
         else:
             raise UnsupportedQuery(f"unsupported agg kind: {kind}")

@@ -296,3 +296,25 @@ def test_composite_with_metrics(events):
     rows = out["c"].collect()
     assert [r["etype"] for r in rows] == ["click", "error", "view"]
     assert all(r["v_max"] <= 49.0 for r in rows)
+
+
+def test_weighted_avg(events):
+    out = compile_aggs(events, {"aggs": {"w": {"weighted_avg": {
+        "value": {"field": "value"}, "weight": {"field": "event_id"}}}}})
+    r = out["w"].collect()[0]
+    rows = events.select("value", "event_id").collect()
+    want = sum(x["value"] * x["event_id"] for x in rows) / sum(x["event_id"] for x in rows)
+    assert abs(r["w"] - want) < 1e-9
+
+
+def test_adjacency_matrix(events):
+    out = compile_aggs(events, {"aggs": {"adj": {"adjacency_matrix": {"filters": {
+        "hot": {"range": {"value": {"gte": 40.0}}},
+        "clicks": {"term": {"event_type": "click"}},
+    }}}}})
+    rows = {r["key"]: r["doc_count"] for r in out["adj"].collect()}
+    assert set(rows) == {"clicks", "hot", "clicks&hot"}
+    assert rows["hot"] == 60          # value = i%50, >= 40 → 10 of 50 → 60/300
+    assert rows["clicks"] == 100
+    assert rows["clicks&hot"] == sum(
+        1 for i in range(300) if i % 3 == 0 and i % 50 >= 40)

@@ -156,3 +156,40 @@ def test_search_after_keyset(docs):
 def test_search_after_requires_matching_sort(docs):
     with pytest.raises(UnsupportedQuery):
         compile_query(docs, {"sort": [{"n_chars": "asc"}], "search_after": [1, 2]})
+
+
+def test_rescore_window_rerank(docs, duck):
+    df = rel.rescore_df(docs, ["quick", "dog"], ["lazy", "dog"],
+                        window_size=5, query_weight=1.0,
+                        rescore_query_weight=2.0, k=5)
+    _match(df, duck, rel.rescore_sql("docs", ["quick", "dog"], ["lazy", "dog"],
+                                     window_size=5, query_weight=1.0,
+                                     rescore_query_weight=2.0, k=5))
+    # a doc containing the phrase must outrank its base-only position
+    rows = {r["doc_id"]: r["score_u"] for r in df.collect()}
+    base = {r["doc_id"]: r["score_u"] for r in
+            rel.rescore_df(docs, ["quick", "dog"], ["lazy", "dog"],
+                           window_size=5, rescore_query_weight=0.0, k=5).collect()}
+    for did in rows:
+        if did in base:
+            assert rows[did] >= base[did]
+
+
+def test_embedding_neardup_exact_matches_brute(spark):
+    import numpy as np
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        embedding_neardup_exact)
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8)
+    vecs[13] = vecs[5] + 0.01 * rng.randn(8)  # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_neardup_exact(emb, 0.95).collect()}
+    want = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            c = vecs[i] @ vecs[j] / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))
+            if c >= 0.95:
+                want.add((i, j))
+    assert got == want and (5, 13) in got
