@@ -24,6 +24,7 @@ if REPO not in sys.path:
 
 from fluent_plugin_elasticsearch_spark.operators import bm25 as _bm25  # noqa: E402
 from fluent_plugin_elasticsearch_spark.operators import relevance as _rel  # noqa: E402
+from fluent_plugin_elasticsearch_spark.operators import percolate as _perc  # noqa: E402
 from fluent_plugin_elasticsearch_spark.operators import dedup as _dedup  # noqa: E402
 from fluent_plugin_elasticsearch_spark.operators import similarity as _sim  # noqa: E402
 from fluent_plugin_elasticsearch_spark.operators import textquality as _tq  # noqa: E402
@@ -264,6 +265,39 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_u")
     ).orderBy("id_a", "id_b")
+
+
+_PERC_QUERIES = [
+    (1, ["spark"], 1),
+    (2, ["merge", "window"], 2),
+    (3, ["fast", "slow", "batch"], 2),
+]
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolate — reverse search: registered match queries evaluated
+    against the document stream via the reverse-index join
+    (operators/percolate.py). Cost ∝ matched (doc, query-term) pairs, not
+    |docs| x |queries|."""
+    from fluent_plugin_elasticsearch_spark.operators.percolate import (
+        make_query_registry, percolate)
+
+    docs = _read(spark, sf_dir, "documents")
+    return percolate(docs, make_query_registry(spark, _PERC_QUERIES))
+
+
+def q_es_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_text: tokens over-represented in docs mentioning
+    'spark' vs the whole corpus (per-doc rates, JLH, min_doc_count 3)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_aggs(docs, {
+        "query": {"wildcard": {"text": "*spark*"}},
+        "aggs": {"sig": {"significant_text": {"field": "text", "size": 10,
+                                              "min_doc_count": 3}}},
+    })
+    return out["sig"]
 
 
 def q_sorted_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -951,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_weighted_avg": q_es_weighted_avg,
         "es_adjacency_matrix": q_es_adjacency_matrix,
         "embedding_neardup": q_embedding_neardup,
+        "percolate": q_percolate,
+        "es_significant_text": q_es_significant_text,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
         "genid_sha256": q_genid_sha256,
@@ -1074,6 +1110,28 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.40
 ORDER BY id_a, id_b
+""",
+        "percolate": _perc.percolate_sql("documents", _PERC_QUERIES),
+        "es_significant_text": f"""
+WITH fg_docs AS (SELECT doc_id, text FROM documents WHERE text LIKE '%spark%'),
+fg AS (
+  SELECT term AS key, count(*) AS doc_count FROM (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM fg_docs
+  ) GROUP BY 1 HAVING count(*) >= 3
+),
+bg AS (
+  SELECT term AS key, count(*) AS bg_count FROM (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents
+  ) GROUP BY 1
+),
+t AS (SELECT (SELECT count(*) FROM fg_docs) AS fg_total,
+             (SELECT count(*) FROM documents) AS bg_total)
+SELECT key, doc_count, bg_count,
+       CAST(floor((doc_count * 1.0 / fg_total - bg_count * 1.0 / bg_total)
+            * ((doc_count * 1.0 / fg_total) / (bg_count * 1.0 / bg_total)) * 1e6) AS BIGINT) AS score_u
+FROM fg JOIN bg USING (key) CROSS JOIN t
+WHERE doc_count * 1.0 / fg_total > bg_count * 1.0 / bg_total
+ORDER BY score_u DESC, key ASC LIMIT 10
 """,
         "regexp_query": """
 SELECT event_id, event_type FROM events

@@ -1,0 +1,82 @@
+"""ES percolate query — REVERSE search: store queries, match documents
+against them (alerting/routing; the fluentd world's "which monitors fire
+for this log line"). Reference context: the plugin forwards percolate
+bodies to ES like any other query (in_elasticsearch.rb:94-99); the
+matching semantics implemented here are the ES-side engine's.
+
+Stored-query model (the registered percolator subset): a `match` query
+with `minimum_should_match` — (query_id, terms, msm) rows. operator=and
+is msm = len(terms); operator=or is msm = 1.
+
+Plan shape — the reverse-index join, which is how percolation scales:
+explode each document's DISTINCT terms, equi-join the exploded stored
+queries on the term (shuffle keyed by term, partial-aggregated), count
+distinct matched terms per (doc, query), keep pairs meeting the query's
+msm. Cost scales with Σ per-doc |vocab ∩ query vocab|, NOT
+|docs| x |queries| — no cross join anywhere. Skewed head terms behave
+like any aggregation key (AQE skew split); a broadcast of the (small)
+query-term table avoids shuffling the corpus when the registry fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..extraction import simple_tokens_col
+
+
+def make_query_registry(spark, queries: list[tuple[int, list[str], int]]) -> DataFrame:
+    """Build the stored-query registry DataFrame from
+    (query_id, terms, minimum_should_match) rows."""
+    return spark.createDataFrame(
+        [(q, list(t), int(m)) for q, t, m in queries],
+        "query_id long, terms array<string>, msm int",
+    )
+
+
+def percolate(docs: DataFrame, registry: DataFrame,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Match every doc against every stored query. Returns
+    (doc_id, query_id, n_matched) for pairs with n_matched >= the query's
+    minimum_should_match, sorted (doc_id, query_id)."""
+    doc_terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(simple_tokens_col(F.col(text_col)))).alias("term"),
+    )
+    q_terms = registry.select(
+        "query_id", "msm", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    return (
+        doc_terms.join(F.broadcast(q_terms), "term")
+        .groupBy("doc_id", "query_id", "msm")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= F.col("msm"))
+        .select("doc_id", "query_id", "n_matched")
+        .orderBy("doc_id", "query_id")
+    )
+
+
+def percolate_sql(table: str, queries: list[tuple[int, list[str], int]],
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror of percolate() with the registry inlined as VALUES."""
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    rows = ", ".join(
+        f"({qid}, {lit(t)}, {msm})"
+        for qid, terms, msm in queries
+        for t in sorted(set(terms))
+    )
+    return f"""
+WITH reg(query_id, term, msm) AS (VALUES {rows}),
+doc_terms AS (
+  SELECT {id_col} AS doc_id, unnest(list_distinct(
+    list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+'),
+                t -> t <> ''))) AS term
+  FROM {table}
+)
+SELECT d.doc_id, r.query_id, count(*) AS n_matched
+FROM doc_terms d JOIN reg r USING (term)
+GROUP BY d.doc_id, r.query_id, r.msm
+HAVING count(*) >= r.msm
+ORDER BY doc_id, query_id
+"""

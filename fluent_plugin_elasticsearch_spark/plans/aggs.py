@@ -278,6 +278,8 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             )
         elif kind == "significant_terms":
             out[name] = _significant_terms(docs, base, inner)
+        elif kind == "significant_text":
+            out[name] = _significant_text(docs, base, inner)
         elif kind == "composite":
             out[name] = _composite(base, inner, sub)
         elif (kind in ("stats", "extended_stats", "percentiles", "cardinality",
@@ -338,6 +340,49 @@ def _significant_terms(bg_docs: DataFrame, fg_docs: DataFrame,
     size = int(spec.get("size", 10))
     fg = fg_docs.groupBy(F.col(field).alias("key")).agg(F.count(F.lit(1)).alias("doc_count"))
     bg = bg_docs.groupBy(F.col(field).alias("key")).agg(F.count(F.lit(1)).alias("bg_count"))
+    fgt = fg_docs.agg(F.count(F.lit(1)).alias("fg_total"))
+    bgt = bg_docs.agg(F.count(F.lit(1)).alias("bg_total"))
+    fr = F.col("doc_count") / F.col("fg_total")
+    br = F.col("bg_count") / F.col("bg_total")
+    return (
+        fg.join(bg, "key")
+        .crossJoin(F.broadcast(fgt))
+        .crossJoin(F.broadcast(bgt))
+        .filter(fr > br)
+        .select(
+            "key", "doc_count", "bg_count",
+            F.floor((fr - br) * (fr / br) * 1e6).cast("long").alias("score_u"),
+        )
+        .orderBy(F.desc("score_u"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def _significant_text(bg_docs: DataFrame, fg_docs: DataFrame,
+                      spec: dict[str, Any]) -> DataFrame:
+    """ES significant_text: significant_terms over a FREE-TEXT field —
+    terms are tokens, term doc-frequency counts each doc once
+    (array_distinct before explode), rates are per-DOC (fg_total/bg_total
+    are doc counts, not token counts). Default JLH scoring, quantized.
+
+    Plan: explode-distinct → two partial-aggregated term groupBys (fg is
+    the filtered subset) joined on the term; min_doc_count prunes the
+    long tail BEFORE the join (ES default 3 for significant_text)."""
+    from ..extraction import simple_tokens_col
+
+    field = spec["field"]
+    size = int(spec.get("size", 10))
+    min_dc = int(spec.get("min_doc_count", 3))
+
+    def term_counts(docs: DataFrame, cnt: str) -> DataFrame:
+        return (
+            docs.select(F.explode(F.array_distinct(
+                simple_tokens_col(F.col(field)))).alias("key"))
+            .groupBy("key").agg(F.count(F.lit(1)).alias(cnt))
+        )
+
+    fg = term_counts(fg_docs, "doc_count").filter(F.col("doc_count") >= min_dc)
+    bg = term_counts(bg_docs, "bg_count")
     fgt = fg_docs.agg(F.count(F.lit(1)).alias("fg_total"))
     bgt = bg_docs.agg(F.count(F.lit(1)).alias("bg_total"))
     fr = F.col("doc_count") / F.col("fg_total")

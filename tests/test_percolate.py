@@ -1,0 +1,77 @@
+"""Percolate (reverse search) + significant_text: semantics vs brute
+force and the DuckDB mirror."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from fluent_plugin_elasticsearch_spark.operators.percolate import (
+    make_query_registry,
+    percolate,
+    percolate_sql,
+)
+from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+TEXTS = [
+    "error disk full on node seven",
+    "login success for user alpha",
+    "error timeout connecting upstream",
+    "disk usage warning on node two",
+    "user beta login failure password",
+    "all systems nominal",
+]
+
+QUERIES = [
+    (1, ["error"], 1),                    # any error
+    (2, ["disk", "node"], 2),             # AND: disk AND node
+    (3, ["login", "failure", "password"], 2),  # 2 of 3
+    (4, ["nonexistentterm"], 1),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)])
+
+
+def test_percolate_matches_brute_force(spark, docs):
+    reg = make_query_registry(spark, QUERIES)
+    got = {(r["doc_id"], r["query_id"]) for r in percolate(docs, reg).collect()}
+    want = set()
+    for i, t in enumerate(TEXTS):
+        toks = set(t.split())
+        for qid, terms, msm in QUERIES:
+            if len(set(terms) & toks) >= msm:
+                want.add((i, qid))
+    assert got == want
+    assert (0, 1) in got and (3, 2) in got and (4, 3) in got
+    assert all(q != 4 for _, q in got)
+
+
+def test_percolate_matches_sql(spark, docs):
+    reg = make_query_registry(spark, QUERIES)
+    got = [(r["doc_id"], r["query_id"], r["n_matched"])
+           for r in percolate(docs, reg).collect()]
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = [(int(a), int(b), int(c))
+            for a, b, c in con.sql(percolate_sql("docs", QUERIES)).fetchall()]
+    assert got == want
+
+
+def test_significant_text_surfaces_error_vocab(spark, docs):
+    out = compile_aggs(docs, {
+        "query": {"prefix": {"text": "error"}},
+        "aggs": {"sig": {"significant_text": {"field": "text", "size": 5,
+                                              "min_doc_count": 1}}},
+    })
+    rows = out["sig"].collect()
+    keys = [r["key"] for r in rows]
+    assert "error" in keys  # the foreground-defining token dominates
+    top = rows[0]
+    # 'error' appears in all fg docs (2/2) and 2/6 bg docs
+    assert top["key"] == "error" and top["doc_count"] == 2 and top["bg_count"] == 2
+    for r in rows:
+        assert r["doc_count"] / 2 > r["bg_count"] / 6
