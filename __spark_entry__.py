@@ -300,6 +300,35 @@ def q_es_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["sig"]
 
 
+def q_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query: curated ids first (list order), organic BM25
+    after, pinned excluded from organic."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    out = rel.pinned_df(
+        _read(spark, sf_dir, "documents"), [42, 7], ["spark", "merge"], k=10)
+    # pinned rows carry NULL score (ES synthetic sort-first); the driver
+    # fetches oracles via pandas where a nullable BIGINT degrades to
+    # float64 — coalesce to a -1 sentinel on BOTH sides for the hash
+    return out.select("doc_id", "rank",
+                      F.coalesce("score_u", F.lit(-1)).cast("long").alias("score_u"))
+
+
+def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES constant_score: filter-only selection with a literal boost
+    score (no statistics, pure pushdown filter plan)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {
+        "query": {"constant_score": {"filter": {"term": {"lang": "en"}},
+                                     "boost": 2.5}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 200,
+    })
+    return out.select("doc_id", "lang", "score_u")
+
+
 def q_sorted_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 — sort on metadata field, descending (affinity lookup order)."""
     docs = _read(spark, sf_dir, "documents")
@@ -987,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "percolate": q_percolate,
         "es_significant_text": q_es_significant_text,
+        "pinned_query": q_pinned_query,
+        "constant_score": q_constant_score,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
         "genid_sha256": q_genid_sha256,
@@ -1112,6 +1143,14 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 ORDER BY id_a, id_b
 """,
         "percolate": _perc.percolate_sql("documents", _PERC_QUERIES),
+        "pinned_query": (
+            "SELECT doc_id, rank, CAST(coalesce(score_u, -1) AS BIGINT) AS score_u FROM ("
+            + _rel.pinned_sql("documents", [42, 7], ["spark", "merge"], k=10)
+            + ") ORDER BY rank"),
+        "constant_score": """
+SELECT doc_id, lang, CAST(2500000 AS BIGINT) AS score_u
+FROM documents WHERE lang = 'en' ORDER BY doc_id ASC LIMIT 200
+""",
         "es_significant_text": f"""
 WITH fg_docs AS (SELECT doc_id, text FROM documents WHERE text LIKE '%spark%'),
 fg AS (

@@ -554,3 +554,64 @@ FROM win w LEFT JOIN phrase p ON w.doc_id = p.p_id
 ORDER BY score_u DESC, w.doc_id ASC
 LIMIT {k}
 """
+
+
+def pinned_df(docs: DataFrame, pinned_ids: list[int],
+              organic_terms: list[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES pinned query: the given ids rank first IN LIST ORDER, then the
+    organic BM25 results (pinned ids excluded from the organic section).
+    Returns (doc_id, rank, score_u) — pinned rows carry score_u NULL like
+    ES's synthetic sort-above-everything scores. The pinned list is a
+    driver-side literal (ES caps it at 100 ids), so it broadcasts as a
+    lit array; the organic path is the standard scoring pipeline."""
+    spark = docs.sparkSession
+    pin_rows = [(int(d), i + 1) for i, d in enumerate(pinned_ids)]
+    pins = spark.createDataFrame(pin_rows, "doc_id long, rank int")
+    # keep only pinned ids that actually exist in the corpus (ES semantics)
+    pins = pins.join(docs.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi")
+    from pyspark.sql import Window
+
+    organic = bm25_scores_df(docs, organic_terms, id_col, text_col, k1, b)
+    # the global-order row_number window runs on the ALREADY top-k-limited
+    # rows (k ≤ 100s) — a single tiny partition by construction, not a
+    # corpus funnel
+    rank_w = Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
+    organic = (
+        organic.join(F.broadcast(pins.select("doc_id")), "doc_id", "left_anti")
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id",
+                (F.row_number().over(rank_w) + len(pin_rows)).cast("int").alias("rank"),
+                "score_u")
+    )
+    pinned = pins.select("doc_id", "rank", F.lit(None).cast("long").alias("score_u"))
+    return pinned.unionByName(organic).orderBy("rank").limit(k + len(pin_rows))
+
+
+def pinned_sql(table: str, pinned_ids: list[int], organic_terms: list[str],
+               k: int = 10, id_col: str = "doc_id", text_col: str = "text",
+               k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of pinned_df."""
+    cte = _scores_cte(0, table, text_col, organic_terms, id_col, k1, b)
+    vals = ", ".join(f"({int(d)}, {i + 1})" for i, d in enumerate(pinned_ids))
+    n_pin = len(pinned_ids)
+    return f"""
+WITH {cte},
+pins AS (
+  SELECT p.doc_id, p.rank FROM (VALUES {vals}) AS p(doc_id, rank)
+  WHERE p.doc_id IN (SELECT {id_col} FROM {table})
+),
+organic AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY s_0 DESC, doc_id ASC) + {n_pin} AS INT) AS rank,
+         s_0 AS score_u
+  FROM q0_scores WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+  ORDER BY s_0 DESC, doc_id ASC LIMIT {k}
+)
+SELECT doc_id, rank, CAST(NULL AS BIGINT) AS score_u FROM pins
+UNION ALL
+SELECT doc_id, rank, score_u FROM organic
+ORDER BY rank LIMIT {k + n_pin}
+"""

@@ -202,6 +202,16 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score"), F.asc("doc_id")
         )
 
+    if query and "constant_score" in query:
+        # ES constant_score: the wrapped filter selects, scoring is a
+        # constant boost (no BM25 statistics touched — pure filter plan
+        # with a literal column; quantized like every score here)
+        spec = query["constant_score"]
+        out = out.filter(_compile_clause(spec["filter"])).withColumn(
+            "score_u",
+            F.lit(int(float(spec.get("boost", 1.0)) * 1e6)).cast("long"))
+        query = None
+
     if query:
         out = out.filter(_compile_clause(query))
 

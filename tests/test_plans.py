@@ -97,3 +97,46 @@ def test_aggs_compile_to_partial_aggregates(spark, sf_dir):
     plan = plan_of(out)
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "GreaterThanOrEqual(value,10.0)" in plan  # pushed to the scan
+
+
+def test_percolate_broadcasts_query_registry(spark, sf_dir):
+    from fluent_plugin_elasticsearch_spark.operators.percolate import (
+        make_query_registry, percolate)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reg = make_query_registry(spark, [(1, ["spark"], 1), (2, ["fast", "merge"], 2)])
+    plan = plan_of(percolate(docs, reg))
+    # reverse-index join: the (tiny) registry broadcasts; the corpus is
+    # never shuffled for the join itself
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan  # partial-aggregated (doc, query) counts
+
+
+def test_composite_is_partial_aggregated_no_window(spark, sf_dir):
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = compile_aggs(ev, {"aggs": {"c": {"composite": {
+        "size": 8, "sources": [
+            {"etype": {"terms": {"field": "event_type"}}},
+            {"day": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+        ],
+        "after": {"etype": "click", "day": "2024-01-05 00:00:00"},
+    }}}})["c"]
+    plan = plan_of(df)
+    # one groupBy (partial + final HashAggregate), keyset filter, top-N —
+    # no window operator, no second shuffle
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_collapse_window_is_field_partitioned(spark, sf_dir):
+    from fluent_plugin_elasticsearch_spark.operators.relevance import collapse_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(collapse_topk(docs, ["fast", "merge"], "lang", k=10))
+    # the dedup window must partition by the collapse field, not funnel
+    # everything through one partition
+    assert "partitionBy" not in plan or "No Partition Defined" not in plan
+    assert "Window" in plan and "lang" in plan.split("Window")[1][:300]

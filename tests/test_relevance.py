@@ -193,3 +193,27 @@ def test_embedding_neardup_exact_matches_brute(spark):
             if c >= 0.95:
                 want.add((i, j))
     assert got == want and (5, 13) in got
+
+
+def test_pinned_query(docs, duck):
+    df = rel.pinned_df(docs, [6, 3, 999], ["quick", "dog"], k=4)
+    rows = df.collect()
+    # pinned first in list order; missing id 999 dropped; organic excludes pinned
+    assert [r["doc_id"] for r in rows[:2]] == [6, 3]
+    assert rows[0]["score_u"] is None and rows[1]["score_u"] is None
+    organic_ids = [r["doc_id"] for r in rows[2:]]
+    assert 6 not in organic_ids and 3 not in organic_ids
+    got = [(r["doc_id"], r["rank"], r["score_u"]) for r in rows]
+    want = [(int(a), int(b), None if c is None else int(c)) for a, b, c in
+            duck.sql(rel.pinned_sql("docs", [6, 3, 999], ["quick", "dog"], k=4)).fetchall()]
+    assert got == want
+
+
+def test_constant_score(docs):
+    out = compile_query(docs, {
+        "query": {"constant_score": {"filter": {"term": {"lang": "en"}}, "boost": 1.5}},
+        "sort": [{"doc_id": "asc"}],
+    })
+    rows = out.collect()
+    assert len(rows) == 4
+    assert all(r["score_u"] == 1500000 for r in rows)
