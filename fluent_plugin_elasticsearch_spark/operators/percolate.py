@@ -80,3 +80,25 @@ GROUP BY d.doc_id, r.query_id, r.msm
 HAVING count(*) >= r.msm
 ORDER BY doc_id, query_id
 """
+
+
+def percolate_stream(stream_docs: DataFrame, registry: DataFrame,
+                     sink, checkpoint: str,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """Streaming percolation — the alerting loop: each micro-batch of
+    documents is matched against the registered queries and the hits are
+    handed to `sink(matches_df, batch_id)`. Matching is per-document, so
+    batch-local evaluation is EXACT (no cross-batch state, no watermark);
+    checkpointing gives effectively-once alert delivery for an
+    idempotent sink. The registry broadcast happens per batch — at scale
+    keep the registry in a table and rebuild the broadcast only on
+    change."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(percolate(batch_df, registry, id_col, text_col), batch_id)
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

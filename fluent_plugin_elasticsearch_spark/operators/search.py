@@ -146,6 +146,42 @@ class InvertedIndex:
         local = blocks.groupBy("shard").applyInPandas(shard_topk, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_dismax(self, queries: list[str], tie_breaker: float = 0.0,
+                      k: int = 10) -> DataFrame:
+        """ES dis_max served FROM THE INDEX: one job decodes the union of
+        the subqueries' posting blocks per shard, scores every subquery
+        over the same doc-id domain, and combines with the exact Lucene
+        max + tie_breaker * (sum - max) — no per-list over-fetch
+        approximation (wand.score_shard_dismax). Returns (doc_id, score),
+        tie (score desc, doc_id asc); the single-subquery case is
+        rank-identical to search(mode='exhaustive')."""
+        spark = self.spark
+        per_q_terms = [self.query_terms(q) for q in queries]
+        all_terms = sorted({t for ts in per_q_terms for t in ts})
+        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        if not all_terms:
+            return empty
+        dfs = self._lookup_dfs(all_terms)
+        if not dfs:
+            return empty
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        subquery_idfs = [
+            {t: bm25_idf(dfs[t], n_docs) for t in ts if t in dfs}
+            for ts in per_q_terms
+        ]
+        subquery_idfs = [m for m in subquery_idfs if m]
+        if not subquery_idfs:
+            return empty
+
+        def shard_dismax(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _wand.score_shard_dismax(pdf, subquery_idfs, tie_breaker,
+                                            k, avgdl, k1, b)
+
+        blocks = self.postings().filter(F.col("term").isin(list(dfs)))
+        local = blocks.groupBy("shard").applyInPandas(shard_dismax, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_batch(self, queries: dict[int, str], k: int = 10) -> DataFrame:
         """Batched multi-query top-k (offline query sets): ONE job decodes
         the union of the queries' posting data per shard and scores every

@@ -340,3 +340,61 @@ def score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
         cur = hi
     order = np.lexsort((best_ids, -best_scores))[:k]
     return pd.DataFrame({"doc_id": best_ids[order], "score": best_scores[order]})
+
+
+def score_shard_dismax(pdf: pd.DataFrame, subquery_idfs: list[dict[str, float]],
+                       tie_breaker: float, k: int,
+                       avgdl: float, k1: float, b: float) -> pd.DataFrame:
+    """DisMax shard kernel: one decode of the UNION of all subqueries'
+    posting blocks, one per-subquery accumulation over the SAME factorized
+    doc-id domain, then the exact Lucene DisjunctionMax combination
+    max + tie_breaker * (sum - max) per doc. Exact by construction — every
+    matching doc in the shard is scored for every subquery before the
+    combined local top-k (no per-list over-fetch heuristics)."""
+    from .codec import segmented_cumsum
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    if len(pdf) == 0:
+        return empty
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    n_per_blk = pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_per_blk.sum())
+    blk_starts = np.concatenate([[0], np.cumsum(n_per_blk)[:-1]])
+    gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+    ids = segmented_cumsum(gaps, blk_starts, n_per_blk).astype(np.int64)
+    tfs = varint_decode(b"".join(pdf["tfs_enc"]), total)
+    dls = varint_decode(b"".join(pdf["dls_enc"]), total)
+    tfn = _tfn(tfs, dls, avgdl, k1, b)
+    blk_codes, uniq_terms = pd.factorize(pdf["term"])
+    codes = np.repeat(blk_codes, n_per_blk)
+    term_pos = {t: i for i, t in enumerate(uniq_terms)}
+
+    uniq, inv = np.unique(ids, return_inverse=True)
+    best = np.zeros(uniq.size, dtype=np.float64)
+    summed = np.zeros(uniq.size, dtype=np.float64)
+    any_hit = False
+    for idfs in subquery_idfs:
+        lut = np.full(len(uniq_terms), np.nan, dtype=np.float64)
+        hit = False
+        for t, v in idfs.items():
+            i = term_pos.get(t)
+            if i is not None:
+                lut[i] = v
+                hit = True
+        if not hit:
+            continue
+        any_hit = True
+        idf_per_posting = lut[codes]
+        mask = ~np.isnan(idf_per_posting)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv[mask], tfn[mask] * idf_per_posting[mask])
+        np.maximum(best, scores, out=best)
+        summed += scores
+    if not any_hit:
+        return empty
+    combined = best + tie_breaker * (summed - best)
+    nz = combined > 0.0
+    cand_ids, cand_scores = _topk_ties(uniq[nz], combined[nz], k)
+    order = np.lexsort((cand_ids, -cand_scores))[:k]
+    return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})

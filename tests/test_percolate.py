@@ -75,3 +75,30 @@ def test_significant_text_surfaces_error_vocab(spark, docs):
     assert top["key"] == "error" and top["doc_count"] == 2 and top["bg_count"] == 2
     for r in rows:
         assert r["doc_count"] / 2 > r["bg_count"] / 6
+
+
+def test_percolate_stream_alerts_per_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(TEXTS[:3])])
+    b1.write.mode("append").parquet(src)
+    reg = make_query_registry(spark, QUERIES)
+    from fluent_plugin_elasticsearch_spark.operators.percolate import percolate_stream
+
+    seen: list[tuple[int, int]] = []
+
+    def sink(matches, batch_id):
+        seen.extend((r["doc_id"], r["query_id"]) for r in matches.collect())
+
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = percolate_stream(stream, reg, sink, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    assert (0, 1) in seen and (2, 1) in seen  # errors in batch 1 alert
+    n1 = len(seen)
+    spark.createDataFrame(
+        [Row(doc_id=10 + i, text=t) for i, t in enumerate(TEXTS[3:])]
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert (13, 2) not in seen  # doc 13 = 'all systems nominal': no match
+    assert (10, 2) in seen      # disk+node doc in batch 2
+    assert len(seen) > n1

@@ -132,3 +132,31 @@ def test_suggest_prefix_completion(spark, index_dir, docs_tokens):
                 df[t] += 1
     expected = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == expected and len(got) > 0
+
+
+def test_search_dismax_matches_oracle(spark, index_dir, docs_tokens):
+    idx = InvertedIndex(spark, index_dir)
+    subqueries = ["the bababa", "madaba of café"]
+    tie = 0.35
+    # brute-force DisMax: full per-subquery scores, max + tie*(sum-max)
+    per = [dict(bm25_topk_oracle(docs_tokens, tokenize_unicode(q), len(docs_tokens)))
+           for q in subqueries]
+    combined = {}
+    for d in set().union(*per):
+        ss = [p.get(d, 0.0) for p in per]
+        mx = max(ss)
+        combined[d] = mx + tie * (sum(ss) - mx)
+    expected = sorted(combined.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = idx.search_dismax(subqueries, tie_breaker=tie, k=10).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+    for (eid, escore), row in zip(expected, got):
+        assert abs(row["score"] - escore) < 1e-9, eid
+
+
+def test_search_dismax_single_query_is_exhaustive_search(spark, index_dir):
+    idx = InvertedIndex(spark, index_dir)
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         idx.search("the bababa café", k=10, mode="exhaustive").collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         idx.search_dismax(["the bababa café"], k=10).collect()]
+    assert a == b
