@@ -329,6 +329,60 @@ def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "score_u")
 
 
+def q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child (join field): orders with ≥ 3 returned line items
+    (operators/joins.has_child — child filter pushdown, count-per-parent,
+    semi-join)."""
+    from fluent_plugin_elasticsearch_spark.operators.joins import has_child
+
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    out = has_child(o, li, F.col("l_returnflag") == "R",
+                    "o_orderkey", "o_orderkey", min_children=3)
+    return out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+
+
+def q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent: line items whose order is high-priority urgent."""
+    from fluent_plugin_elasticsearch_spark.operators.joins import has_parent
+
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    out = has_parent(o, li, F.col("o_orderpriority") == "1-URGENT",
+                     "o_orderkey", "o_orderkey")
+    return (
+        out.select("o_orderkey", "l_linenumber",
+                   F.floor(F.col("l_quantity") * 1e2).cast("long").alias("qty_u"))
+        .orderBy("o_orderkey", "l_linenumber")
+    )
+
+
+def q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `children` aggregation: per-order line metrics for urgent
+    orders (semi-join + one partial-aggregated groupBy on the join key)."""
+    from fluent_plugin_elasticsearch_spark.operators.joins import children_aggregation
+
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    li = li.withColumn("qty_u", F.floor(F.col("l_quantity") * 1e2).cast("long"))
+    out = children_aggregation(
+        o, li, F.col("o_orderpriority") == "1-URGENT",
+        [F.sum("qty_u").cast("long").alias("qty_sum_u"),
+         F.count(F.lit(1)).alias("n_lines")],
+        "o_orderkey", "o_orderkey")
+    return out.orderBy("o_orderkey")
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near (in_order, slop=2): ordered proximity match with the
+    phrase scoring formula (relevance.span_near_df — JVM higher-order
+    position scan, no Python)."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.span_near_df(
+        _read(spark, sf_dir, "documents"), "merge", "window", slop=2, k=20)
+
+
 def q_sorted_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 — sort on metadata field, descending (affinity lookup order)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1018,6 +1072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_significant_text": q_es_significant_text,
         "pinned_query": q_pinned_query,
         "constant_score": q_constant_score,
+        "has_child": q_has_child,
+        "has_parent": q_has_parent,
+        "children_agg": q_children_agg,
+        "span_near": q_span_near,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
         "genid_sha256": q_genid_sha256,
@@ -1150,6 +1208,29 @@ ORDER BY id_a, id_b
         "constant_score": """
 SELECT doc_id, lang, CAST(2500000 AS BIGINT) AS score_u
 FROM documents WHERE lang = 'en' ORDER BY doc_id ASC LIMIT 200
+""",
+        "span_near": _rel.span_near_sql("documents", "merge", "window", slop=2, k=20),
+        "has_child": """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey HAVING count(*) >= 3)
+ORDER BY o_orderkey
+""",
+        "has_parent": """
+SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
+       CAST(floor(l.l_quantity * 1e2) AS BIGINT) AS qty_u
+FROM lineitem l
+WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY o_orderkey, l_linenumber
+""",
+        "children_agg": """
+SELECT l_orderkey AS o_orderkey,
+       CAST(sum(CAST(floor(l_quantity * 1e2) AS BIGINT)) AS BIGINT) AS qty_sum_u,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY o_orderkey
 """,
         "es_significant_text": f"""
 WITH fg_docs AS (SELECT doc_id, text FROM documents WHERE text LIKE '%spark%'),

@@ -615,3 +615,94 @@ UNION ALL
 SELECT doc_id, rank, score_u FROM organic
 ORDER BY rank LIMIT {k + n_pin}
 """
+
+
+def span_near_df(docs: DataFrame, first: str, second: str, slop: int = 0,
+                 k: int = 10, id_col: str = "doc_id", text_col: str = "text",
+                 k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES span_near (two clauses, in_order=true): ordered proximity —
+    occurrences of `second` preceded by `first` within `slop` intervening
+    tokens. Span frequency counts each `second` position at most once
+    (minimal-interval semantics); scoring is the phrase formula (summed
+    idfs, tf = span freq) like match_phrase, so slop=0 ≡ the two-term
+    phrase. Position extraction and the existence scan are JVM
+    higher-order functions over the token array — whole-stage codegen, no
+    Python. Returns (doc_id, score_u)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    idx_seq = F.sequence(F.lit(1), F.size("tokens"))
+    pos1 = F.filter(idx_seq, lambda i: F.element_at(F.col("tokens"), i) == F.lit(first))
+    pos2 = F.filter(idx_seq, lambda i: F.element_at(F.col("tokens"), i) == F.lit(second))
+    base = toks.withColumn("p1", pos1).withColumn("p2", pos2)
+    sf = F.size(F.filter(
+        F.col("p2"),
+        lambda b2: F.exists(F.col("p1"),
+                            lambda a: (b2 - a >= 1) & (b2 - a <= slop + 1)),
+    ))
+    matched = (
+        base.withColumn("sf", F.when(F.size("p2") > 0, sf).otherwise(F.lit(0)))
+        .filter(F.col("sf") > 0)
+        .select("doc_id", F.size("tokens").alias("dl"), "sf")
+    )
+    dfs = [
+        toks.select(F.sum(F.when(F.array_contains("tokens", t), 1).otherwise(0))
+                    .alias(f"df{i}"))
+        for i, t in enumerate((first, second))
+    ]
+    df_all = dfs[0].crossJoin(dfs[1])
+    scored = matched.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(df_all))
+    idf_sum = None
+    for i in range(2):
+        idf_i = F.log(1.0 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5))
+        idf_sum = idf_i if idf_sum is None else idf_sum + idf_i
+    score = (
+        idf_sum * (k1 + 1.0) * F.col("sf")
+        / (F.col("sf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.select("doc_id", F.floor(score * 1e6).cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def span_near_sql(table: str, first: str, second: str, slop: int = 0,
+                  k: int = 10, id_col: str = "doc_id", text_col: str = "text",
+                  k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of span_near_df."""
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    toks = _TOKS_SQL.format(col=text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+dfs AS (
+  SELECT sum(CASE WHEN list_contains(tokens, {lit(first)}) THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN list_contains(tokens, {lit(second)}) THEN 1 ELSE 0 END) AS df1
+  FROM toks
+),
+pos AS (
+  SELECT doc_id, len(tokens) AS dl,
+         list_filter(generate_series(1, len(tokens)), i -> tokens[i] = {lit(first)}) AS p1,
+         list_filter(generate_series(1, len(tokens)), i -> tokens[i] = {lit(second)}) AS p2
+  FROM toks
+),
+matched AS (
+  SELECT doc_id, dl,
+         len(list_filter(p2, b2 -> len(list_filter(p1,
+             a -> b2 - a >= 1 AND b2 - a <= {slop + 1})) > 0)) AS sf
+  FROM pos
+)
+SELECT m.doc_id,
+       CAST(floor((ln(1.0 + (s.n - d.df0 + 0.5) / (d.df0 + 0.5))
+                   + ln(1.0 + (s.n - d.df1 + 0.5) / (d.df1 + 0.5)))
+            * {k1 + 1.0} * m.sf
+            / (m.sf + {k1} * (1.0 - {b} + {b} * m.dl / s.avgdl)) * 1e6) AS BIGINT) AS score_u
+FROM matched m CROSS JOIN stats s CROSS JOIN dfs d
+WHERE m.sf > 0
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""

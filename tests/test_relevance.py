@@ -217,3 +217,26 @@ def test_constant_score(docs):
     rows = out.collect()
     assert len(rows) == 4
     assert all(r["score_u"] == 1500000 for r in rows)
+
+
+def test_span_near_slop_semantics(docs, duck):
+    # slop=0 ≡ adjacency: "lazy dog" docs 0,3
+    ids0 = {r["doc_id"] for r in rel.span_near_df(docs, "lazy", "dog", slop=0, k=8).collect()}
+    assert ids0 == {0, 3}
+    # "quick ... fox": adjacent? doc 0 is "quick brown fox" — distance 2
+    assert {r["doc_id"] for r in rel.span_near_df(docs, "quick", "fox", slop=0, k=8).collect()} == set()
+    ids1 = {r["doc_id"] for r in rel.span_near_df(docs, "quick", "fox", slop=1, k=8).collect()}
+    assert ids1 == {0}
+    # in_order: "dog lazy" never occurs
+    assert {r["doc_id"] for r in rel.span_near_df(docs, "dog", "lazy", slop=3, k=8).collect()} == set()
+    _match(rel.span_near_df(docs, "quick", "fox", slop=2, k=8), duck,
+           rel.span_near_sql("docs", "quick", "fox", slop=2, k=8))
+
+
+def test_span_near_slop0_equals_phrase(docs):
+    from fluent_plugin_elasticsearch_spark.operators.bm25 import match_phrase_df
+    a = [(r["doc_id"], r["score_u"]) for r in
+         rel.span_near_df(docs, "lazy", "dog", slop=0, k=8).collect()]
+    b = [(r["doc_id"], r["score_u"]) for r in
+         match_phrase_df(docs, ["lazy", "dog"], k=8).collect()]
+    assert a == b
