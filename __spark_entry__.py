@@ -383,6 +383,38 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), "merge", "window", slop=2, k=20)
 
 
+def q_es_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations over a date_histogram series: derivative,
+    cumulative_sum, trailing moving_fn(avg, 2), bucket_script ratio —
+    computed on the reduced bucket series (plans/aggs._apply_pipeline_aggs).
+    Sums run over pre-quantized ints; the first-bucket NULL derivative is
+    coalesced to a sentinel for the pandas-side hash."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long"))
+    out = compile_aggs(ev, {"aggs": {"per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v_sum": {"sum": {"field": "value_u"}},
+            "diff": {"derivative": {"buckets_path": "v_sum"}},
+            "cum": {"cumulative_sum": {"buckets_path": "v_sum"}},
+            "ma2": {"moving_fn": {"buckets_path": "v_sum", "window": 2,
+                                  "script": "avg"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"s": "v_sum", "n": "doc_count"},
+                "script": "s / n"}},
+        }}}})["per_day"]
+    return out.select(
+        "key", "doc_count",
+        F.col("v_sum").cast("long").alias("v_sum"),
+        F.coalesce(F.col("diff"), F.lit(-(2 ** 62))).cast("long").alias("diff_c"),
+        F.col("cum").cast("long").alias("cum"),
+        F.floor(F.col("ma2") * 1e2).cast("long").alias("ma2_u"),
+        F.floor(F.col("per_doc") * 1e2).cast("long").alias("per_doc_u"),
+    )
+
+
 def q_sorted_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 — sort on metadata field, descending (affinity lookup order)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1076,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent": q_has_parent,
         "children_agg": q_children_agg,
         "span_near": q_span_near,
+        "es_pipeline_aggs": q_es_pipeline_aggs,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
         "genid_sha256": q_genid_sha256,
@@ -1210,6 +1243,19 @@ SELECT doc_id, lang, CAST(2500000 AS BIGINT) AS score_u
 FROM documents WHERE lang = 'en' ORDER BY doc_id ASC LIMIT 200
 """,
         "span_near": _rel.span_near_sql("documents", "merge", "window", slop=2, k=20),
+        "es_pipeline_aggs": """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS key, count(*) AS doc_count,
+         CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum
+  FROM events GROUP BY 1
+)
+SELECT key, doc_count, v_sum,
+       CAST(coalesce(v_sum - lag(v_sum, 1) OVER (ORDER BY key), -4611686018427387904) AS BIGINT) AS diff_c,
+       CAST(sum(v_sum) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       CAST(floor(avg(v_sum) OVER (ORDER BY key ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) * 1e2) AS BIGINT) AS ma2_u,
+       CAST(floor(v_sum * 1.0 / doc_count * 1e2) AS BIGINT) AS per_doc_u
+FROM b ORDER BY key
+""",
         "has_child": """
 SELECT o_orderkey, o_orderstatus FROM orders
 WHERE o_orderkey IN (

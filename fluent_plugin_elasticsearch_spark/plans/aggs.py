@@ -228,7 +228,19 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         sub = spec.get("aggs")
         ((kind, inner),) = ((k, v) for k, v in spec.items() if k != "aggs")
         if kind in _BUCKET_KINDS:
-            out[name] = _compile_bucket_path(base, name, spec)
+            pipes = {
+                n: s for n, s in (sub or {}).items()
+                if next(iter(s)) in _PIPELINE_KINDS
+            }
+            if pipes:
+                plain = {n: s for n, s in sub.items() if n not in pipes}
+                spec2: dict[str, Any] = {kind: inner}
+                if plain:
+                    spec2["aggs"] = plain
+                out[name] = _apply_pipeline_aggs(
+                    _compile_bucket_path(base, name, spec2), pipes)
+            else:
+                out[name] = _compile_bucket_path(base, name, spec)
         elif kind == "filters":
             # ES filters agg: {"filters": {"filters": {name: clause, ...}}}
             # — a doc may land in SEVERAL buckets (each filter counts
@@ -288,6 +300,104 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         else:
             raise UnsupportedQuery(f"unsupported agg kind: {kind}")
     return out
+
+
+_PIPELINE_KINDS = ("derivative", "cumulative_sum", "moving_fn", "serial_diff",
+                   "bucket_script", "bucket_selector", "bucket_sort")
+
+
+def _script_expr(script: str, paths: dict[str, str]) -> Column:
+    """Compile a bucket_script/bucket_selector arithmetic script into a
+    Column: names resolve through buckets_path, operators are
+    + - * / comparisons and and/or — a safe subset parsed with Python's
+    ast (no eval)."""
+    import ast as _ast
+
+    def conv(node) -> Column:
+        if isinstance(node, _ast.Expression):
+            return conv(node.body)
+        if isinstance(node, _ast.BinOp):
+            ops = {_ast.Add: "__add__", _ast.Sub: "__sub__",
+                   _ast.Mult: "__mul__", _ast.Div: "__truediv__"}
+            return getattr(conv(node.left), ops[type(node.op)])(conv(node.right))
+        if isinstance(node, _ast.Compare):
+            if len(node.ops) != 1:
+                raise UnsupportedQuery("chained comparisons unsupported")
+            ops = {_ast.Gt: "__gt__", _ast.Lt: "__lt__", _ast.GtE: "__ge__",
+                   _ast.LtE: "__le__", _ast.Eq: "__eq__", _ast.NotEq: "__ne__"}
+            return getattr(conv(node.left), ops[type(node.ops[0])])(
+                conv(node.comparators[0]))
+        if isinstance(node, _ast.BoolOp):
+            parts = [conv(v) for v in node.values]
+            combined = parts[0]
+            for p in parts[1:]:
+                combined = (combined & p) if isinstance(node.op, _ast.And) else (combined | p)
+            return combined
+        if isinstance(node, _ast.UnaryOp) and isinstance(node.op, _ast.USub):
+            return -conv(node.operand)
+        if isinstance(node, _ast.Name):
+            if node.id not in paths:
+                raise UnsupportedQuery(f"script name not in buckets_path: {node.id}")
+            return F.col(paths[node.id])
+        if isinstance(node, _ast.Constant) and isinstance(node.value, (int, float)):
+            return F.lit(node.value)
+        raise UnsupportedQuery(f"unsupported script node: {type(node).__name__}")
+
+    return conv(_ast.parse(script, mode="eval"))
+
+
+def _apply_pipeline_aggs(df: DataFrame, pipes: dict[str, Any]) -> DataFrame:
+    """ES pipeline aggregations over an already-aggregated bucket SERIES
+    (derivative, cumulative_sum, moving_fn, serial_diff, bucket_script,
+    bucket_selector, bucket_sort), applied in given order, buckets in key
+    order (ES histogram semantics).
+
+    Scale note: these windows run over the REDUCED bucket series — the
+    same single-sequence pass ES does in the coordinating node's reduce
+    phase. The input is post-aggregation (bucket count ≪ doc count), so
+    the partitionless window is a design property of the operator, not a
+    corpus funnel; the corpus-sized work happened in the partial-agg
+    groupBy upstream."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("key"))
+    sorted_out = False
+    for pname, spec in pipes.items():
+        ((pk, ps),) = spec.items()
+        path = ps.get("buckets_path")
+        if pk == "derivative":
+            df = df.withColumn(pname, F.col(path) - F.lag(path, 1).over(w))
+        elif pk == "serial_diff":
+            df = df.withColumn(
+                pname, F.col(path) - F.lag(path, int(ps.get("lag", 1))).over(w))
+        elif pk == "cumulative_sum":
+            df = df.withColumn(pname, F.sum(path).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+        elif pk == "moving_fn":
+            # trailing window INCLUDING the current bucket (shift=0)
+            fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+            fn = ps.get("script", "avg")
+            if fn not in fns:
+                raise UnsupportedQuery(f"unsupported moving_fn: {fn}")
+            df = df.withColumn(pname, fns[fn](path).over(
+                w.rowsBetween(-(int(ps["window"]) - 1), 0)))
+        elif pk == "bucket_script":
+            df = df.withColumn(pname, _script_expr(ps["script"], ps["buckets_path"]))
+        elif pk == "bucket_selector":
+            df = df.filter(_script_expr(ps["script"], ps["buckets_path"]))
+        elif pk == "bucket_sort":
+            order = []
+            for s in ps.get("sort", []):
+                ((f_, o),) = s.items()
+                d = o.get("order", "asc") if isinstance(o, dict) else o
+                order.append(F.col(f_).desc() if d == "desc" else F.col(f_).asc())
+            df = df.orderBy(*(order or [F.asc("key")]))
+            if ps.get("size"):
+                df = df.limit(int(ps["size"]))
+            sorted_out = True
+        else:
+            raise UnsupportedQuery(f"unsupported pipeline agg: {pk}")
+    return df if sorted_out else df.orderBy(F.asc("key"))
 
 
 def _range_agg(base: DataFrame, kind: str, inner: dict[str, Any],

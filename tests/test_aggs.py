@@ -318,3 +318,52 @@ def test_adjacency_matrix(events):
     assert rows["clicks"] == 100
     assert rows["clicks&hot"] == sum(
         1 for i in range(300) if i % 3 == 0 and i % 50 >= 40)
+
+
+def test_pipeline_aggs_derivative_cumsum_moving(events):
+    out = compile_aggs(events, {"aggs": {"per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v_sum": {"sum": {"field": "value"}},
+            "diff": {"derivative": {"buckets_path": "v_sum"}},
+            "cum": {"cumulative_sum": {"buckets_path": "v_sum"}},
+            "ma2": {"moving_fn": {"buckets_path": "v_sum", "window": 2,
+                                  "script": "avg"}},
+            "sd2": {"serial_diff": {"buckets_path": "v_sum", "lag": 2}},
+        }}}})["per_day"].collect()
+    assert len(out) == 4  # 4-day cycle
+    vs = [r["v_sum"] for r in out]
+    assert out[0]["diff"] is None
+    for i in range(1, 4):
+        assert abs(out[i]["diff"] - (vs[i] - vs[i - 1])) < 1e-9
+        assert abs(out[i]["ma2"] - (vs[i] + vs[i - 1]) / 2) < 1e-9
+    assert abs(out[3]["cum"] - sum(vs)) < 1e-9
+    assert out[1]["sd2"] is None and abs(out[2]["sd2"] - (vs[2] - vs[0])) < 1e-9
+
+
+def test_pipeline_bucket_script_and_selector(events):
+    out = compile_aggs(events, {"aggs": {"per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v_sum": {"sum": {"field": "value"}},
+            "avg_per_doc": {"bucket_script": {
+                "buckets_path": {"s": "v_sum", "n": "doc_count"},
+                "script": "s / n"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"n": "doc_count"}, "script": "n >= 75"}},
+        }}}})["per_day"].collect()
+    for r in out:
+        assert r["doc_count"] >= 75
+        assert abs(r["avg_per_doc"] - r["v_sum"] / r["doc_count"]) < 1e-9
+
+
+def test_pipeline_bucket_sort(events):
+    out = compile_aggs(events, {"aggs": {"per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v_sum": {"sum": {"field": "value"}},
+            "top2": {"bucket_sort": {"sort": [{"v_sum": {"order": "desc"}}],
+                                     "size": 2}},
+        }}}})["per_day"].collect()
+    assert len(out) == 2
+    assert out[0]["v_sum"] >= out[1]["v_sum"]
