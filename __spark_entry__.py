@@ -415,6 +415,19 @@ def q_es_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-lookup: the terms list fetched from another index —
+    events whose user is a high-balance customer (semi-join, broadcast
+    when the lookup set is small; operators/joins.terms_lookup)."""
+    from fluent_plugin_elasticsearch_spark.operators.joins import terms_lookup
+
+    ev = _read(spark, sf_dir, "events")
+    cust = _read(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
+    out = terms_lookup(ev, cust, "user_id", "user_id",
+                       F.col("c_acctbal") > 9000.0)
+    return out.select("event_id", "user_id").orderBy("event_id")
+
+
 def q_sorted_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 — sort on metadata field, descending (affinity lookup order)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1109,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "children_agg": q_children_agg,
         "span_near": q_span_near,
         "es_pipeline_aggs": q_es_pipeline_aggs,
+        "terms_lookup": q_terms_lookup,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
         "genid_sha256": q_genid_sha256,
@@ -1255,6 +1269,11 @@ SELECT key, doc_count, v_sum,
        CAST(floor(avg(v_sum) OVER (ORDER BY key ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) * 1e2) AS BIGINT) AS ma2_u,
        CAST(floor(v_sum * 1.0 / doc_count * 1e2) AS BIGINT) AS per_doc_u
 FROM b ORDER BY key
+""",
+        "terms_lookup": """
+SELECT event_id, user_id FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+ORDER BY event_id
 """,
         "has_child": """
 SELECT o_orderkey, o_orderstatus FROM orders

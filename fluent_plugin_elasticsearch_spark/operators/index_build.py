@@ -572,3 +572,27 @@ def build_index(
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return {"meta": meta, "shard_metrics": metrics}
+
+
+def reindex(spark, docs, dest_dir: str, query: dict | None = None,
+            source_index=None, **build_kwargs) -> dict:
+    """ES _reindex: rebuild an index at dest_dir from a (optionally
+    query-filtered) document source. The filter goes through the query
+    AST so it pushes into the source scan — at corpus scale a selective
+    reindex reads only the matching partitions/row-groups, then runs the
+    standard resumable build (same manifest/lineage machinery, so a
+    crashed reindex resumes like any build). `source_index` routes
+    full-text (`match`) filters through an existing InvertedIndex.
+
+    Reference: the plugin era's reindex loops (scroll + bulk re-submit,
+    in_elasticsearch.rb scan → out_elasticsearch.rb bulk) become ONE
+    declarative job."""
+    from ..plans.query_ast import compile_query
+
+    src = docs
+    if query is not None:
+        src = compile_query(docs, {"query": query}, index=source_index)
+        # compile_query may attach search metadata columns (score/rank)
+        # when routing through an index — strip to the source schema
+        src = src.select(*[c for c in docs.columns])
+    return build_index(spark, src, dest_dir, **build_kwargs)

@@ -70,3 +70,19 @@ def children_aggregation(parents: DataFrame, children: DataFrame,
     kids = children.join(
         matched.withColumnRenamed(parent_key, child_key), child_key, "left_semi")
     return kids.groupBy(F.col(child_key).alias(parent_key)).agg(*agg_cols)
+
+
+def terms_lookup(docs: DataFrame, lookup: DataFrame, field: str,
+                 lookup_col: str, lookup_filter: Column | None = None) -> DataFrame:
+    """ES terms-lookup query: the terms list comes from ANOTHER index
+    (``{"terms": {"field": {"index": ..., "path": ...}}}``) instead of
+    the request body — ES fetches the referenced doc's values and
+    rewrites to a terms filter. Spark-first: a semi-join against the
+    lookup table's (optionally filtered, deduped) column — Catalyst
+    broadcasts the lookup side when small (the ES case: lookup lists cap
+    at 65k terms), and the semi-join pushes nothing back to the driver."""
+    src = lookup
+    if lookup_filter is not None:
+        src = src.filter(lookup_filter)
+    vals = src.select(F.col(lookup_col).alias(field)).distinct()
+    return docs.join(vals, field, "left_semi")

@@ -58,3 +58,12 @@ def test_children_aggregation(tables):
         "pid", "pid")
     rows = {r["pid"]: (r["qty_sum"], r["n"]) for r in out.collect()}
     assert rows == {1: (13, 3), 3: (9, 1), 4: (18, 3)}
+
+
+def test_terms_lookup(spark, tables):
+    p, c = tables
+    got = {r["cid"] for r in J.terms_lookup(
+        c, p, "pid", "pid", F.col("status") == "closed").collect()}
+    assert got == {20}  # children of closed parents (5 has none)
+    allv = {r["cid"] for r in J.terms_lookup(c, p, "pid", "pid").collect()}
+    assert allv == {r[0] for r in CHILDREN}

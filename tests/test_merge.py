@@ -102,3 +102,24 @@ def test_streaming_generations_compact_to_full_build(spark, corpus_pdf, halves, 
     compacted = compact_generations(spark, gen_dir)
     full = _build(spark, a.unionByName(b), str(tmp_path / "cfull"))
     assert block_fingerprint(spark, compacted) == block_fingerprint(spark, full)
+
+
+def test_reindex_filters_and_rebuilds(spark, corpus_df, tmp_path):
+    from fluent_plugin_elasticsearch_spark.operators.index_build import (
+        reindex, with_doc_id)
+    from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
+
+    docs = with_doc_id(corpus_df, "url")
+    dest = str(tmp_path / "reidx")
+    reindex(
+        spark, docs, dest,
+        query={"range": {"doc_id": {"lt": 2 ** 62}}},  # lower half of the 63-bit id space
+        id_col="doc_id", text_col=None, html_col="html", url_col="url",
+        tokenizer="unicode", n_shards=2, n_salts=2,
+    )
+    idx = InvertedIndex(spark, dest)
+    kept = docs.filter(f"doc_id < {2 ** 62}").count()
+    assert idx.meta["n_docs"] == kept > 0
+    hits = idx.search("the", k=20).collect()
+    assert hits and all(r["doc_id"] < 2 ** 62 for r in hits)
+    assert kept < docs.count()  # the filter actually dropped docs
