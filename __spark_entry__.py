@@ -775,6 +775,25 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_u"), "rank")
 
 
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.PqIndex): 16x code
+    compression + ADC LUT scoring + exact rerank. rerank_factor=50 covers
+    the whole sf-gate corpus (k*50 ≥ n), so the reranked result is the
+    EXACT cosine top-k — the oracle is brute force, same pattern as the
+    IVF entry (n_probe=n_lists). PQ recall at realistic rerank factors is
+    asserted in tests/test_dedup_similarity.py."""
+    from fluent_plugin_elasticsearch_spark.operators.similarity import PqIndex
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.lit(0).alias("query_id"), "embedding")
+    idx = PqIndex(emb.filter(F.col("vec_id") != 0), dim=64, m=16, seed=7)
+    top = idx.search(qdf, k=10, rerank_factor=50)
+    idx.close()
+    return top.select("vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_u"), "rank")
+
+
 def q_es_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES aggregations body — terms bucket agg with metric sub-aggs
     (plans/aggs.py). Sub-metric sums run over a pre-quantized integer
@@ -1123,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": q_span_near,
         "es_pipeline_aggs": q_es_pipeline_aggs,
         "terms_lookup": q_terms_lookup,
+        "pq_ann_topk": q_pq_ann_topk,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
         "genid_sha256": q_genid_sha256,
@@ -1445,6 +1465,19 @@ FROM h WHERE len(hits) > 0 ORDER BY doc_id
         # n_probe == n_lists ⇒ IVF degenerates to exact search: same oracle
         # as the brute-force cosine top-k
         "ivf_ann_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+)
+SELECT vec_id, CAST(floor(cosine * 1e6) AS BIGINT) AS cosine_u,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "pq_ann_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id,

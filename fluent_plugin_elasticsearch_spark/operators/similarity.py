@@ -291,3 +291,155 @@ def embedding_neardup_exact(embeddings: DataFrame, threshold: float,
         .select("id_a", "id_b", cosine_col(F.col("__va"), F.col("__vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+class PqIndex:
+    """Product-quantization ANN (ADC): the memory-scale path beyond IVF.
+
+    A 64-dim float32 embedding is 256 B; PQ stores m=16 uint8 codes
+    (16 B, 16x) — at 10^12 vectors that is the difference between a
+    256 TB and a 16 TB serving footprint, which is what makes
+    executor-memory-resident ANN possible at corpus scale.
+
+    Training (driver-side, on a bounded sample — same pattern as IVF's
+    coarse quantizer): vectors are L2-normalized and split into m
+    subspaces; per-subspace k-means (seeded Lloyd) learns 256 centroids.
+    Encoding is one vectorized pandas pass (argmin over centroid
+    distances per subspace) producing an array<tinyint> codes column,
+    persisted. Serving: per query build an (m, 256) inner-product LUT
+    against the normalized query, score every code row with a vectorized
+    LUT gather (asymmetric distance computation), take the top
+    k*rerank_factor candidates, then EXACT-cosine rerank that small set
+    — the standard recall repair, so returned cosines are true cosines.
+    """
+
+    def __init__(self, embeddings: DataFrame, dim: int, m: int = 16,
+                 seed: int = 42, id_col: str = "vec_id",
+                 vec_col: str = "embedding", train_sample: int = 4096,
+                 kmeans_iters: int = 12):
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m {m}")
+        self.dim, self.m, self.dsub = dim, m, dim // m
+        self.id_col, self.vec_col = id_col, vec_col
+        spark = embeddings.sparkSession
+        norm = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            _l2_normalize(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("v"),
+        )
+        sample = np.array(
+            [r["v"] for r in norm.limit(train_sample).collect()], dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        self.codebooks = np.stack([
+            _kmeans(sample[:, i * self.dsub:(i + 1) * self.dsub], 256, rng, kmeans_iters)
+            for i in range(m)
+        ])  # (m, 256, dsub)
+        cb = self.codebooks
+        m_, dsub = self.m, self.dsub
+
+        def encode(pdf_iter):
+            for pdf in pdf_iter:
+                vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+                codes = np.empty((len(pdf), m_), dtype=np.int32)
+                for i in range(m_):
+                    sub = vecs[:, i * dsub:(i + 1) * dsub]
+                    # ||x-c||² argmin ≡ argmax(c·x - ||c||²/2), vectorized
+                    dots = sub @ cb[i].T
+                    codes[:, i] = np.argmax(dots - 0.5 * (cb[i] ** 2).sum(1), axis=1)
+                packed = codes.astype(np.uint8)  # 256 centroids fit a byte
+                yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                    "codes": [r.tobytes() for r in packed]})
+
+        self.codes = norm.mapInPandas(
+            encode, "vec_id long, codes binary").persist()
+        self.codes.count()
+        self._norm = norm  # exact vectors for the rerank join
+        self.spark = spark
+
+    def search(self, query_df: DataFrame, k: int = 10, rerank_factor: int = 4,
+               qid_col: str = "query_id") -> DataFrame:
+        """ADC candidates + exact rerank. Returns (query_id, vec_id,
+        cosine, rank) with true cosines, tie (cosine desc, vec_id asc)."""
+        queries = [
+            (r[qid_col], np.array(r[self.vec_col], dtype=np.float64))
+            for r in query_df.select(
+                qid_col,
+                _l2_normalize(F.transform(F.col(self.vec_col),
+                                          lambda x: x.cast("double"))).alias(self.vec_col),
+            ).collect()
+        ]
+        cb, m_, dsub = self.codebooks, self.m, self.dsub
+        luts = {qid: np.stack([cb[i] @ q[i * dsub:(i + 1) * dsub]
+                               for i in range(m_)])  # (m, 256)
+                for qid, q in queries}
+        n_cand = k * rerank_factor
+
+        def adc(pdf_iter):
+            for pdf in pdf_iter:
+                if len(pdf) == 0:
+                    continue
+                codes = np.frombuffer(
+                    b"".join(pdf["codes"]), dtype=np.uint8
+                ).reshape(len(pdf), m_).astype(np.int64)  # (n, m)
+                ids = pdf["vec_id"].to_numpy()
+                rows = np.arange(m_)
+                out_q, out_i, out_s = [], [], []
+                for qid, lut in luts.items():
+                    scores = lut[rows, codes].sum(axis=1)  # (n,)
+                    take = min(n_cand, scores.size)
+                    part = np.argpartition(-scores, take - 1)[:take]
+                    out_q.append(np.full(take, qid, dtype=np.int64))
+                    out_i.append(ids[part])
+                    out_s.append(scores[part])
+                yield pd.DataFrame({"query_id": np.concatenate(out_q),
+                                    "vec_id": np.concatenate(out_i),
+                                    "adc": np.concatenate(out_s)})
+
+        cands = self.codes.mapInPandas(adc, "query_id long, vec_id long, adc double")
+        # per-(query, partition) candidates → global per-query ADC top, then
+        # exact rerank on the joined true vectors (candidate set is tiny)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+        cands = cands.withColumn("__r", F.row_number().over(w)).filter(
+            F.col("__r") <= n_cand).drop("__r")
+        qdf = self.spark.createDataFrame(
+            [(qid, q.tolist()) for qid, q in queries], "query_id long, qv array<double>")
+        exact = (
+            cands.join(self._norm, "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select("query_id", "vec_id",
+                    dot_col(F.col("v"), F.col("qv")).alias("cosine"))
+        )
+        return per_query_topk(exact, k, n_queries=len(queries))
+
+    def close(self) -> None:
+        self.codes.unpersist(blocking=False)
+
+
+def _l2_normalize(col: Column) -> Column:
+    return F.transform(col, lambda x: x / norm_col_nonzero(col))
+
+
+def norm_col_nonzero(a: Column) -> Column:
+    n = norm_col(a)
+    return F.when(n > 0.0, n).otherwise(F.lit(1.0))
+
+
+def _kmeans(x: np.ndarray, n_clusters: int, rng, iters: int) -> np.ndarray:
+    """Seeded Lloyd k-means for one PQ subspace (driver-side, sample-sized
+    input). Empty clusters re-seed from random points."""
+    n = x.shape[0]
+    k = min(n_clusters, n)
+    cents = x[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(0)
+            else:
+                cents[c] = x[rng.integers(0, n)]
+    if k < n_clusters:  # pad (tiny training sets): repeat rows
+        cents = np.vstack([cents, cents[rng.integers(0, k, n_clusters - k)]])
+    return cents

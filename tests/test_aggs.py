@@ -367,3 +367,49 @@ def test_pipeline_bucket_sort(events):
         }}}})["per_day"].collect()
     assert len(out) == 2
     assert out[0]["v_sum"] >= out[1]["v_sum"]
+
+
+def test_render_aggregations_envelope(events):
+    from fluent_plugin_elasticsearch_spark.plans.aggs_response import (
+        render_aggregations)
+
+    body = {"aggs": {
+        "by_type": {"terms": {"field": "event_type", "size": 3},
+                    "aggs": {"v_avg": {"avg": {"field": "value"}}}},
+        "v_stats": {"stats": {"field": "value"}},
+        "users": {"value_count": {"field": "event_id"}},
+    }}
+    env = render_aggregations(compile_aggs(events, body), body)
+    assert {b["key"] for b in env["by_type"]["buckets"]} == {"click", "view", "error"}
+    b0 = env["by_type"]["buckets"][0]
+    assert b0["doc_count"] == 100 and "value" in b0["v_avg"]
+    assert env["v_stats"]["count"] == 300 and env["v_stats"]["max"] == 49.0
+    assert env["users"]["value"] == 300
+
+
+def test_render_nested_envelope(events):
+    from fluent_plugin_elasticsearch_spark.plans.aggs_response import (
+        render_aggregations)
+
+    body = {"aggs": {"t": {
+        "terms": {"field": "event_type", "size": 2},
+        "aggs": {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+                       "aggs": {"v_max": {"max": {"field": "value"}}}}}}}}
+    env = render_aggregations(compile_aggs(events, body), body)
+    tops = env["t"]["buckets"]
+    assert len(tops) == 2
+    for tb in tops:
+        assert tb["doc_count"] == sum(db["doc_count"] for db in tb["d"]["buckets"])
+        for db in tb["d"]["buckets"]:
+            assert db["v_max"]["value"] <= 49.0
+
+
+def test_render_composite_envelope(events):
+    from fluent_plugin_elasticsearch_spark.plans.aggs_response import (
+        render_aggregations)
+
+    body = {"aggs": {"c": {"composite": {
+        "size": 4, "sources": [{"g": {"terms": {"field": "event_type"}}}]}}}}
+    env = render_aggregations(compile_aggs(events, body), body)
+    assert env["c"]["after_key"] == {"g": "view"}
+    assert [b["key"]["g"] for b in env["c"]["buckets"]] == ["click", "error", "view"]

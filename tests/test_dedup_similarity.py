@@ -196,3 +196,58 @@ def test_ivf_index_reuses_assignment(spark, emb):
     assert [(r["vec_id"], r["rank"]) for r in got1] == [(r["vec_id"], r["rank"]) for r in ref1]
     assert len(got2) == 3 and got2[0]["vec_id"] == 1  # self is nearest
     idx.close()
+
+
+def test_pq_index_recall_and_compression(spark):
+    import numpy as np
+
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        PqIndex, cosine_topk)
+
+    rng = np.random.RandomState(11)
+    # clustered data: PQ codebooks have structure to learn
+    centers = rng.randn(8, 32) * 3
+    vecs = np.vstack([centers[i % 8] + rng.randn(32) * 0.7 for i in range(600)])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(600)],
+        "vec_id long, embedding array<double>")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    idx = PqIndex(emb, dim=32, m=8, seed=3, train_sample=600)
+    # storage: m bytes per vector, exactly
+    row = idx.codes.limit(1).collect()[0]
+    assert len(row["codes"]) == 8
+
+    got = idx.search(qdf, k=10, rerank_factor=6)
+    exact = cosine_topk(emb, qdf, k=10)
+    g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(g & e) / len(e)
+    assert recall >= 0.8, recall
+    # returned cosines are EXACT (rerank repairs ADC approximation)
+    ex = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
+    for r in got.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in ex:
+            assert abs(r["cosine"] - ex[key]) < 1e-9
+
+
+def test_pq_index_deterministic(spark):
+    import numpy as np
+
+    from fluent_plugin_elasticsearch_spark.operators.similarity import PqIndex
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(200, 16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding")
+    a = PqIndex(emb, dim=16, m=4, seed=9, train_sample=200)
+    b = PqIndex(emb, dim=16, m=4, seed=9, train_sample=200)
+    ra = [(r["vec_id"], round(r["cosine"], 9)) for r in a.search(qdf, k=5).collect()]
+    rb = [(r["vec_id"], round(r["cosine"], 9)) for r in b.search(qdf, k=5).collect()]
+    assert ra == rb
+    a.close(); b.close()
