@@ -428,6 +428,23 @@ def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id").orderBy("event_id")
 
 
+def q_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors: one doc's term stats + corpus doc_freq/ttf
+    (operators/apis.termvectors)."""
+    from fluent_plugin_elasticsearch_spark.operators import apis
+
+    return apis.termvectors(_read(spark, sf_dir, "documents"), doc_id=7)
+
+
+def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _explain: per-term BM25 breakdown for one (doc, query) pair,
+    same formula/quantization as the scoring pipeline."""
+    from fluent_plugin_elasticsearch_spark.operators import apis
+
+    return apis.explain(_read(spark, sf_dir, "documents"), doc_id=7,
+                        query_terms=["the", "spark", "merge"])
+
+
 def q_sorted_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 — sort on metadata field, descending (affinity lookup order)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1143,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_pipeline_aggs": q_es_pipeline_aggs,
         "terms_lookup": q_terms_lookup,
         "pq_ann_topk": q_pq_ann_topk,
+        "termvectors": q_termvectors,
+        "explain_score": q_explain_score,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
         "genid_sha256": q_genid_sha256,
@@ -1289,6 +1308,30 @@ SELECT key, doc_count, v_sum,
        CAST(floor(avg(v_sum) OVER (ORDER BY key ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) * 1e2) AS BIGINT) AS ma2_u,
        CAST(floor(v_sum * 1.0 / doc_count * 1e2) AS BIGINT) AS per_doc_u
 FROM b ORDER BY key
+""",
+        "termvectors": f"""
+WITH base AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+doc_tf AS (SELECT term, count(*) AS term_freq FROM base WHERE doc_id = 7 GROUP BY 1),
+corpus AS (SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS ttf
+           FROM base GROUP BY 1)
+SELECT term, term_freq, doc_freq, ttf
+FROM doc_tf JOIN corpus USING (term) ORDER BY term
+""",
+        "explain_score": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+base AS (SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM toks),
+tfq AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM base
+  WHERE term IN ('merge', 'spark', 'the') GROUP BY doc_id, dl, term
+),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term)
+SELECT t.term, t.tf, d.df,
+       CAST(floor(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 1e6) AS BIGINT) AS idf_u,
+       CAST(floor(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf
+            / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) * 1e6) AS BIGINT) AS contrib_u
+FROM tfq t JOIN dfq d USING (term) CROSS JOIN stats s
+WHERE t.doc_id = 7 ORDER BY term
 """,
         "terms_lookup": """
 SELECT event_id, user_id FROM events

@@ -1,0 +1,122 @@
+"""Small ES diagnostic/metadata APIs the plugin's operators lean on in
+production debugging: _analyze, _termvectors, _explain, _count,
+_cat/indices. Each is a thin declarative plan over existing machinery —
+they exist so a user of the reference can port their runbooks, not just
+their queries.
+
+Reference context: the plugin surfaces these through its own health and
+dry-run paths (out_elasticsearch.rb template/health checks; users hit
+_analyze/_explain to debug why a log line doesn't match an alert).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import BM25_B, BM25_K1
+from ..extraction import simple_tokens_col
+
+
+def analyze(spark, text: str, tokenizer: str = "simple") -> DataFrame:
+    """ES _analyze: show how a string tokenizes — (token, position).
+    Runs the SAME tokenizer the engine indexes with, so what you see is
+    what the index contains."""
+    from ..textproc import tokenize_simple, tokenize_unicode
+
+    toks = {"simple": tokenize_simple, "unicode": tokenize_unicode}[tokenizer](text)
+    return spark.createDataFrame(
+        [(t, i) for i, t in enumerate(toks)], "token string, position int")
+
+
+def termvectors(docs: DataFrame, doc_id: int, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """ES _termvectors: per-term stats for ONE document — term_freq plus
+    corpus-level doc_freq and ttf (total term frequency). One corpus pass
+    for the global stats, filter-pushdown for the doc row.
+    Returns (term, term_freq, doc_freq, ttf), term asc."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(simple_tokens_col(F.col(text_col))).alias("term"),
+    )
+    doc_tf = (
+        base.filter(F.col("doc_id") == doc_id)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    corpus = base.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("ttf"),
+    )
+    return doc_tf.join(corpus, "term").orderBy("term")
+
+
+def explain(docs: DataFrame, doc_id: int, query_terms: list[str],
+            id_col: str = "doc_id", text_col: str = "text",
+            k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES _explain: the per-term BM25 score breakdown for one (doc,
+    query) pair — (term, tf, df, idf_u, contrib_u) with the same formula
+    and quantization as the scoring pipeline, so a contribution sum
+    reproduces the doc's score_u exactly. The why-did-this-doc-rank tool."""
+    terms = sorted(set(query_terms))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    base = toks.select("doc_id", F.size("tokens").alias("dl"),
+                       F.explode("tokens").alias("term"))
+    tfq = (
+        base.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        idf * (k1 + 1.0) * F.col("tf")
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tfq.filter(F.col("doc_id") == doc_id)
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term", "tf", "df",
+            F.floor(idf * 1e6).cast("long").alias("idf_u"),
+            F.floor(contrib * 1e6).cast("long").alias("contrib_u"),
+        )
+        .orderBy("term")
+    )
+
+
+def count(docs: DataFrame, body: dict | None = None) -> int:
+    """ES _count: hit count for a query body (filter only — Catalyst
+    turns this into a scan with pushed predicates + a count aggregate)."""
+    from ..plans.query_ast import _compile_clause
+
+    out = docs
+    if body and body.get("query"):
+        out = out.filter(_compile_clause(body["query"]))
+    return out.count()
+
+
+def cat_indices(spark, index_dirs: dict[str, str]) -> DataFrame:
+    """ES _cat/indices analogue: one row per index with doc count, shard
+    count, and encoded postings bytes — all read from each index's own
+    manifest/meta, no postings scan."""
+    import json
+    import os
+
+    rows = []
+    for name, path in index_dirs.items():
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        man = spark.read.parquet(os.path.join(path, "_manifest"))
+        agg = man.agg(
+            F.countDistinct("shard").alias("shards"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sum("n_postings").alias("postings"),
+        ).collect()[0]
+        rows.append((name, meta["n_docs"], int(agg["shards"]),
+                     int(agg["postings"]), int(agg["enc_bytes"])))
+    return spark.createDataFrame(
+        rows, "index string, docs long, shards int, postings long, store_bytes long"
+    ).orderBy("index")

@@ -1,0 +1,56 @@
+"""Diagnostic APIs (_analyze, _termvectors, _explain, _count,
+_cat/indices): brute-force and cross-operator consistency checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from fluent_plugin_elasticsearch_spark.operators import apis
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    texts = ["the cat sat on the mat", "the dog", "cat dog cat", "mat mat mat the"]
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+def test_analyze(spark):
+    rows = apis.analyze(spark, "The CAT, sat!").collect()
+    assert [(r["token"], r["position"]) for r in rows] == [
+        ("the", 0), ("cat", 1), ("sat", 2)]
+
+
+def test_termvectors(docs):
+    rows = {r["term"]: r for r in apis.termvectors(docs, 2).collect()}
+    assert rows["cat"]["term_freq"] == 2
+    assert rows["cat"]["doc_freq"] == 2   # docs 0 and 2
+    assert rows["cat"]["ttf"] == 3        # 1 + 2 occurrences corpus-wide
+    assert rows["dog"]["term_freq"] == 1 and rows["dog"]["doc_freq"] == 2
+
+
+def test_explain_sums_to_score(docs):
+    from fluent_plugin_elasticsearch_spark.operators.bm25 import bm25_scores_df
+
+    terms = ["cat", "mat", "the"]
+    scores = {r["doc_id"]: r["score_u"]
+              for r in bm25_scores_df(docs, terms).collect()}
+    for did in (0, 3):
+        parts = apis.explain(docs, did, terms).collect()
+        # contributions quantized per term; the pipeline quantizes the SUM —
+        # compare at a 1-per-term slack from per-term flooring
+        total = sum(r["contrib_u"] for r in parts)
+        assert abs(total - scores[did]) <= len(parts)
+
+
+def test_count(docs):
+    assert apis.count(docs) == 4
+    assert apis.count(docs, {"query": {"term": {"doc_id": 2}}}) == 1
+
+
+def test_cat_indices(spark, index_dir):
+    out = apis.cat_indices(spark, {"webtext": index_dir}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["index"] == "webtext" and r["docs"] == 600
+    assert r["shards"] == 4 and r["postings"] > 0 and r["store_bytes"] > 0
