@@ -117,12 +117,20 @@ class InvertedIndex:
     def query_terms(self, query_text: str) -> list[str]:
         return sorted(set(_TOKENIZE[self.meta["tokenizer"]](query_text)))
 
-    def search(self, query_text: str, k: int = 10, mode: str = "wand") -> DataFrame:
+    def search(self, query_text: str, k: int = 10, mode: str = "wand",
+               operator: str = "or", minimum_should_match: int = 1) -> DataFrame:
         """Top-k BM25. mode='wand' (block-max skipping), 'exhaustive'
         (vectorized decode-all), or 'auto' (WAND only when the shard's
         query-term posting mass exceeds WAND_FALLBACK_POSTINGS — the serving
-        default). All rank-identical to brute force."""
+        default). All rank-identical to brute force.
+
+        ES match options: operator='and' requires ALL query terms;
+        minimum_should_match=m requires >= m distinct terms. Either gate
+        forces the exhaustive kernel (the gate must run before top-k;
+        block-max skipping would rank unqualified docs), scoring stays
+        the full BM25 sum over matched terms — ES semantics."""
         terms = self.query_terms(query_text)
+        msm = len(terms) if operator == "and" else int(minimum_should_match)
         spark = self.spark
         empty = spark.createDataFrame([], TOPK_SCHEMA)
         if not terms:
@@ -135,6 +143,8 @@ class InvertedIndex:
         idfs = {t: bm25_idf(df, n_docs) for t, df in dfs.items()}
 
         def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+            if msm > 1:
+                return _wand.score_shard_exhaustive_msm(pdf, idfs, k, avgdl, k1, b, msm)
             use_wand = mode == "wand" or (
                 mode == "auto" and int(pdf["n_docs"].sum()) >= WAND_FALLBACK_POSTINGS
             )

@@ -398,3 +398,39 @@ def score_shard_dismax(pdf: pd.DataFrame, subquery_idfs: list[dict[str, float]],
     cand_ids, cand_scores = _topk_ties(uniq[nz], combined[nz], k)
     order = np.lexsort((cand_ids, -cand_scores))[:k]
     return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})
+
+
+def score_shard_exhaustive_msm(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
+                               avgdl: float, k1: float, b: float,
+                               msm: int) -> pd.DataFrame:
+    """Exhaustive shard scorer with a minimum_should_match gate: a doc
+    qualifies only if it contains >= msm DISTINCT query terms (ES match
+    operator=and ≡ msm = len(terms)). Postings hold one entry per
+    (term, doc), so the per-doc matched-term count is a bincount over the
+    factorized doc ids — one extra O(postings) pass, no Python loop.
+    The gate must run BEFORE top-k (not after WAND): block-max skipping
+    ranks unqualified docs too, so a post-filter could return < k or
+    wrong members."""
+    from .codec import segmented_cumsum
+
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    n_per_blk = pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_per_blk.sum())
+    blk_starts = np.concatenate([[0], np.cumsum(n_per_blk)[:-1]])
+    gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+    ids = segmented_cumsum(gaps, blk_starts, n_per_blk).astype(np.int64)
+    tfs = varint_decode(b"".join(pdf["tfs_enc"]), total)
+    dls = varint_decode(b"".join(pdf["dls_enc"]), total)
+    idf_per_blk = pdf["term"].map(idfs).to_numpy(dtype=np.float64)
+    contrib = np.repeat(idf_per_blk, n_per_blk) * _tfn(tfs, dls, avgdl, k1, b)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, contrib)
+    n_matched = np.bincount(inv, minlength=uniq.size)
+    keep = n_matched >= msm
+    cand_ids, cand_scores = _topk_ties(uniq[keep], scores[keep], k)
+    order = np.lexsort((cand_ids, -cand_scores))[:k]
+    return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})

@@ -163,7 +163,15 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             raise UnsupportedQuery("match query needs an InvertedIndex")
         ((_field, text),) = query["match"].items()
         k = size or 10
-        topk = index.search(text if isinstance(text, str) else text["query"], k=k)
+        if isinstance(text, dict):
+            # ES match options: {"query": ..., "operator": "and"|"or",
+            # "minimum_should_match": m} — forwarded to the index path
+            topk = index.search(
+                text["query"], k=k,
+                operator=text.get("operator", "or"),
+                minimum_should_match=int(text.get("minimum_should_match", 1)))
+        else:
+            topk = index.search(text, k=k)
         return docs.join(F.broadcast(topk), "doc_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )

@@ -160,3 +160,29 @@ def test_search_dismax_single_query_is_exhaustive_search(spark, index_dir):
     b = [(r["doc_id"], round(r["score"], 9)) for r in
          idx.search_dismax(["the bababa café"], k=10).collect()]
     assert a == b
+
+
+@pytest.mark.parametrize("query,msm", [("the bababa café", 2), ("the of bababa madaba", 3)])
+def test_search_minimum_should_match(spark, index_dir, docs_tokens, query, msm):
+    idx = InvertedIndex(spark, index_dir)
+    terms = sorted(set(tokenize_unicode(query)))
+    full = dict(bm25_topk_oracle(docs_tokens, terms, len(docs_tokens)))
+    qualified = {d: s for d, s in full.items()
+                 if sum(1 for t in terms if t in docs_tokens[d]) >= msm}
+    expected = sorted(qualified.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    got = idx.search(query, k=K, minimum_should_match=msm).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+    for (eid, escore), row in zip(expected, got):
+        assert abs(row["score"] - escore) < 1e-9
+
+
+def test_search_operator_and(spark, index_dir, docs_tokens):
+    idx = InvertedIndex(spark, index_dir)
+    got = idx.search("the bababa", k=K, operator="and").collect()
+    for r in got:
+        toks = docs_tokens[r["doc_id"]]
+        assert "the" in toks and "bababa" in toks
+    # operator=and ≡ msm = n_terms
+    via_msm = idx.search("the bababa", k=K, minimum_should_match=2).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in via_msm]
