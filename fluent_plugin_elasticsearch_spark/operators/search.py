@@ -278,6 +278,29 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def suggest_term(self, term: str, max_edits: int = 2, size: int = 5) -> DataFrame:
+        """ES term suggester (spelling correction): vocabulary terms
+        within max_edits Levenshtein of the input, ranked ES-style
+        (distance asc, df desc, term asc), the input term itself excluded.
+        A length band |len(t) - len(term)| <= max_edits prunes the vocab
+        scan BEFORE the levenshtein (sargable on the term_stats length;
+        ES uses an n-gram candidate index for the same purpose — at
+        larger vocabularies swap the band prefilter for a deletion-
+        neighborhood join)."""
+        t = F.lit(term)
+        cand = self.term_stats().filter(
+            (F.length("term") >= F.length(t) - max_edits)
+            & (F.length("term") <= F.length(t) + max_edits)
+            & (F.col("term") != t)
+        )
+        return (
+            cand.withColumn("distance", F.levenshtein(F.col("term"), t))
+            .filter(F.col("distance") <= max_edits)
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+            .limit(size)
+            .select("term", "distance", "df")
+        )
+
     def search_with_urls(self, query_text: str, k: int = 10, mode: str = "wand") -> DataFrame:
         topk = self.search(query_text, k, mode)
         return (

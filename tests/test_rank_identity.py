@@ -186,3 +186,31 @@ def test_search_operator_and(spark, index_dir, docs_tokens):
     via_msm = idx.search("the bababa", k=K, minimum_should_match=2).collect()
     assert [(r["doc_id"], r["score"]) for r in got] == [
         (r["doc_id"], r["score"]) for r in via_msm]
+
+
+def test_suggest_term_spelling_correction(spark, index_dir, docs_tokens):
+    idx = InvertedIndex(spark, index_dir)
+    # 'bababa' is the rank-0 vocab term; a 1-edit typo must surface it first
+    rows = idx.suggest_term("bababc", max_edits=2, size=5).collect()
+    assert rows and rows[0]["term"] == "bababa" and rows[0]["distance"] == 1
+    # exact term excluded from its own suggestions
+    assert all(r["term"] != "bababa" for r in
+               idx.suggest_term("bababa", max_edits=1, size=5).collect()) is False or True
+    rows2 = idx.suggest_term("bababa", max_edits=1, size=10).collect()
+    assert all(r["term"] != "bababa" for r in rows2)
+    # brute-force check of the candidate set
+    import itertools
+    vocab = {t for toks in docs_tokens.values() for t in toks}
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 2:
+            return 3
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+    want = {t for t in vocab if t != "bababc" and lev("bababc", t) <= 2}
+    got_all = {r["term"] for r in idx.suggest_term("bababc", max_edits=2, size=10000).collect()}
+    assert got_all == want
