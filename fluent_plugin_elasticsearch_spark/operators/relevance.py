@@ -163,11 +163,19 @@ _MODIFIERS = {
     "none": lambda c: c,
     "log1p": lambda c: F.log(F.lit(1.0) + c),
     "sqrt": F.sqrt,
+    # ES rank_feature shapes: saturation(x) = x/(x+pivot-as-factor-
+    # carried-in-x's scaling); sigmoid via its standard logistic form.
+    # Both bounded — the rank_feature property that keeps one feature
+    # from drowning the text score.
+    "saturation": lambda c: c / (c + F.lit(1.0)),
+    "sigmoid": lambda c: F.lit(1.0) / (F.lit(1.0) + F.exp(-c)),
 }
 _MODIFIERS_SQL = {
     "none": lambda e: e,
     "log1p": lambda e: f"ln(1.0 + {e})",
     "sqrt": lambda e: f"sqrt({e})",
+    "saturation": lambda e: f"(({e}) / (({e}) + 1.0))",
+    "sigmoid": lambda e: f"(1.0 / (1.0 + exp(-({e}))))",
 }
 
 

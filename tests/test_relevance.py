@@ -240,3 +240,20 @@ def test_span_near_slop0_equals_phrase(docs):
     b = [(r["doc_id"], r["score_u"]) for r in
          match_phrase_df(docs, ["lazy", "dog"], k=8).collect()]
     assert a == b
+
+
+def test_function_score_rank_feature_modifiers(docs, duck):
+    for mod in ("saturation", "sigmoid"):
+        df = rel.function_score_df(docs, ["quick"], "n_chars", factor=0.05,
+                                   modifier=mod, k=8)
+        _match(df, duck, rel.function_score_sql("docs", ["quick"], "n_chars",
+                                                factor=0.05, modifier=mod, k=8))
+    # saturation is bounded: boost < 1 → boosted score < base score
+    base = {r["doc_id"]: r["score_u"] for r in
+            rel.function_score_df(docs, ["quick"], "n_chars",
+                                  factor=0.05, modifier="none", k=8).collect()}
+    sat = {r["doc_id"]: r["score_u"] for r in
+           rel.function_score_df(docs, ["quick"], "n_chars",
+                                 factor=0.05, modifier="saturation", k=8).collect()}
+    for did, s in sat.items():
+        assert s <= base[did]
