@@ -120,3 +120,15 @@ def cat_indices(spark, index_dirs: dict[str, str]) -> DataFrame:
     return spark.createDataFrame(
         rows, "index string, docs long, shards int, postings long, store_bytes long"
     ).orderBy("index")
+
+
+def msearch(docs: DataFrame, bodies: list[dict], index=None) -> list[DataFrame]:
+    """ES _msearch: evaluate several query bodies in one call. Each body
+    goes through the query AST independently; full-text `match` bodies
+    route to `index.search_batch` territory when an InvertedIndex is
+    supplied (one posting decode serves the whole batch — see
+    search.py::search_batch for the amortized path). Returns one
+    DataFrame per body, order-aligned with the input."""
+    from ..plans.query_ast import compile_query
+
+    return [compile_query(docs, b, index=index) for b in bodies]

@@ -54,3 +54,14 @@ def test_cat_indices(spark, index_dir):
     r = out[0]
     assert r["index"] == "webtext" and r["docs"] == 600
     assert r["shards"] == 4 and r["postings"] > 0 and r["store_bytes"] > 0
+
+
+def test_msearch_order_aligned(docs):
+    outs = apis.msearch(docs, [
+        {"query": {"term": {"doc_id": 1}}},
+        {"query": {"match_all": {}}, "size": 2, "sort": [{"doc_id": "asc"}]},
+        {"query": {"regexp": {"text": ".*cat.*"}}},
+    ])
+    assert outs[0].count() == 1
+    assert [r["doc_id"] for r in outs[1].collect()] == [0, 1]
+    assert outs[2].count() == 2  # docs 0 and 2 contain 'cat'
