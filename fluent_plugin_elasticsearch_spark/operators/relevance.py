@@ -640,7 +640,14 @@ def span_near_df(docs: DataFrame, first: str, second: str, slop: int = 0,
         F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
     )
     stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
-    idx_seq = F.sequence(F.lit(1), F.size("tokens"))
+    # guard: sequence(1, 0) on an empty token array yields the DESCENDING
+    # [1, 0] (step -1) and element_at(tokens, 1) then throws
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a single punctuation-only doc
+    # would crash the whole job. Empty docs get an empty index sequence
+    # (they can never contribute a span match anyway).
+    idx_seq = F.when(
+        F.size("tokens") >= 1, F.sequence(F.lit(1), F.size("tokens"))
+    ).otherwise(F.array().cast("array<int>"))
     pos1 = F.filter(idx_seq, lambda i: F.element_at(F.col("tokens"), i) == F.lit(first))
     pos2 = F.filter(idx_seq, lambda i: F.element_at(F.col("tokens"), i) == F.lit(second))
     base = toks.withColumn("p1", pos1).withColumn("p2", pos2)

@@ -142,14 +142,31 @@ def lsh_cosine_topk(embeddings: DataFrame, query_df: DataFrame, dim: int, k: int
 
 # --- IVF-flat (inverted file) ANN -------------------------------------------
 
+def _deterministic_sample(df: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
+    """Partition-layout-INDEPENDENT training sample: order by md5(id) and
+    take the first n. Spark executes this as TakeOrderedAndProject
+    (per-partition heap + driver merge of n·P rows), and md5 over distinct
+    ids is tie-free, so the sample is a pure function of the input ROWS —
+    unlike limit(n), which is a function of the physical partition layout
+    and silently changes under repartition/AQE. Returns (__id, __v)."""
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(n)
+    )
+
+
 def train_ivf_centroids(embeddings: DataFrame, dim: int, n_lists: int = 16,
                         sample: int = 4096, iters: int = 10, seed: int = 42,
-                        vec_col: str = "embedding") -> np.ndarray:
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> np.ndarray:
     """Deterministic k-means (Lloyd) on a driver-side sample — the coarse
     quantizer of an IVF index. At 10^12 vectors the sample stays O(k·100)
-    regardless of corpus size; assignment below is the distributed part."""
-    pdf = embeddings.select(vec_col).limit(sample).toPandas()
-    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    regardless of corpus size; assignment below is the distributed part.
+    The sample is md5-keyed (_deterministic_sample), so the learned
+    centroids are identical across repartitionings of the same input."""
+    pdf = _deterministic_sample(embeddings, id_col, vec_col, sample).toPandas()
+    x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
@@ -198,7 +215,7 @@ class IvfIndex:
         self.dim, self.id_col, self.vec_col = dim, id_col, vec_col
         self.cent = train_ivf_centroids(
             embeddings, dim, n_lists, sample=sample, iters=iters, seed=seed,
-            vec_col=vec_col)
+            vec_col=vec_col, id_col=id_col)
         self.assigned = pin(ivf_assign(embeddings, self.cent, id_col, vec_col))
 
     def search(self, query_df: DataFrame, k: int = 10, n_probe: int = 4,
@@ -322,12 +339,18 @@ class PqIndex:
         self.dim, self.m, self.dsub = dim, m, dim // m
         self.id_col, self.vec_col = id_col, vec_col
         spark = embeddings.sparkSession
-        norm = embeddings.select(
+        # RAW double vectors Spark-side; L2 normalization happens in numpy
+        # inside the Arrow batches below. (A Spark-side HOF normalize
+        # re-evaluates the norm aggregate PER ELEMENT — no CSE inside
+        # transform lambdas — an O(d²) factor over the full corpus.)
+        vecs = embeddings.select(
             F.col(id_col).alias("vec_id"),
-            _l2_normalize(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("v"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         )
-        sample = np.array(
-            [r["v"] for r in norm.limit(train_sample).collect()], dtype=np.float64)
+        sample = np.stack(
+            _deterministic_sample(embeddings, id_col, vec_col, train_sample)
+            .toPandas()["__v"].to_numpy()).astype(np.float64)
+        sample = _np_l2_normalize(sample)
         rng = np.random.default_rng(seed)
         self.codebooks = np.stack([
             _kmeans(sample[:, i * self.dsub:(i + 1) * self.dsub], 256, rng, kmeans_iters)
@@ -338,10 +361,13 @@ class PqIndex:
 
         def encode(pdf_iter):
             for pdf in pdf_iter:
-                vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+                if len(pdf) == 0:
+                    continue
+                mat = _np_l2_normalize(
+                    np.array(pdf["v"].tolist(), dtype=np.float64))
                 codes = np.empty((len(pdf), m_), dtype=np.int32)
                 for i in range(m_):
-                    sub = vecs[:, i * dsub:(i + 1) * dsub]
+                    sub = mat[:, i * dsub:(i + 1) * dsub]
                     # ||x-c||² argmin ≡ argmax(c·x - ||c||²/2), vectorized
                     dots = sub @ cb[i].T
                     codes[:, i] = np.argmax(dots - 0.5 * (cb[i] ** 2).sum(1), axis=1)
@@ -349,23 +375,25 @@ class PqIndex:
                 yield pd.DataFrame({"vec_id": pdf["vec_id"],
                                     "codes": [r.tobytes() for r in packed]})
 
-        self.codes = norm.mapInPandas(
+        self.codes = vecs.mapInPandas(
             encode, "vec_id long, codes binary").persist()
         self.codes.count()
-        self._norm = norm  # exact vectors for the rerank join
+        self._vecs = vecs  # exact RAW vectors for the rerank join
         self.spark = spark
 
     def search(self, query_df: DataFrame, k: int = 10, rerank_factor: int = 4,
                qid_col: str = "query_id") -> DataFrame:
         """ADC candidates + exact rerank. Returns (query_id, vec_id,
         cosine, rank) with true cosines, tie (cosine desc, vec_id asc)."""
+        qraw = query_df.select(
+            qid_col,
+            F.transform(F.col(self.vec_col), lambda x: x.cast("double"))
+            .alias(self.vec_col),
+        ).collect()
         queries = [
-            (r[qid_col], np.array(r[self.vec_col], dtype=np.float64))
-            for r in query_df.select(
-                qid_col,
-                _l2_normalize(F.transform(F.col(self.vec_col),
-                                          lambda x: x.cast("double"))).alias(self.vec_col),
-            ).collect()
+            (r[qid_col],
+             _np_l2_normalize(np.array(r[self.vec_col], dtype=np.float64)[None, :])[0])
+            for r in qraw
         ]
         cb, m_, dsub = self.codebooks, self.m, self.dsub
         luts = {qid: np.stack([cb[i] @ q[i * dsub:(i + 1) * dsub]
@@ -402,13 +430,18 @@ class PqIndex:
         w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
         cands = cands.withColumn("__r", F.row_number().over(w)).filter(
             F.col("__r") <= n_cand).drop("__r")
+        # exact rerank on RAW vectors with cosine_col = dot/(|a|·|b|) — the
+        # same IEEE op order as a SQL oracle's dot/(norm*norm), so returned
+        # cosines are bit-stable across engines (dotting two separately
+        # pre-normalized vectors is NOT).
         qdf = self.spark.createDataFrame(
-            [(qid, q.tolist()) for qid, q in queries], "query_id long, qv array<double>")
+            [(r[qid_col], list(r[self.vec_col])) for r in qraw],
+            "query_id long, qv array<double>")
         exact = (
-            cands.join(self._norm, "vec_id")
+            cands.join(self._vecs, "vec_id")
             .join(F.broadcast(qdf), "query_id")
             .select("query_id", "vec_id",
-                    dot_col(F.col("v"), F.col("qv")).alias("cosine"))
+                    cosine_col(F.col("v"), F.col("qv")).alias("cosine"))
         )
         return per_query_topk(exact, k, n_queries=len(queries))
 
@@ -416,13 +449,10 @@ class PqIndex:
         self.codes.unpersist(blocking=False)
 
 
-def _l2_normalize(col: Column) -> Column:
-    return F.transform(col, lambda x: x / norm_col_nonzero(col))
-
-
-def norm_col_nonzero(a: Column) -> Column:
-    n = norm_col(a)
-    return F.when(n > 0.0, n).otherwise(F.lit(1.0))
+def _np_l2_normalize(mat: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalize; zero-norm rows stay zero (divide by 1)."""
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(n > 0.0, n, 1.0)
 
 
 def _kmeans(x: np.ndarray, n_clusters: int, rng, iters: int) -> np.ndarray:

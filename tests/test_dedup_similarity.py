@@ -251,3 +251,33 @@ def test_pq_index_deterministic(spark):
     rb = [(r["vec_id"], round(r["cosine"], 9)) for r in b.search(qdf, k=5).collect()]
     assert ra == rb
     a.close(); b.close()
+
+
+def test_pq_and_ivf_sample_partition_invariant(spark):
+    """The md5-keyed training sample makes learned centroids a function of
+    the input ROWS, not the partition layout: a repartitioned corpus must
+    yield identical PQ search results and identical IVF centroids."""
+    import numpy as np
+
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        PqIndex, train_ivf_centroids)
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    shuffled = emb.repartition(17, "vec_id")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding")
+
+    a = PqIndex(emb, dim=16, m=4, seed=9, train_sample=120)
+    b = PqIndex(shuffled, dim=16, m=4, seed=9, train_sample=120)
+    ra = [(r["vec_id"], round(r["cosine"], 9)) for r in a.search(qdf, k=5).collect()]
+    rb = [(r["vec_id"], round(r["cosine"], 9)) for r in b.search(qdf, k=5).collect()]
+    assert ra == rb
+    a.close(); b.close()
+
+    ca = train_ivf_centroids(emb, dim=16, n_lists=4, sample=120, seed=3)
+    cb = train_ivf_centroids(shuffled, dim=16, n_lists=4, sample=120, seed=3)
+    assert np.array_equal(ca, cb)

@@ -233,6 +233,18 @@ def test_span_near_slop_semantics(docs, duck):
            rel.span_near_sql("docs", "quick", "fox", slop=2, k=8))
 
 
+def test_span_near_empty_token_doc(spark):
+    # regression: a punctuation-only doc tokenizes to []; sequence(1, 0)
+    # is the DESCENDING [1, 0] and an unguarded element_at crashed the job
+    # with INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    rows = [Row(doc_id=0, text="quick brown fox"),
+            Row(doc_id=1, text="!!! ... ???"),
+            Row(doc_id=2, text="")]
+    d = spark.createDataFrame(rows)
+    got = {r["doc_id"] for r in rel.span_near_df(d, "brown", "fox", slop=0, k=5).collect()}
+    assert got == {0}
+
+
 def test_span_near_slop0_equals_phrase(docs):
     from fluent_plugin_elasticsearch_spark.operators.bm25 import match_phrase_df
     a = [(r["doc_id"], r["score_u"]) for r in
