@@ -36,10 +36,18 @@ def make_query_registry(spark, queries: list[tuple[int, list[str], int]]) -> Dat
 
 
 def percolate(docs: DataFrame, registry: DataFrame,
-              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+              id_col: str = "doc_id", text_col: str = "text",
+              small_registry: bool = True) -> DataFrame:
     """Match every doc against every stored query. Returns
     (doc_id, query_id, n_matched) for pairs with n_matched >= the query's
-    minimum_should_match, sorted (doc_id, query_id)."""
+    minimum_should_match, sorted (doc_id, query_id).
+
+    `small_registry=True` (default) forces a broadcast of the exploded
+    query-term table — right for the alerting case (thousands of stored
+    monitors, KB-MB), where it keeps the corpus un-shuffled. For a
+    MILLION-query registry the exploded term table can exceed executor
+    memory: pass small_registry=False to drop the hint so AQE/statistics
+    choose between broadcast and a term-keyed shuffle join."""
     doc_terms = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(simple_tokens_col(F.col(text_col)))).alias("term"),
@@ -47,8 +55,10 @@ def percolate(docs: DataFrame, registry: DataFrame,
     q_terms = registry.select(
         "query_id", "msm", F.explode(F.array_distinct("terms")).alias("term")
     )
+    if small_registry:
+        q_terms = F.broadcast(q_terms)
     return (
-        doc_terms.join(F.broadcast(q_terms), "term")
+        doc_terms.join(q_terms, "term")
         .groupBy("doc_id", "query_id", "msm")
         .agg(F.count(F.lit(1)).alias("n_matched"))
         .filter(F.col("n_matched") >= F.col("msm"))
@@ -84,7 +94,8 @@ ORDER BY doc_id, query_id
 
 def percolate_stream(stream_docs: DataFrame, registry: DataFrame,
                      sink, checkpoint: str,
-                     id_col: str = "doc_id", text_col: str = "text"):
+                     id_col: str = "doc_id", text_col: str = "text",
+                     small_registry: bool = True):
     """Streaming percolation — the alerting loop: each micro-batch of
     documents is matched against the registered queries and the hits are
     handed to `sink(matches_df, batch_id)`. Matching is per-document, so
@@ -95,7 +106,7 @@ def percolate_stream(stream_docs: DataFrame, registry: DataFrame,
     change."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        sink(percolate(batch_df, registry, id_col, text_col), batch_id)
+        sink(percolate(batch_df, registry, id_col, text_col, small_registry), batch_id)
 
     return (
         stream_docs.writeStream.foreachBatch(handle)

@@ -17,6 +17,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _hint_small(df: DataFrame, small: bool) -> DataFrame:
+    """Broadcast ONLY when the caller vouches the frame is small.
+
+    `small_batch=True` (default) fits the reference's streaming shape —
+    micro-batches of bulk actions are KB-MB against a large target table,
+    and a forced broadcast avoids shuffling the target. For a bulk
+    BACKFILL through the same API the batch can be executor-memory-sized:
+    pass small_batch=False and the hint is dropped, so AQE/statistics pick
+    broadcast vs shuffle join from the actual sizes instead of OOMing the
+    executors on a forced build side."""
+    return F.broadcast(df) if small else df
+
+
 def dedup_latest(batch: DataFrame, id_col: str, order_col: str | None = None) -> DataFrame:
     """Keep one row per id within a batch (last-writer-wins, like repeated
     bulk actions for the same _id within one chunk)."""
@@ -28,12 +41,14 @@ def dedup_latest(batch: DataFrame, id_col: str, order_col: str | None = None) ->
     )
 
 
-def op_index(target: DataFrame, batch: DataFrame, id_col: str) -> DataFrame:
+def op_index(target: DataFrame, batch: DataFrame, id_col: str,
+             small_batch: bool = True) -> DataFrame:
     """`index` op (K2): upsert-by-id — replace matching rows, insert the
     rest. Iceberg: MERGE INTO … WHEN MATCHED UPDATE * WHEN NOT MATCHED
-    INSERT *. Emulation: target rows not in batch ∪ batch."""
+    INSERT *. Emulation: target rows not in batch ∪ batch. See
+    _hint_small for the small_batch broadcast gate."""
     batch = dedup_latest(batch, id_col)
-    keep = target.join(F.broadcast(batch.select(id_col)), id_col, "left_anti")
+    keep = target.join(_hint_small(batch.select(id_col), small_batch), id_col, "left_anti")
     return keep.unionByName(batch)
 
 
@@ -54,7 +69,8 @@ def op_create(target: DataFrame, batch: DataFrame, id_col: str,
 
 def op_update(target: DataFrame, batch: DataFrame, id_col: str,
               update_cols: list[str] | None = None,
-              remove_keys_on_update: list[str] | None = None) -> DataFrame:
+              remove_keys_on_update: list[str] | None = None,
+              small_batch: bool = True) -> DataFrame:
     """`update` op (K4): partial update of EXISTING docs only (no insert).
     `remove_keys_on_update` strips keys from the update doc only (K6,
     remove_keys out_elasticsearch.rb:786-793). Iceberg: MERGE INTO … WHEN
@@ -65,7 +81,8 @@ def op_update(target: DataFrame, batch: DataFrame, id_col: str,
         cols = [c for c in cols if c not in set(remove_keys_on_update)]
     upd = batch.select(id_col, *cols)
     joined = target.alias("t").join(
-        F.broadcast(upd).alias("u"), F.col(f"t.{id_col}") == F.col(f"u.{id_col}"), "left"
+        _hint_small(upd, small_batch).alias("u"),
+        F.col(f"t.{id_col}") == F.col(f"u.{id_col}"), "left"
     )
     matched = F.col(f"u.{id_col}").isNotNull()
     out_cols = [
@@ -80,12 +97,15 @@ def op_update(target: DataFrame, batch: DataFrame, id_col: str,
 
 
 def op_upsert(target: DataFrame, batch: DataFrame, id_col: str,
-              remove_keys_on_update: list[str] | None = None) -> DataFrame:
+              remove_keys_on_update: list[str] | None = None,
+              small_batch: bool = True) -> DataFrame:
     """`upsert` op (K5): update-or-insert (doc_as_upsert,
     update_body out_elasticsearch.rb:776-783). Full MERGE INTO with both
     clauses. Note: the inserted doc keeps removed keys (reference inserts
     the original record as the upsert doc), removal applies to updates only."""
-    updated = op_update(target, batch, id_col, remove_keys_on_update=remove_keys_on_update)
+    updated = op_update(target, batch, id_col,
+                        remove_keys_on_update=remove_keys_on_update,
+                        small_batch=small_batch)
     fresh = batch.join(target.select(id_col), id_col, "left_anti")
     fresh = dedup_latest(fresh, id_col).select(*updated.columns)
     return updated.unionByName(fresh)
@@ -93,7 +113,8 @@ def op_upsert(target: DataFrame, batch: DataFrame, id_col: str,
 
 def affinity_target_index(batch: DataFrame, docs: DataFrame, id_col: str = "doc_id",
                           index_col: str = "index_name",
-                          computed_index_col: str = "index_name") -> DataFrame:
+                          computed_index_col: str = "index_name",
+                          small_batch: bool = True) -> DataFrame:
     """K11 — affinity-targeted update routing (get_affinity_target_indices,
     out_elasticsearch.rb:935-965): for each incoming id, find the OLDEST
     date-index already holding it and route the update there instead of
@@ -102,12 +123,12 @@ def affinity_target_index(batch: DataFrame, docs: DataFrame, id_col: str = "doc_
     broadcast-joined to the batch, coalesce(existing, computed)."""
     existing = (
         docs.select(F.col(id_col), F.col(index_col).alias("__existing_idx"))
-        .join(F.broadcast(batch.select(id_col).distinct()), id_col, "left_semi")
+        .join(_hint_small(batch.select(id_col).distinct(), small_batch), id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.min("__existing_idx").alias("__existing_idx"))
     )
     return (
-        batch.join(F.broadcast(existing), id_col, "left")
+        batch.join(_hint_small(existing, small_batch), id_col, "left")
         .withColumn(computed_index_col, F.coalesce(F.col("__existing_idx"), F.col(computed_index_col)))
         .drop("__existing_idx")
     )

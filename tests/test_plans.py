@@ -140,3 +140,46 @@ def test_collapse_window_is_field_partitioned(spark, sf_dir):
     # everything through one partition
     assert "partitionBy" not in plan or "No Partition Defined" not in plan
     assert "Window" in plan and "lang" in plan.split("Window")[1][:300]
+
+
+def test_write_ops_broadcast_gate(spark, sf_dir):
+    """small_batch=True forces the batch broadcast (streaming micro-batch
+    shape); small_batch=False drops the hint so statistics/AQE choose —
+    with the auto-broadcast threshold off, the plan must contain NO
+    BroadcastExchange (a forced build side would OOM a backfill-sized
+    batch)."""
+    from fluent_plugin_elasticsearch_spark.sinks.write_ops import op_index, op_update
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang")
+    batch = docs.limit(50)
+    forced = plan_of(op_index(docs, batch, "doc_id"))
+    assert "BroadcastExchange" in forced
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        gated = plan_of(op_index(docs, batch, "doc_id", small_batch=False))
+        assert "BroadcastExchange" not in gated
+        assert "SortMergeJoin" in gated
+        gated_u = plan_of(op_update(docs, batch, "doc_id", small_batch=False))
+        assert "BroadcastExchange" not in gated_u
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_percolate_registry_broadcast_gate(spark, sf_dir):
+    """small_registry=False must leave join-strategy choice to the
+    optimizer (no forced BroadcastExchange under a disabled threshold)."""
+    from fluent_plugin_elasticsearch_spark.operators.percolate import (
+        make_query_registry, percolate)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reg = make_query_registry(spark, [(1, ["spark"], 1), (2, ["fast", "merge"], 2)])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(percolate(docs, reg, small_registry=False))
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
