@@ -215,6 +215,46 @@ def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.floor(F.col("value") * 1e2).cast("long").alias("value_u"))
 
 
+def q_from_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES from/size offset pagination (plans/query_ast.py `from`): page 3
+    of a filtered desc sort — Spark plans Offset+Limit under the sort, a
+    driver merge of from+size rows from the partition heaps. The
+    reference forwards from/size bodies verbatim (in_elasticsearch.rb:33,
+    94-99); deep pagination belongs to search_after."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {
+        "query": {"term": {"lang": "en"}},
+        "sort": [{"doc_id": {"order": "desc"}}],
+        "from": 40, "size": 20,
+    })
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `nested` query (plans/query_ast.py): docs whose array-of-structs
+    contains at least ONE element matching the whole inner bool — both
+    sub-clauses must hold within the SAME element (the semantics that
+    distinguish nested from flat object mapping). The nested column is
+    built deterministically from events (collect_list of structs per
+    user); the predicate compiles to F.exists — JVM higher-order
+    function, no explode, no shuffle beyond the groupBy."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    ev = _read(spark, sf_dir, "events")
+    nd = (
+        ev.groupBy("user_id")
+        .agg(F.collect_list(F.struct("event_type", "value")).alias("evs"))
+        .withColumnRenamed("user_id", "doc_id")
+    )
+    body = {"query": {"nested": {"path": "evs", "query": {"bool": {"must": [
+        {"term": {"evs.event_type": "purchase"}},
+        {"range": {"evs.value": {"gte": 90}}},
+    ]}}}}, "_source": False}
+    return compile_query(nd, body)
+
+
 def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rescore: BM25 retrieves a top-100 window, only that window is
     re-ranked with the expensive phrase scorer (score_mode=total)."""
@@ -1145,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_query": q_regexp_query,
         "terms_set_query": q_terms_set_query,
         "search_after": q_search_after,
+        "from_offset_page": q_from_offset_page,
+        "nested_query": q_nested_query,
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_adjacency_matrix": q_es_adjacency_matrix,
@@ -1402,6 +1444,14 @@ SELECT event_id, event_type, value_u FROM o
 WHERE rn > 50 ORDER BY rn LIMIT 50
 """,
         "sorted_scan_desc": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20",
+        "from_offset_page": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' "
+            "ORDER BY doc_id DESC LIMIT 20 OFFSET 40"
+        ),
+        "nested_query": (
+            "SELECT DISTINCT user_id AS doc_id FROM events "
+            "WHERE event_type = 'purchase' AND value >= 90"
+        ),
         "genid_md5": (
             "SELECT event_id, to_base64(unhex(md5(concat_ws('_', CAST(user_id AS VARCHAR), event_type)))) AS _hash FROM events"
         ),

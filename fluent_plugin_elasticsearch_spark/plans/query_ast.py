@@ -30,34 +30,39 @@ class UnsupportedQuery(ValueError):
     pass
 
 
-def _compile_clause(q: dict[str, Any]) -> Column:
+def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
+    """Compile one query clause to a boolean Column. `col` resolves a field
+    name to a Column — F.col for top-level rows; inside a `nested` clause
+    it resolves against the current array element (lambda variable), which
+    is what gives ES nested semantics: ALL sub-clauses of the inner query
+    must match within a SINGLE element of the array-of-structs."""
     if len(q) != 1:
         raise UnsupportedQuery(f"clause must have one key: {q}")
     kind, body = next(iter(q.items()))
     if kind == "ids":
-        return F.col("doc_id").isin([int(v) for v in body["values"]])
+        return col("doc_id").isin([int(v) for v in body["values"]])
     if kind == "term":
         ((field, value),) = body.items()
         if isinstance(value, dict):
             value = value["value"]
-        return F.col(field) == F.lit(value)
+        return col(field) == F.lit(value)
     if kind == "range":
         ((field, conds),) = body.items()
         c = F.lit(True)
         ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
         for op, v in conds.items():
-            c = c & getattr(F.col(field), ops[op])(F.lit(v))
+            c = c & getattr(col(field), ops[op])(F.lit(v))
         return c
     if kind == "exists":
-        return F.col(body["field"]).isNotNull()
+        return col(body["field"]).isNotNull()
     if kind == "terms":  # multi-value membership: {"terms": {"field": [v...]}}
         ((field, values),) = body.items()
-        return F.col(field).isin(list(values))
+        return col(field).isin(list(values))
     if kind == "prefix":  # {"prefix": {"field": "val"}} or {"field": {"value": v}}
         ((field, value),) = body.items()
         if isinstance(value, dict):
             value = value["value"]
-        return F.col(field).startswith(str(value))
+        return col(field).startswith(str(value))
     if kind == "wildcard":  # ES wildcard: * = any run, ? = any single char
         ((field, value),) = body.items()
         if isinstance(value, dict):
@@ -68,7 +73,7 @@ def _compile_clause(q: dict[str, Any]) -> Column:
             ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
             for ch in str(value)
         ) + "$"
-        return F.col(field).rlike(pat)
+        return col(field).rlike(pat)
     if kind == "fuzzy":  # {"fuzzy": {"field": {"value": v, "fuzziness": n}}}
         ((field, spec),) = body.items()
         if isinstance(spec, dict):
@@ -78,32 +83,50 @@ def _compile_clause(q: dict[str, Any]) -> Column:
             value, fuzz = spec, 2
         # term-level edit distance, JVM-side levenshtein (ES AUTO defaults
         # to ≤2 edits; we take an explicit integer fuzziness)
-        return F.levenshtein(F.col(field), F.lit(str(value))) <= fuzz
+        return F.levenshtein(col(field), F.lit(str(value))) <= fuzz
     if kind == "regexp":  # ES regexp: pattern must match the WHOLE value
         ((field, value),) = body.items()
         if isinstance(value, dict):
             value = value["value"]
-        return F.col(field).rlike(f"^(?:{value})$")
+        return col(field).rlike(f"^(?:{value})$")
     if kind == "terms_set":
         # {"terms_set": {field: {"terms": [...], "minimum_should_match": m}}}
         # — at least m DISTINCT provided terms present in the array column
         ((field, spec),) = body.items()
         terms = [F.lit(t) for t in spec["terms"]]
         m = int(spec.get("minimum_should_match", 1))
-        return F.size(F.array_intersect(F.col(field), F.array(*terms))) >= m
+        return F.size(F.array_intersect(col(field), F.array(*terms))) >= m
     if kind == "bool":
         c = F.lit(True)
         for must in body.get("must", []) + body.get("filter", []):
-            c = c & _compile_clause(must)
+            c = c & _compile_clause(must, col)
         for mnot in body.get("must_not", []):
-            c = c & ~_compile_clause(mnot)
+            c = c & ~_compile_clause(mnot, col)
         should = body.get("should", [])
         if should:
             sc = F.lit(False)
             for s in should:
-                sc = sc | _compile_clause(s)
+                sc = sc | _compile_clause(s, col)
             c = c & sc
         return c
+    if kind == "nested":
+        # ES nested query: {"nested": {"path": p, "query": {...}}} — true
+        # when at least ONE element of the array-of-structs at `path`
+        # satisfies the whole inner query (fields addressed as "p.field").
+        # Compiles to F.exists over the array with the inner clause tree
+        # resolved against the element — a JVM higher-order function, so it
+        # stays in codegen and never explodes the array. score_mode is a
+        # filter-context no-op here (matches compile to boolean predicates).
+        path, inner = body["path"], body["query"]
+        prefix = path + "."
+
+        def elem_resolver(x):
+            def r(field: str) -> Column:
+                name = field[len(prefix):] if field.startswith(prefix) else field
+                return x.getField(name)
+            return r
+
+        return F.exists(col(path), lambda x: _compile_clause(inner, elem_resolver(x)))
     if kind == "match_all":
         return F.lit(True)
     raise UnsupportedQuery(f"unsupported query kind: {kind}")
@@ -265,6 +288,14 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
     if sort_cols:  # one orderBy — chained orderBy calls would replace each other
         out = out.orderBy(*sort_cols)
 
+    frm = int(body.get("from") or 0)
+    if frm:
+        # ES from/size offset pagination. Spark plans Offset under the sort
+        # (GlobalLimit-style merge of from+size rows from the partition
+        # heaps), so a page deep in the order still costs O(from+size)
+        # driver merge — fine for UI paging; deep pagination should use
+        # search_after (sargable keyset, O(page)) like ES recommends.
+        out = out.offset(frm)
     if size:
         out = out.limit(int(size))
     return out

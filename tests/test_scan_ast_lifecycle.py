@@ -82,6 +82,35 @@ def test_query_ast(docs):
     assert fz.count() == 10  # 'en' at distance 1; 'de' at 3
 
 
+def test_query_ast_from_offset(docs):
+    # ES from/size: page = rows [from, from+size) of the sort order
+    body = {"sort": [{"doc_id": {"order": "asc"}}], "size": 5}
+    all_ids = [r["doc_id"] for r in compile_query(docs, {**body, "size": 20}).collect()]
+    page = [r["doc_id"] for r in compile_query(docs, {**body, "from": 7}).collect()]
+    assert page == all_ids[7:12]
+    # from beyond the result set → empty page, not an error (ES behavior)
+    assert compile_query(docs, {**body, "from": 100}).count() == 0
+
+
+def test_query_ast_nested(spark):
+    rows = [
+        Row(doc_id=0, evs=[Row(t="buy", v=95.0), Row(t="view", v=10.0)]),
+        # matches only if BOTH sub-clauses hold in the SAME element:
+        # has a "buy" and has v>=90, but never together → must NOT match
+        Row(doc_id=1, evs=[Row(t="buy", v=10.0), Row(t="view", v=95.0)]),
+        Row(doc_id=2, evs=[]),
+        Row(doc_id=3, evs=None),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, evs array<struct<t:string, v:double>>")
+    body = {"query": {"nested": {"path": "evs", "query": {"bool": {"must": [
+        {"term": {"evs.t": "buy"}}, {"range": {"evs.v": {"gte": 90}}}]}}}}}
+    assert [r["doc_id"] for r in compile_query(d, body).collect()] == [0]
+    # single-clause nested over the empty/null arrays stays well-behaved
+    one = {"query": {"nested": {"path": "evs", "query": {"term": {"evs.t": "view"}}}}}
+    assert sorted(r["doc_id"] for r in compile_query(d, one).collect()) == [0, 1]
+
+
 def test_query_ast_terms_prefix_wildcard(docs):
     n_de = compile_query(docs, {"query": {"term": {"lang": "de"}}}).count()
     n_en = compile_query(docs, {"query": {"term": {"lang": "en"}}}).count()
