@@ -76,14 +76,21 @@ def bm25_topk_df(docs: DataFrame, query_terms: list[str], k: int = 10,
 
 def match_phrase_df(docs: DataFrame, phrase_terms: list[str], k: int = 10,
                     id_col: str = "doc_id", text_col: str = "text",
-                    k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+                    k1: float = BM25_K1, b: float = BM25_B,
+                    candidates: DataFrame | None = None) -> DataFrame:
     """ES `match_phrase` with Lucene PhraseQuery scoring: the phrase acts
     as one synthetic term whose tf is the PHRASE FREQUENCY (count of exact
     adjacent occurrences) and whose idf is the SUM of the constituent
     terms' idfs. Adjacency is checked JVM-side with element_at over the
     token array (whole-stage codegen, no Python). Returns (doc_id,
     score_u), tie-break (score desc, doc_id asc). Mirrored exactly by
-    match_phrase_sql."""
+    match_phrase_sql.
+
+    `candidates` (a (doc_id) frame) restricts the EXPENSIVE per-doc
+    position aggregate to those docs while idf/avgdl statistics stay
+    corpus-level — scores for the candidate docs are identical to a full
+    run. This is the rescore two-phase contract: the phrase scorer
+    touches window_size rows, not the corpus."""
     n_terms = len(phrase_terms)
     if n_terms == 0:
         raise ValueError("empty phrase")
@@ -92,6 +99,8 @@ def match_phrase_df(docs: DataFrame, phrase_terms: list[str], k: int = 10,
     )
     stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
     base = toks.select("doc_id", F.size("tokens").alias("dl"), "tokens")
+    if candidates is not None:
+        base = base.join(F.broadcast(candidates.select("doc_id")), "doc_id", "left_semi")
 
     def occurs_at(i):
         cond = F.lit(True)

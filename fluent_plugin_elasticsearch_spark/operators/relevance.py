@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from .. import BM25_B, BM25_K1
 from ..extraction import simple_tokens_col
 from .bm25 import bm25_scores_df
+from .caching import pin
 
 _TOKS_SQL = (
     "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
@@ -521,8 +522,15 @@ def rescore_df(docs: DataFrame, query_terms: list[str],
 
     base = bm25_scores_df(docs, query_terms, id_col, text_col, k1, b)
     window = base.orderBy(F.desc("score_u"), F.asc("doc_id")).limit(window_size)
-    phrase = match_phrase_df(docs, phrase_terms, k=1_000_000_000,
-                             id_col=id_col, text_col=text_col, k1=k1, b=b)
+    # the expensive phrase position aggregate runs ONLY on the window
+    # candidates (semi-join pushdown inside match_phrase_df); idf/avgdl
+    # stay corpus-level so candidate scores equal a full run. The
+    # broadcast side is therefore ≤ window_size rows by construction —
+    # never a corpus-sized phrase-match set.
+    window = pin(window)  # reused by the candidates semi-join AND the final join
+    phrase = match_phrase_df(docs, phrase_terms, k=window_size,
+                             id_col=id_col, text_col=text_col, k1=k1, b=b,
+                             candidates=window.select("doc_id"))
     combined = (
         window.join(F.broadcast(phrase.withColumnRenamed("score_u", "p_u")),
                     "doc_id", "left")
@@ -586,12 +594,17 @@ def pinned_df(docs: DataFrame, pinned_ids: list[int],
     # rows (k ≤ 100s) — a single tiny partition by construction, not a
     # corpus funnel
     rank_w = Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
+    # organic ranks start after the SURVIVING pinned ids (ES renumbers
+    # contiguously when requested pins don't exist in the corpus), so the
+    # offset is the post-existence-join count, not len(pinned_ids)
+    n_pins = pins.agg(F.count(F.lit(1)).alias("__np"))
     organic = (
         organic.join(F.broadcast(pins.select("doc_id")), "doc_id", "left_anti")
         .orderBy(F.desc("score_u"), F.asc("doc_id"))
         .limit(k)
+        .crossJoin(F.broadcast(n_pins))
         .select("doc_id",
-                (F.row_number().over(rank_w) + len(pin_rows)).cast("int").alias("rank"),
+                (F.row_number().over(rank_w) + F.col("__np")).cast("int").alias("rank"),
                 "score_u")
     )
     pinned = pins.select("doc_id", "rank", F.lit(None).cast("long").alias("score_u"))
@@ -613,7 +626,8 @@ pins AS (
 ),
 organic AS (
   SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY s_0 DESC, doc_id ASC) + {n_pin} AS INT) AS rank,
+         CAST(row_number() OVER (ORDER BY s_0 DESC, doc_id ASC)
+              + (SELECT count(*) FROM pins) AS INT) AS rank,
          s_0 AS score_u
   FROM q0_scores WHERE doc_id NOT IN (SELECT doc_id FROM pins)
   ORDER BY s_0 DESC, doc_id ASC LIMIT {k}

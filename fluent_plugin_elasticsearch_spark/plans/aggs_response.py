@@ -16,6 +16,29 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
+# ES bounds the whole aggregation tree with search.max_buckets (default
+# 65536) and fails the request beyond it. Same contract here: the collect
+# below is capped, so a size-less terms agg over a high-cardinality field
+# raises instead of materializing the cardinality onto the driver.
+DEFAULT_MAX_BUCKETS = 65536
+
+
+class TooManyBuckets(ValueError):
+    pass
+
+
+def _bounded_rows(df: DataFrame, name: str, max_buckets: int) -> list:
+    """Collect at most max_buckets rows; one extra row is fetched only to
+    DETECT overflow (never more), so the driver materialization is bounded
+    by the cap, not the bucket cardinality."""
+    rows = df.limit(max_buckets + 1).collect()
+    if len(rows) > max_buckets:
+        raise TooManyBuckets(
+            f"agg '{name}' produced more than {max_buckets} buckets; set a "
+            f"'size' on the agg or raise max_buckets (ES search.max_buckets "
+            f"behavior)")
+    return rows
+
 
 def _jsonable(v: Any) -> Any:
     if hasattr(v, "isoformat"):
@@ -23,27 +46,34 @@ def _jsonable(v: Any) -> Any:
     return v
 
 
-def render_bucket_agg(df: DataFrame, name: str) -> dict:
+def render_bucket_agg(df: DataFrame, name: str,
+                      max_buckets: int = DEFAULT_MAX_BUCKETS) -> dict:
     """Single-level bucket agg frame (key, doc_count, metrics...) →
-    {"buckets": [{"key": ..., "doc_count": ..., "<metric>": {"value": v}}]}."""
+    {"buckets": [{"key": ..., "doc_count": ..., "<metric>": {"value": v}}]}.
+    Internal ordering-helper columns (bucket_idx from range/date_range,
+    any __-prefixed helper) are dropped — they are plan artifacts, not
+    metrics, and must not appear in the ES envelope."""
     buckets = []
-    for r in df.collect():
+    for r in _bounded_rows(df, name, max_buckets):
         d = r.asDict()
         b: dict[str, Any] = {"key": _jsonable(d.pop("key")),
                              "doc_count": d.pop("doc_count")}
         for k, v in d.items():
+            if k == "bucket_idx" or k.startswith("__"):
+                continue
             b[k] = {"value": _jsonable(v)}
         buckets.append(b)
     return {name: {"buckets": buckets}}
 
 
-def render_nested_bucket_agg(df: DataFrame, level_names: list[str]) -> dict:
+def render_nested_bucket_agg(df: DataFrame, level_names: list[str],
+                             max_buckets: int = DEFAULT_MAX_BUCKETS) -> dict:
     """Flattened nested-bucket frame (plans/aggs._compile_bucket_path
     output: <level>_key columns, <level>_doc_count for non-leaf levels,
     leaf doc_count + metrics) → the recursive ES bucket tree. Row order
     already encodes ES bucket ordering per level; the tree rebuild
     preserves first-seen order."""
-    rows = [r.asDict() for r in df.collect()]
+    rows = [r.asDict() for r in _bounded_rows(df, level_names[0], max_buckets)]
     root: dict[str, Any] = {level_names[0]: {"buckets": []}}
 
     def bucket_list(container: dict, name: str) -> list:
@@ -64,7 +94,9 @@ def render_nested_bucket_agg(df: DataFrame, level_names: list[str]) -> dict:
                 buckets.append(cur)
             if depth == len(level_names) - 1:
                 for k, v in d.items():
-                    if k == "doc_count" or k.endswith("_key") or k.endswith("_doc_count"):
+                    if (k == "doc_count" or k == "bucket_idx"
+                            or k.startswith("__")
+                            or k.endswith("_key") or k.endswith("_doc_count")):
                         continue
                     cur[k] = {"value": _jsonable(v)}
             container = cur
@@ -75,7 +107,7 @@ def render_metric_agg(df: DataFrame, name: str) -> dict:
     """Single-row metric frame → {"name": {"value": v}} (one column) or
     {"name": {...stats fields...}} (multi-column, `name_` prefix
     stripped — the stats/extended_stats shape)."""
-    row = df.collect()[0].asDict()
+    row = df.take(1)[0].asDict()
     if len(row) == 1:
         return {name: {"value": _jsonable(next(iter(row.values())))}}
     prefix = f"{name}_"
@@ -86,7 +118,8 @@ def render_metric_agg(df: DataFrame, name: str) -> dict:
 
 
 def render_aggregations(compiled: dict[str, DataFrame],
-                        body: dict[str, Any]) -> dict:
+                        body: dict[str, Any],
+                        max_buckets: int = DEFAULT_MAX_BUCKETS) -> dict:
     """Render every agg of a compiled body into one ES `aggregations`
     section, dispatching on the body's agg kinds."""
     out: dict[str, Any] = {}
@@ -116,11 +149,11 @@ def render_aggregations(compiled: dict[str, DataFrame],
                         break
                     levels.append(nxt[0][0])
                     cur = nxt[0][1]
-                out.update(render_nested_bucket_agg(df, levels))
+                out.update(render_nested_bucket_agg(df, levels, max_buckets))
             else:
-                out.update(render_bucket_agg(df, name))
+                out.update(render_bucket_agg(df, name, max_buckets))
         elif kind == "composite":
-            rows = [r.asDict() for r in df.collect()]
+            rows = [r.asDict() for r in _bounded_rows(df, name, max_buckets)]
             src_names = [next(iter(s)) for s in inner["sources"]]
             buckets = []
             for d in rows:

@@ -413,3 +413,32 @@ def test_render_composite_envelope(events):
     env = render_aggregations(compile_aggs(events, body), body)
     assert env["c"]["after_key"] == {"g": "view"}
     assert [b["key"]["g"] for b in env["c"]["buckets"]] == ["click", "error", "view"]
+
+
+def test_render_range_agg_drops_bucket_idx(events):
+    from fluent_plugin_elasticsearch_spark.plans.aggs_response import (
+        render_aggregations)
+
+    body = {"aggs": {"r": {"range": {"field": "value", "ranges": [
+        {"to": 10}, {"from": 10, "to": 30}, {"from": 30}]}}}}
+    env = render_aggregations(compile_aggs(events, body), body)
+    assert [b["key"] for b in env["r"]["buckets"]] == ["*-10", "10-30", "30-*"]
+    # the internal ordering helper must NOT leak into the envelope as a
+    # fake metric
+    for b in env["r"]["buckets"]:
+        assert "bucket_idx" not in b
+
+
+def test_render_aggregations_bucket_cap(events):
+    from fluent_plugin_elasticsearch_spark.plans.aggs_response import (
+        TooManyBuckets, render_aggregations)
+
+    # event_id is high-cardinality (300 distinct); a cap below that must
+    # raise instead of materializing the cardinality on the driver
+    body = {"aggs": {"ids": {"terms": {"field": "event_id", "size": 300}}}}
+    compiled = compile_aggs(events, body)
+    with pytest.raises(TooManyBuckets):
+        render_aggregations(compiled, body, max_buckets=100)
+    # at/under the cap it renders fine
+    env = render_aggregations(compile_aggs(events, body), body, max_buckets=300)
+    assert len(env["ids"]["buckets"]) == 300

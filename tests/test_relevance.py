@@ -207,6 +207,9 @@ def test_pinned_query(docs, duck):
     want = [(int(a), int(b), None if c is None else int(c)) for a, b, c in
             duck.sql(rel.pinned_sql("docs", [6, 3, 999], ["quick", "dog"], k=4)).fetchall()]
     assert got == want
+    # ES renumbers contiguously: with pin 999 absent from the corpus, the
+    # two surviving pins take ranks 1-2 and organic starts at 3 (no gap)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
 
 
 def test_constant_score(docs):
