@@ -151,8 +151,105 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
 
     res["queries"] = per_q
     res["sf_queries_total_sec"] = round(sum(per_q.values()), 3)
+
+    # --- streaming micro-batch latency (the e2e-tested loops, with numbers):
+    # per-batch triggerExecution from the StreamingQuery progress log —
+    # Spark's own measure of a micro-batch (planning + execution + commit)
+    res["streaming"] = run_streaming_bench(spark)
     spark.stop()
     return res
+
+
+def _drain_progress(q, min_batches: int, timeout_s: float = 60.0) -> list[float]:
+    """Run a streaming query until `min_batches` non-empty batches have
+    completed; return their triggerExecution walls (seconds)."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if q.exception() is not None:  # crashed stream: report, don't hang
+            break
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(done) >= min_batches:
+            break
+        time.sleep(0.5)
+    exc = q.exception()
+    q.stop()
+    q.awaitTermination(30)
+    if exc is not None:
+        raise RuntimeError(f"streaming query failed: {str(exc)[:500]}")
+    return [
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+
+
+def _lat_summary(walls: list[float]) -> dict:
+    s = sorted(walls)
+    return {
+        "batches": len(s),
+        "p50_sec": round(statistics.median(s), 3) if s else None,
+        "p99_sec": round(s[min(len(s) - 1, int(0.99 * len(s)))], 3) if s else None,
+    }
+
+
+def run_streaming_bench(spark) -> dict:
+    """Micro-batch latency for the two streaming loops at a fixed ingest
+    rate: the buffered-write ingest pipeline (rate source → transform →
+    partitioned append) and streaming percolation (rate source → reverse-
+    index match against a 1000-query registry)."""
+    from pyspark.sql import functions as F
+
+    from fluent_plugin_elasticsearch_spark.operators.percolate import (
+        make_query_registry, percolate_stream)
+    from fluent_plugin_elasticsearch_spark.streaming.ingest import IngestPipeline
+
+    out: dict = {"rows_per_sec": 20000}
+    vocab = [f"w{i:02d}" for i in range(50)]
+
+    # ingest: full transform chain (timestamp/target-index/genid/lineage)
+    pipe = IngestPipeline(tempfile.mkdtemp(prefix="bench_ing_docs_"),
+                          id_keys=["tag", "seq"], write_op="index")
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 20000).load()
+        .select(F.col("timestamp").alias("time"),
+                (F.col("value") % 8).cast("string").alias("tag"),
+                F.col("value").alias("seq"),
+                F.sha2(F.col("value").cast("string"), 256).alias("message"))
+    )
+    q = pipe.start_stream(rate, tempfile.mkdtemp(prefix="bench_ing_ck_"),
+                          trigger_sec=1)
+    out["ingest"] = _lat_summary(_drain_progress(q, min_batches=8))
+
+    # percolate: 1000 stored queries (1-3 terms, msm mixed) against docs of
+    # 4 vocab words each
+    registry = make_query_registry(spark, [
+        (i, [vocab[i % 50], vocab[(i * 7 + 3) % 50]][: 1 + i % 2], 1 + i % 2)
+        for i in range(1000)
+    ])
+    arr = F.array(*[F.lit(w) for w in vocab])
+    docs = (
+        spark.readStream.format("rate").option("rowsPerSecond", 20000).load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.element_at(arr, (F.col("value") % 50 + 1).cast("int")),
+                F.element_at(arr, ((F.col("value") * 3 + 7) % 50 + 1).cast("int")),
+                F.element_at(arr, ((F.col("value") * 11 + 1) % 50 + 1).cast("int")),
+                F.element_at(arr, ((F.col("value") * 13 + 5) % 50 + 1).cast("int")),
+            ).alias("text"),
+        )
+    )
+    hits = {"n": 0}
+
+    def sink(matches, batch_id):
+        hits["n"] += matches.count()
+
+    q = percolate_stream(docs, registry, sink,
+                         tempfile.mkdtemp(prefix="bench_perc_ck_"))
+    out["percolate"] = _lat_summary(_drain_progress(q, min_batches=8))
+    out["percolate"]["total_matches"] = hits["n"]
+    return out
 
 
 def main() -> None:
@@ -179,6 +276,7 @@ def main() -> None:
         "sf": sf,
         "docs_per_sec": res["index_build_docs_per_sec"],
         "cores": cores,
+        "streaming": res["streaming"],
     }
     print(json.dumps(line))
 

@@ -27,11 +27,28 @@ def _tfn(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> n
     return (k1 + 1.0) * tff / (tff + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
 
+def _groupsum(ids: np.ndarray, contrib: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique ids asc, per-id contribution sums) — the scatter-add at the
+    heart of every exhaustive kernel, as STABLE argsort + add.reduceat
+    instead of np.unique + np.add.at (the unbuffered scatter-add is the
+    slowest op in the high-mass tail; reduceat is a sequential C pass,
+    ~1.7x faster at 5M postings). Bit-identical scores: the stable sort
+    keeps each doc's postings in original (term-sorted) order and reduceat
+    sums them sequentially — the same IEEE order add.at produced."""
+    if ids.size == 0:
+        return ids.astype(np.int64), contrib.astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    sids = ids[order]
+    scon = contrib[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(sids))[0] + 1])
+    return sids[starts], np.add.reduceat(scon, starts)
+
+
 def score_shard_exhaustive(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
                            avgdl: float, k1: float, b: float) -> pd.DataFrame:
     """Decode every block of the query terms in this shard, accumulate BM25
-    fully vectorized (np.add.at over factorized doc ids), return local
-    top-k. This is the throughput path (no per-doc Python)."""
+    fully vectorized (_groupsum: stable argsort + add.reduceat), return
+    local top-k. This is the throughput path (no per-doc Python)."""
     from .codec import segmented_cumsum
 
     if len(pdf) == 0:
@@ -49,9 +66,7 @@ def score_shard_exhaustive(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
     dls = varint_decode(b"".join(pdf["dls_enc"]), total)
     idf_per_blk = pdf["term"].map(idfs).to_numpy(dtype=np.float64)
     contrib = np.repeat(idf_per_blk, n_per_blk) * _tfn(tfs, dls, avgdl, k1, b)
-    uniq, inv = np.unique(ids, return_inverse=True)
-    scores = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(scores, inv, contrib)
+    uniq, scores = _groupsum(ids, contrib)
     cand_ids, cand_scores = _topk_ties(uniq, scores, k)
     order = np.lexsort((cand_ids, -cand_scores))[:k]
     return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})
@@ -115,9 +130,7 @@ def score_shard_batch(pdf: pd.DataFrame, query_terms: dict[int, dict[str, float]
         mask = ~np.isnan(idf_per_posting)
         q_ids = ids[mask]
         q_contrib = tfn[mask] * idf_per_posting[mask]
-        uniq, inv = np.unique(q_ids, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, q_contrib)
+        uniq, scores = _groupsum(q_ids, q_contrib)
         cand_ids, cand_scores = _topk_ties(uniq, scores, k)
         order = np.lexsort((cand_ids, -cand_scores))[:k]
         out_q.append(np.full(order.size, qid, dtype=np.int64))
@@ -248,9 +261,7 @@ def score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
         if hi is not None:
             m &= ids < hi
         if cands is None:
-            u, inv = np.unique(ids[m], return_inverse=True)
-            sc = np.zeros(u.size, dtype=np.float64)
-            np.add.at(sc, inv, con[m])
+            u, sc = _groupsum(ids[m], con[m])
             merge(u, sc)
             return
         p = np.searchsorted(cands, ids)
@@ -426,10 +437,13 @@ def score_shard_exhaustive_msm(pdf: pd.DataFrame, idfs: dict[str, float], k: int
     dls = varint_decode(b"".join(pdf["dls_enc"]), total)
     idf_per_blk = pdf["term"].map(idfs).to_numpy(dtype=np.float64)
     contrib = np.repeat(idf_per_blk, n_per_blk) * _tfn(tfs, dls, avgdl, k1, b)
-    uniq, inv = np.unique(ids, return_inverse=True)
-    scores = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(scores, inv, contrib)
-    n_matched = np.bincount(inv, minlength=uniq.size)
+    order_ = np.argsort(ids, kind="stable")
+    sids = ids[order_]
+    starts_ = np.concatenate([[0], np.nonzero(np.diff(sids))[0] + 1])
+    uniq = sids[starts_]
+    scores = np.add.reduceat(contrib[order_], starts_)
+    # postings hold one entry per (term, doc) → run length = matched terms
+    n_matched = np.diff(np.append(starts_, sids.size))
     keep = n_matched >= msm
     cand_ids, cand_scores = _topk_ties(uniq[keep], scores[keep], k)
     order = np.lexsort((cand_ids, -cand_scores))[:k]

@@ -360,7 +360,11 @@ def _apply_pipeline_aggs(df: DataFrame, pipes: dict[str, Any]) -> DataFrame:
     groupBy upstream."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.asc("key"))
+    # partitionBy(lit(0)) is semantically identical to an unpartitioned
+    # window here (ONE series by design — see scale note above) but keeps
+    # Spark's "WindowExec: No Partition Defined" warning out of the logs,
+    # so a REAL accidental unpartitioned window elsewhere stays visible.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.asc("key"))
     sorted_out = False
     for pname, spec in pipes.items():
         ((pk, ps),) = spec.items()
