@@ -255,6 +255,80 @@ def q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_query(nd, body)
 
 
+def _geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic geo_point column derived from events (the pinned
+    schema has no geo fields; same derive-in-query pattern as
+    nested_query): lat from user_id, lon from event_id."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.struct(
+            (F.col("user_id") % 180 - 90 + 0.25).cast("double").alias("lat"),
+            ((F.col("event_id") * 7) % 360 - 180 + 0.5).cast("double").alias("lon"),
+        ).alias("loc"),
+    )
+
+
+_GEO_SQL_BASE = (
+    "SELECT event_id AS doc_id, "
+    "CAST(user_id % 180 - 90 + 0.25 AS DOUBLE) AS lat, "
+    "CAST((event_id * 7) % 360 - 180 + 0.5 AS DOUBLE) AS lon FROM events"
+)
+
+
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance query (plans/query_ast.py): haversine arc distance
+    on the ES mean earth radius, fixed op order mirrored literal-for-
+    literal by haversine_m_sql. Reference forwards geo bodies verbatim
+    (in_elasticsearch.rb:94-99)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    geo = _geo_events(spark, sf_dir)
+    out = compile_query(geo, {"query": {"geo_distance": {
+        "distance": "1500km", "loc": {"lat": 10.0, "lon": 20.0}}}})
+    return out.select("doc_id")
+
+
+def q_geo_bounding_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounding_box query: pure lat/lon range predicates —
+    pushdown-friendly; dateline wrap raises instead of silently wrong."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    geo = _geo_events(spark, sf_dir)
+    out = compile_query(geo, {"query": {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 40, "lon": -10},
+        "bottom_right": {"lat": 0, "lon": 60}}}}})
+    return out.select("doc_id")
+
+
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_first (operators/relevance.span_first_df): term within the
+    first N token positions, BM25 with tf = span frequency."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.span_first_df(_read(spark, sf_dir, "documents"), "merge", 5, k=20)
+
+
+def q_es_top_hits_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits as a BODY sub-agg under terms (plans/aggs._top_hits —
+    the real ES aggs-body shape, vs the standalone top_hits helper of
+    es_top_hits): best 2 events per event_type bucket by value desc —
+    bucket-key-partitioned window, no global funnel. value quantized for
+    cross-engine hashing; the SORT runs on the raw double in both engines
+    with an event_id tie-break."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_aggs(ev, {"aggs": {"t": {
+        "terms": {"field": "event_type", "size": 3},
+        "aggs": {"best": {"top_hits": {
+            "size": 2, "sort": [{"value": {"order": "desc"}}],
+            "_source": ["event_id", "value"]}}},
+    }}})["t"]
+    return out.select("key", "doc_count", "rank", "event_id",
+                      F.floor(F.col("value") * 1e2).cast("long").alias("value_u"))
+
+
 def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rescore: BM25 retrieves a top-100 window, only that window is
     re-ranked with the expensive phrase scorer (score_mode=total)."""
@@ -1187,6 +1261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": q_search_after,
         "from_offset_page": q_from_offset_page,
         "nested_query": q_nested_query,
+        "geo_distance": q_geo_distance,
+        "geo_bounding_box": q_geo_bounding_box,
+        "span_first": q_span_first,
+        "es_top_hits_body": q_es_top_hits_body,
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_adjacency_matrix": q_es_adjacency_matrix,
@@ -1452,6 +1530,37 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "SELECT DISTINCT user_id AS doc_id FROM events "
             "WHERE event_type = 'purchase' AND value >= 90"
         ),
+        "geo_distance": (
+            "WITH g AS (" + _GEO_SQL_BASE + ") SELECT doc_id FROM g WHERE "
+            + __import__(
+                "fluent_plugin_elasticsearch_spark.plans.query_ast",
+                fromlist=["haversine_m_sql"]).haversine_m_sql(
+                    "lat", "lon", 10.0, 20.0)
+            + " <= 1500000.0"
+        ),
+        "geo_bounding_box": (
+            "WITH g AS (" + _GEO_SQL_BASE + ") SELECT doc_id FROM g "
+            "WHERE lat <= 40 AND lat >= 0 AND lon >= -10 AND lon <= 60"
+        ),
+        "span_first": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.relevance",
+            fromlist=["span_first_sql"]).span_first_sql(
+                "documents", "merge", 5, k=20),
+        "es_top_hits_body": """
+WITH b AS (
+  SELECT event_type AS key, count(*) AS doc_count FROM events
+  GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 3
+),
+h AS (
+  SELECT e.event_type AS key, b.doc_count,
+         CAST(row_number() OVER (PARTITION BY e.event_type
+              ORDER BY e.value DESC, e.event_id ASC, e.value ASC) AS INT) AS rank,
+         e.event_id, CAST(floor(e.value * 1e2) AS BIGINT) AS value_u
+  FROM events e JOIN b ON e.event_type = b.key
+)
+SELECT key, doc_count, rank, event_id, value_u FROM h WHERE rank <= 2
+ORDER BY doc_count DESC, key ASC, rank ASC
+""",
         "genid_md5": (
             "SELECT event_id, to_base64(unhex(md5(concat_ws('_', CAST(user_id AS VARCHAR), event_type)))) AS _hash FROM events"
         ),

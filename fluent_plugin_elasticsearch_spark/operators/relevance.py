@@ -735,3 +735,69 @@ WHERE m.sf > 0
 ORDER BY score_u DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def span_first_df(docs: DataFrame, term: str, end: int, k: int = 10,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES span_first: the term must occur within the first `end` token
+    positions (Lucene SpanFirstQuery). Span frequency = count of
+    occurrences at positions 1..end; scoring is the single-term BM25
+    formula with tf = span freq — same contract as span_near. JVM
+    higher-order filter over the token array, no Python, no explode.
+    Returns (doc_id, score_u)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    # occurrences within the first `end` positions only: slice + filter
+    head = F.slice(F.col("tokens"), 1, end)
+    sf = F.size(F.filter(head, lambda t: t == F.lit(term)))
+    matched = (
+        toks.withColumn("sf", sf)
+        .filter(F.col("sf") > 0)
+        .select("doc_id", F.size("tokens").alias("dl"), "sf")
+    )
+    dfc = toks.select(
+        F.sum(F.when(F.array_contains("tokens", term), 1).otherwise(0)).alias("df0"))
+    scored = matched.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfc))
+    idf = F.log(1.0 + (F.col("n") - F.col("df0") + 0.5) / (F.col("df0") + 0.5))
+    score = (
+        idf * (k1 + 1.0) * F.col("sf")
+        / (F.col("sf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.select("doc_id", F.floor(score * 1e6).cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def span_first_sql(table: str, term: str, end: int, k: int = 10,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of span_first_df."""
+    lit = "'" + term.replace("'", "''") + "'"
+    toks = _TOKS_SQL.format(col=text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+dfs AS (
+  SELECT sum(CASE WHEN list_contains(tokens, {lit}) THEN 1 ELSE 0 END) AS df0 FROM toks
+),
+matched AS (
+  SELECT doc_id, len(tokens) AS dl,
+         len(list_filter(tokens[1:{end}], t -> t = {lit})) AS sf
+  FROM toks
+)
+SELECT m.doc_id,
+       CAST(floor(ln(1.0 + (s.n - d.df0 + 0.5) / (d.df0 + 0.5))
+            * {k1 + 1.0} * m.sf
+            / (m.sf + {k1} * (1.0 - {b} + {b} * m.dl / s.avgdl)) * 1e6) AS BIGINT) AS score_u
+FROM matched m CROSS JOIN stats s CROSS JOIN dfs d
+WHERE m.sf > 0
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -228,6 +228,14 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         sub = spec.get("aggs")
         ((kind, inner),) = ((k, v) for k, v in spec.items() if k != "aggs")
         if kind in _BUCKET_KINDS:
+            th = {n: s for n, s in (sub or {}).items() if next(iter(s)) == "top_hits"}
+            if th:
+                ((th_name, th_spec),) = th.items()
+                if len(sub) > 1:
+                    raise UnsupportedQuery(
+                        "top_hits cannot be mixed with sibling sub-aggs")
+                out[name] = _top_hits(base, kind, inner, th_spec["top_hits"])
+                continue
             pipes = {
                 n: s for n, s in (sub or {}).items()
                 if next(iter(s)) in _PIPELINE_KINDS
@@ -402,6 +410,52 @@ def _apply_pipeline_aggs(df: DataFrame, pipes: dict[str, Any]) -> DataFrame:
         else:
             raise UnsupportedQuery(f"unsupported pipeline agg: {pk}")
     return df if sorted_out else df.orderBy(F.asc("key"))
+
+
+def _top_hits(base: DataFrame, kind: str, inner: dict[str, Any],
+              th: dict[str, Any]) -> DataFrame:
+    """ES top_hits sub-agg under a bucket agg: the N best documents PER
+    BUCKET by the top_hits sort. One groupBy for bucket doc_counts (the
+    terms `size` cut, ES order) + one window partitioned BY THE BUCKET KEY
+    for per-bucket hit ranks — both shuffles are keyed by the bucket key,
+    so this is two hash-partitioned passes, never a global window.
+    Output: one row per hit (key, doc_count, rank, <_source cols...>),
+    ordered (doc_count desc, key asc, rank asc)."""
+    from pyspark.sql import Window
+
+    key = _bucket_key(kind, inner)
+    n_hits = int(th.get("size", 3))
+    buckets = base.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("doc_count"))
+    b_size = inner.get("size")
+    if b_size:
+        buckets = buckets.orderBy(F.desc("doc_count"), F.asc("key")).limit(int(b_size))
+    sort_cols = []
+    for s in th.get("sort", []):
+        ((f_, o),) = s.items()
+        d = o.get("order", "asc") if isinstance(o, dict) else o
+        sort_cols.append(F.col(f_).desc() if d == "desc" else F.col(f_).asc())
+    src = th.get("_source")
+    src_cols = list(src) if isinstance(src, list) else [
+        c for c in base.columns]
+    if not sort_cols:
+        raise UnsupportedQuery("top_hits requires an explicit sort "
+                               "(score-sorted hits need the match pipeline)")
+    # deterministic tie-break: the _source columns ascending after the
+    # requested sort (ES falls back to internal doc order, which has no
+    # cross-engine meaning)
+    w = Window.partitionBy("key").orderBy(
+        *sort_cols, *[F.asc(c) for c in src_cols])
+    # with a terms size the bucket list is ≤ size rows — broadcast it;
+    # size-less buckets can be corpus-cardinality, let AQE choose
+    bjoin = F.broadcast(buckets) if b_size else buckets
+    hits = (
+        base.select(key.alias("key"), *src_cols)
+        .join(bjoin, "key")  # bucket cut
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_hits)
+    )
+    return hits.select("key", "doc_count", "rank", *src_cols).orderBy(
+        F.desc("doc_count"), F.asc("key"), F.asc("rank"))
 
 
 def _range_agg(base: DataFrame, kind: str, inner: dict[str, Any],

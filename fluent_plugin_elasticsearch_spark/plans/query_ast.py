@@ -127,9 +127,86 @@ def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
             return r
 
         return F.exists(col(path), lambda x: _compile_clause(inner, elem_resolver(x)))
+    if kind == "geo_bounding_box":
+        # {"geo_bounding_box": {field: {"top_left": {"lat","lon"},
+        #   "bottom_right": {...}}}} — field is a geo_point struct
+        # (lat, lon). Pure range predicates → pushdown-friendly. No
+        # dateline wrap (left > right) — raise rather than silently wrong.
+        ((field, spec),) = body.items()
+        tl, br = spec["top_left"], spec["bottom_right"]
+        if float(tl["lon"]) > float(br["lon"]):
+            raise UnsupportedQuery("geo_bounding_box across the dateline unsupported")
+        lat = col(field).getField("lat")
+        lon = col(field).getField("lon")
+        return (
+            (lat <= F.lit(float(tl["lat"]))) & (lat >= F.lit(float(br["lat"])))
+            & (lon >= F.lit(float(tl["lon"]))) & (lon <= F.lit(float(br["lon"])))
+        )
+    if kind == "geo_distance":
+        # {"geo_distance": {"distance": "10km", field: {"lat","lon"}}} —
+        # haversine on a mean-earth-radius sphere (ES arc distance).
+        # Written in a FIXED op order mirrored by geo_distance_sql so the
+        # two engines agree to the last ulp away from the boundary.
+        spec = dict(body)
+        dist_m = parse_distance(spec.pop("distance"))
+        ((field, center),) = spec.items()
+        return haversine_m_col(col(field), float(center["lat"]),
+                               float(center["lon"])) <= F.lit(dist_m)
     if kind == "match_all":
         return F.lit(True)
     raise UnsupportedQuery(f"unsupported query kind: {kind}")
+
+
+_DIST_UNITS_M = {"mm": 0.001, "cm": 0.01, "m": 1.0, "km": 1000.0,
+                 "in": 0.0254, "ft": 0.3048, "yd": 0.9144,
+                 "mi": 1609.344, "nmi": 1852.0, "nm": 1852.0}
+EARTH_RADIUS_M = 6_371_000.0  # ES GeoUtils.EARTH_MEAN_RADIUS
+
+
+def parse_distance(s: str | float | int) -> float:
+    """ES distance string → meters ('10km', '500m', '3.1mi'; bare number
+    = meters)."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    txt = s.strip().lower()
+    for unit in sorted(_DIST_UNITS_M, key=len, reverse=True):
+        if txt.endswith(unit):
+            return float(txt[: -len(unit)]) * _DIST_UNITS_M[unit]
+    return float(txt)
+
+
+def haversine_m_col(point: Column, lat2_deg: float, lon2_deg: float) -> Column:
+    """Great-circle distance (meters) from a geo_point struct column to a
+    fixed center. The center's trig values are PRE-COMPUTED python floats
+    (the SQL mirror embeds the same literals), so both engines evaluate
+    the identical expression tree over the row's lat/lon only."""
+    import math
+
+    rlat2 = math.radians(lat2_deg)
+    rlon2 = math.radians(lon2_deg)
+    lat1 = F.radians(point.getField("lat"))
+    lon1 = F.radians(point.getField("lon"))
+    sin_dlat = F.sin((lat1 - F.lit(rlat2)) / 2)
+    sin_dlon = F.sin((lon1 - F.lit(rlon2)) / 2)
+    a = sin_dlat * sin_dlat + F.cos(lat1) * F.lit(math.cos(rlat2)) * sin_dlon * sin_dlon
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def haversine_m_sql(lat_expr: str, lon_expr: str,
+                    lat2_deg: float, lon2_deg: float) -> str:
+    """DuckDB mirror of haversine_m_col — same op order, same precomputed
+    center literals."""
+    import math
+
+    rlat2 = repr(math.radians(lat2_deg))
+    rlon2 = repr(math.radians(lon2_deg))
+    cos2 = repr(math.cos(math.radians(lat2_deg)))
+    return (
+        f"(2.0 * {EARTH_RADIUS_M!r}) * asin(sqrt("
+        f"sin((radians({lat_expr}) - {rlat2}) / 2) * sin((radians({lat_expr}) - {rlat2}) / 2)"
+        f" + cos(radians({lat_expr})) * {cos2}"
+        f" * sin((radians({lon_expr}) - {rlon2}) / 2) * sin((radians({lon_expr}) - {rlon2}) / 2)))"
+    )
 
 
 def compile_query(docs: DataFrame, body: dict[str, Any], *,

@@ -442,3 +442,22 @@ def test_render_aggregations_bucket_cap(events):
     # at/under the cap it renders fine
     env = render_aggregations(compile_aggs(events, body), body, max_buckets=300)
     assert len(env["ids"]["buckets"]) == 300
+
+
+def test_top_hits_body_agg(events):
+    body = {"aggs": {"t": {"terms": {"field": "event_type", "size": 2},
+        "aggs": {"best": {"top_hits": {"size": 2,
+            "sort": [{"value": {"order": "desc"}}],
+            "_source": ["event_id", "value"]}}}}}}
+    rows = compile_aggs(events, body)["t"].collect()
+    assert len(rows) == 4  # 2 buckets x 2 hits
+    assert [r["rank"] for r in rows] == [1, 2, 1, 2]
+    # hits sorted by value desc within each bucket
+    for i in (0, 2):
+        assert rows[i]["value"] >= rows[i + 1]["value"]
+    # mixing top_hits with sibling metrics raises (would need a join)
+    bad = {"aggs": {"t": {"terms": {"field": "event_type"},
+        "aggs": {"best": {"top_hits": {"size": 1, "sort": [{"value": "desc"}]}},
+                 "m": {"avg": {"field": "value"}}}}}}
+    with pytest.raises(Exception):
+        compile_aggs(events, bad)

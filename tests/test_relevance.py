@@ -272,3 +272,16 @@ def test_function_score_rank_feature_modifiers(docs, duck):
                                  factor=0.05, modifier="saturation", k=8).collect()}
     for did, s in sat.items():
         assert s <= base[did]
+
+
+def test_span_first(docs, duck):
+    # term in the first N positions only; df/avgdl corpus-level
+    got = rel.span_first_df(docs, "quick", 1, k=8).collect()
+    # only docs that START with 'quick'
+    for r in got:
+        assert r["score_u"] > 0
+    _match(rel.span_first_df(docs, "quick", 3, k=8), duck,
+           rel.span_first_sql("docs", "quick", 3, k=8))
+    # end beyond every doc length ≡ plain term match with tf = full count
+    _match(rel.span_first_df(docs, "merge", 99, k=8), duck,
+           rel.span_first_sql("docs", "merge", 99, k=8))

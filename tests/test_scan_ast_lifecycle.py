@@ -323,3 +323,28 @@ def test_compile_query_routes_multi_match_and_query_string(text_docs):
         "query": {"query_string": {"query": "fast AND table"}}, "size": 10,
     })
     assert {r["doc_id"] for r in out2.collect()} == {0, 4}
+
+
+def test_query_ast_geo(spark):
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import parse_distance
+
+    assert parse_distance("10km") == 10000.0
+    assert parse_distance("500m") == 500.0
+    assert parse_distance("1mi") == 1609.344
+    assert parse_distance(250) == 250.0
+    rows = [
+        Row(doc_id=0, loc=Row(lat=0.0, lon=0.0)),
+        Row(doc_id=1, loc=Row(lat=0.0, lon=1.0)),    # ~111 km east
+        Row(doc_id=2, loc=Row(lat=50.0, lon=0.0)),
+        Row(doc_id=3, loc=Row(lat=0.05, lon=0.05)),  # ~8 km
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, loc struct<lat:double, lon:double>")
+    near = compile_query(d, {"query": {"geo_distance": {
+        "distance": "50km", "loc": {"lat": 0.0, "lon": 0.0}}}})
+    assert sorted(r["doc_id"] for r in near.collect()) == [0, 3]
+    box = compile_query(d, {"query": {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 10, "lon": -0.5}, "bottom_right": {"lat": -10, "lon": 0.5}}}}})
+    assert sorted(r["doc_id"] for r in box.collect()) == [0, 3]
+    with pytest.raises(UnsupportedQuery):
+        compile_query(d, {"query": {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 10, "lon": 170}, "bottom_right": {"lat": -10, "lon": -170}}}}}).collect()
