@@ -329,6 +329,70 @@ def q_es_top_hits_body(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.floor(F.col("value") * 1e2).cast("long").alias("value_u"))
 
 
+_DATE_MATH_NOW = "2024-03-15T12:00:00"  # fixed anchor → deterministic plans
+
+
+def q_range_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date math in range bounds (plans/query_ast.resolve_date_math):
+    'now-30d/d' ≤ ts < 'now/d' resolved DRIVER-side into timestamp
+    literals (predicate pushdown preserved), anchored at a fixed now for
+    determinism. The most-used idiom in the reference's log-analytics
+    world (every Kibana time picker emits these)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_query(ev, {"query": {"range": {"ts": {
+        "gte": "now-30d/d", "lt": "now/d", "_now": __import__("datetime").datetime
+        .fromisoformat(_DATE_MATH_NOW)}}}})
+    return out.select("event_id", "event_type")
+
+
+def q_es_geo_distance_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance aggregation (plans/aggs._geo_distance_agg): range
+    buckets over haversine distance from an origin — union of filtered
+    aggregates sharing the fixed-op-order haversine of the geo_distance
+    query."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    geo = _geo_events(spark, sf_dir).withColumnRenamed("doc_id", "event_id")
+    out = compile_aggs(geo, {"aggs": {"rings": {"geo_distance": {
+        "field": "loc", "origin": {"lat": 10.0, "lon": 20.0}, "unit": "km",
+        "ranges": [{"to": 2000}, {"from": 2000, "to": 8000}, {"from": 8000}],
+    }}}})["rings"]
+    return out.select("key", "doc_count")
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/textquality.scrub_pii): typed redaction of
+    emails/IPs/SSNs/phones/cards with pre-redaction audit counts — one
+    chained-regexp projection, no shuffle. PII-bearing text derived
+    deterministically from documents (the synthetic corpus contains
+    none)."""
+    from fluent_plugin_elasticsearch_spark.operators.textquality import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@mail.example or 10.0.0."),
+                 (F.col("doc_id") % 255).cast("string"),
+                 F.lit(" tel 555-123-4567")).alias("text"),
+    )
+    out = scrub_pii(docs)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "pii_total", "text")
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features (operators/textquality.
+    repetition_scores): duplicate-3-gram fraction + top-gram coverage per
+    doc — explode + one (doc_id, gram) partial-aggregated groupBy, the
+    word-count shuffle shape at any corpus size."""
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        repetition_scores)
+
+    return repetition_scores(_read(spark, sf_dir, "documents"), n=3)
+
+
 def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rescore: BM25 retrieves a top-100 window, only that window is
     re-ranked with the expensive phrase scorer (score_mode=total)."""
@@ -1265,6 +1329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bounding_box": q_geo_bounding_box,
         "span_first": q_span_first,
         "es_top_hits_body": q_es_top_hits_body,
+        "range_date_math": q_range_date_math,
+        "es_geo_distance_agg": q_es_geo_distance_agg,
+        "scrub_pii": q_scrub_pii,
+        "repetition_scores": q_repetition_scores,
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_adjacency_matrix": q_es_adjacency_matrix,
@@ -1530,6 +1598,72 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "SELECT DISTINCT user_id AS doc_id FROM events "
             "WHERE event_type = 'purchase' AND value >= 90"
         ),
+        "range_date_math": (lambda: (
+            "SELECT event_id, event_type FROM events WHERE ts >= TIMESTAMP '"
+            + __import__("fluent_plugin_elasticsearch_spark.plans.query_ast",
+                         fromlist=["resolve_date_math"]).resolve_date_math(
+                "now-30d/d", __import__("datetime").datetime.fromisoformat(
+                    _DATE_MATH_NOW)).isoformat(sep=" ")
+            + "' AND ts < TIMESTAMP '"
+            + __import__("fluent_plugin_elasticsearch_spark.plans.query_ast",
+                         fromlist=["resolve_date_math"]).resolve_date_math(
+                "now/d", __import__("datetime").datetime.fromisoformat(
+                    _DATE_MATH_NOW)).isoformat(sep=" ")
+            + "'"))(),
+        "es_geo_distance_agg": (lambda _h=__import__(
+            "fluent_plugin_elasticsearch_spark.plans.query_ast",
+            fromlist=["haversine_m_sql"]).haversine_m_sql(
+                "lat", "lon", 10.0, 20.0): (
+            "WITH g AS (" + _GEO_SQL_BASE + "), d AS (SELECT " + _h + " AS dm FROM g) "
+            "SELECT key, doc_count FROM ("
+            "SELECT 0 AS i, '*-2000' AS key, count(*) AS doc_count FROM d WHERE dm < 2000000.0 "
+            "UNION ALL SELECT 1, '2000-8000', count(*) FROM d WHERE dm >= 2000000.0 AND dm < 8000000.0 "
+            "UNION ALL SELECT 2, '8000-*', count(*) FROM d WHERE dm >= 8000000.0"
+            ") ORDER BY i"))(),
+        "scrub_pii": r"""
+WITH src AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or 10.0.0.'
+              || CAST(doc_id % 255 AS VARCHAR) || ' tel 555-123-4567' AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_split_to_array(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INT) AS n_email,
+    CAST(len(regexp_split_to_array(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) - 1 AS INT) AS n_ipv4,
+    CAST(len(regexp_split_to_array(text, '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b')) - 1 AS INT) AS n_phone,
+    CAST(len(regexp_split_to_array(text, '\b\d{3}-\d{2}-\d{4}\b')) - 1 AS INT) AS n_ssn,
+    CAST(len(regexp_split_to_array(text, '\b(?:\d{4}[ -]){3}\d{4}\b')) - 1 AS INT) AS n_card
+  FROM src
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       n_email + n_ipv4 + n_ssn + n_phone + n_card AS pii_total,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+         '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g'),
+         '\b(?:\d{4}[ -]){3}\d{4}\b', '<CARD>', 'g') AS text
+FROM counted
+""",
+        "repetition_scores": """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS tokens FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(tokens) - 2, 0)),
+    i -> array_to_string(tokens[i:i+2], ' '))) AS gram
+  FROM toks WHERE len(tokens) >= 3
+),
+pg AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+       CAST(floor(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / sum(cnt) * 1e6) AS BIGINT) AS dup_gram_frac_u,
+       CAST(floor(max(cnt) / sum(cnt) * 1e6) AS BIGINT) AS top_gram_frac_u
+FROM pg GROUP BY doc_id
+""",
         "geo_distance": (
             "WITH g AS (" + _GEO_SQL_BASE + ") SELECT doc_id FROM g WHERE "
             + __import__(

@@ -156,3 +156,86 @@ def highlight_fragments(docs: DataFrame, query_terms: list[str], window: int = 5
         )
         .filter(F.col("n_hits") > 0)
     )
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+# Order matters: emails before phone-ish digit runs (an email's digits must
+# not be half-redacted first). Patterns are deliberately conservative
+# (training-data scrubbing favors recall on the common shapes over NER).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+    ("card", r"\b(?:\d{4}[ -]){3}\d{4}\b", "<CARD>"),
+]
+
+
+def scrub_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              patterns: list[tuple[str, str, str]] | None = None) -> DataFrame:
+    """Training-data PII redaction: chained JVM regexp_replace (one
+    projection, no shuffle, no Python) replacing emails / IPv4s / SSNs /
+    phone numbers / card-shaped digit runs with typed placeholder tags,
+    plus a per-pattern match count BEFORE redaction (the audit columns a
+    compliance pass needs). At 100 TB this is a pure map over the scan.
+    Returns (doc_id, text, n_<name>... , pii_total)."""
+    pats = patterns or PII_PATTERNS
+    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    counts = []
+    for name, pat, _tag in pats:
+        # count occurrences pre-redaction: size(split) - 1 on the ORIGINAL
+        out = out.withColumn(
+            f"n_{name}",
+            (F.size(F.split(F.col("text"), pat, -1)) - 1).cast("int"))
+        counts.append(F.col(f"n_{name}"))
+    scrubbed = F.col("text")
+    for name, pat, tag in pats:
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return out.withColumn("text", scrubbed).withColumn("pii_total", total)
+
+
+# --- repetition scoring (Gopher-style quality rules) ------------------------
+
+def repetition_scores(docs: DataFrame, n: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition features (Rae et al. 2021 §A1.1, public
+    recipe): the fraction of n-grams that are duplicates and the fraction
+    of tokens covered by the single most-frequent n-gram — the standard
+    filters for repetitive/boilerplate web text.
+
+    Plan: per-doc n-gram explode → ONE partial-aggregated groupBy on
+    (doc_id, gram) → per-doc re-aggregate. Both shuffles are keyed by
+    doc_id(+gram): no global state, scales like any word-count. Returns
+    (doc_id, n_grams, dup_gram_frac_u, top_gram_frac_u) with fractions
+    quantized floor(x*1e6) for cross-engine exactness."""
+    toks = simple_tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - 0),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(grams, lambda g: F.size(F.split(g, " ", -1)) >= n).alias("__grams"),
+    ).filter(F.size("__grams") > 0)
+    exploded = base.select("doc_id", F.explode("__grams").alias("gram"))
+    per_gram = exploded.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("__dup"),
+            F.max("cnt").alias("__top"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.floor(F.col("__dup") / F.col("n_grams") * 1e6).cast("long")
+            .alias("dup_gram_frac_u"),
+            F.floor(F.col("__top") / F.col("n_grams") * 1e6).cast("long")
+            .alias("top_gram_frac_u"),
+        )
+    )

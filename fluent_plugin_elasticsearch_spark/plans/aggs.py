@@ -289,6 +289,8 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = df.orderBy(F.asc("key"))
         elif kind in ("range", "date_range"):
             out[name] = _range_agg(base, kind, inner, sub)
+        elif kind == "geo_distance":
+            out[name] = _geo_distance_agg(base, inner, sub)
         elif kind == "missing":
             # ES missing agg: one bucket counting docs where the field is
             # null — a single partial-aggregated scan, no shuffle key
@@ -476,6 +478,43 @@ def _range_agg(base: DataFrame, kind: str, inner: dict[str, Any],
         if to is not None:
             tc = F.to_timestamp(F.lit(to)) if kind == "date_range" else F.lit(float(to))
             cond = cond & (F.col(field) < tc)
+        key = r.get("key") or (
+            f"{'*' if frm is None else frm}-{'*' if to is None else to}"
+        )
+        agg = base.filter(cond).agg(
+            F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {})
+        )
+        parts.append(agg.select(
+            F.lit(idx).alias("bucket_idx"), F.lit(str(key)).alias("key"), "*"
+        ))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.orderBy(F.asc("bucket_idx"))
+
+
+def _geo_distance_agg(base: DataFrame, inner: dict[str, Any],
+                      sub: dict[str, Any] | None) -> DataFrame:
+    """ES geo_distance agg: range buckets over haversine distance from an
+    origin ({"field": f, "origin": {lat,lon}, "ranges": [{from,to}...],
+    "unit": "km"|...}). Same union-of-filtered-aggregates shape as the
+    range agg (ranges may overlap); the distance expression is computed
+    once per part and reuses the fixed-op-order haversine of the
+    geo_distance query, so a SQL mirror stays value-exact."""
+    from .query_ast import _DIST_UNITS_M, haversine_m_col
+
+    origin = inner["origin"]
+    unit_m = _DIST_UNITS_M[inner.get("unit", "m")]
+    dist = haversine_m_col(F.col(inner["field"]),
+                           float(origin["lat"]), float(origin["lon"]))
+    parts = []
+    for idx, r in enumerate(inner["ranges"]):
+        frm, to = r.get("from"), r.get("to")
+        cond = F.lit(True)
+        if frm is not None:
+            cond = cond & (dist >= F.lit(float(frm) * unit_m))
+        if to is not None:
+            cond = cond & (dist < F.lit(float(to) * unit_m))
         key = r.get("key") or (
             f"{'*' if frm is None else frm}-{'*' if to is None else to}"
         )

@@ -50,7 +50,12 @@ def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
         ((field, conds),) = body.items()
         c = F.lit(True)
         ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+        now = conds.get("_now")  # deterministic anchor for date math (tests/oracles)
         for op, v in conds.items():
+            if op not in ops:  # format/time_zone/boost/_now — not bounds
+                continue
+            if isinstance(v, str) and ("now" in v or "||" in v):
+                v = resolve_date_math(v, now=now)
             c = c & getattr(col(field), ops[op])(F.lit(v))
         return c
     if kind == "exists":
@@ -157,6 +162,86 @@ def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
     raise UnsupportedQuery(f"unsupported query kind: {kind}")
 
 
+def resolve_date_math(expr: str, now=None):
+    """ES date math → datetime, resolved DRIVER-side into a literal (ES
+    resolves on the coordinating node the same way; a per-row expression
+    would defeat predicate pushdown). Supports the full grammar:
+    anchor `now` or `<date>||`, then ±N{y|M|w|d|h|H|m|s} operations,
+    then an optional /unit truncation. `now=None` anchors to the current
+    UTC time (serving behavior); pass a datetime for deterministic
+    plans/tests."""
+    import datetime as _dt
+    import re as _re
+
+    txt = expr.strip()
+    if txt.startswith("now"):
+        anchor = now or _dt.datetime.utcnow()
+        rest = txt[3:]
+    elif "||" in txt:
+        datepart, rest = txt.split("||", 1)
+        fmts = ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d",
+                "%Y-%m", "%Y")
+        anchor = None
+        for f in fmts:
+            try:
+                anchor = _dt.datetime.strptime(datepart, f)
+                break
+            except ValueError:
+                continue
+        if anchor is None:
+            raise UnsupportedQuery(f"unparseable date-math anchor: {datepart}")
+    else:
+        raise UnsupportedQuery(f"not a date-math expression: {expr}")
+
+    def add_months(d: _dt.datetime, n: int) -> _dt.datetime:
+        mo = d.month - 1 + n
+        y, m = d.year + mo // 12, mo % 12 + 1
+        import calendar
+        day = min(d.day, calendar.monthrange(y, m)[1])
+        return d.replace(year=y, month=m, day=day)
+
+    pos = 0
+    while pos < len(rest):
+        if rest[pos] == "/":  # truncation must be last
+            unit = rest[pos + 1:]
+            if unit == "y":
+                anchor = anchor.replace(month=1, day=1, hour=0, minute=0,
+                                        second=0, microsecond=0)
+            elif unit == "M":
+                anchor = anchor.replace(day=1, hour=0, minute=0, second=0,
+                                        microsecond=0)
+            elif unit == "w":
+                anchor = (anchor - _dt.timedelta(days=anchor.weekday())).replace(
+                    hour=0, minute=0, second=0, microsecond=0)
+            elif unit == "d":
+                anchor = anchor.replace(hour=0, minute=0, second=0, microsecond=0)
+            elif unit in ("h", "H"):
+                anchor = anchor.replace(minute=0, second=0, microsecond=0)
+            elif unit == "m":
+                anchor = anchor.replace(second=0, microsecond=0)
+            elif unit == "s":
+                anchor = anchor.replace(microsecond=0)
+            else:
+                raise UnsupportedQuery(f"bad date-math rounding unit: /{unit}")
+            return anchor
+        m = _re.match(r"([+-])(\d+)([yMwdhHms])", rest[pos:])
+        if not m:
+            raise UnsupportedQuery(f"bad date-math op at '{rest[pos:]}' in {expr}")
+        sign = 1 if m.group(1) == "+" else -1
+        n = sign * int(m.group(2))
+        u = m.group(3)
+        if u == "y":
+            anchor = add_months(anchor, 12 * n)
+        elif u == "M":
+            anchor = add_months(anchor, n)
+        else:
+            secs = {"w": 604800, "d": 86400, "h": 3600, "H": 3600,
+                    "m": 60, "s": 1}[u]
+            anchor = anchor + _dt.timedelta(seconds=secs * n)
+        pos += m.end()
+    return anchor
+
+
 _DIST_UNITS_M = {"mm": 0.001, "cm": 0.01, "m": 1.0, "km": 1000.0,
                  "in": 0.0254, "ft": 0.3048, "yd": 0.9144,
                  "mi": 1609.344, "nmi": 1852.0, "nm": 1852.0}
@@ -258,6 +343,8 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             out = out.select("doc_id", *[c for c in src if c != "doc_id"], "cosine", "rank")
         return out
 
+    min_score = body.get("min_score")
+
     if query and "match" in query:
         if index is None:
             raise UnsupportedQuery("match query needs an InvertedIndex")
@@ -272,6 +359,8 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
                 minimum_should_match=int(text.get("minimum_should_match", 1)))
         else:
             topk = index.search(text, k=k)
+        if min_score is not None:  # ES min_score: drop hits below the bar
+            topk = topk.filter(F.col("score") >= float(min_score))
         return docs.join(F.broadcast(topk), "doc_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
@@ -286,6 +375,8 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         terms = tokenize_simple(spec["query"])
         topk = multi_match_df(docs, terms, list(spec["fields"]), k=size or 10,
                               match_type=spec.get("type", "best_fields"))
+        if min_score is not None:  # quantized contract: floor(x * 1e6)
+            topk = topk.filter(F.col("score_u") >= int(float(min_score) * 1e6))
         return docs.join(F.broadcast(topk), "doc_id").orderBy(
             F.desc("score_u"), F.asc("doc_id")
         )

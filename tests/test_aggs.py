@@ -461,3 +461,45 @@ def test_top_hits_body_agg(events):
                  "m": {"avg": {"field": "value"}}}}}}
     with pytest.raises(Exception):
         compile_aggs(events, bad)
+
+
+def test_geo_distance_agg(spark):
+    import math
+
+    rows = [Row(event_id=i, loc=Row(lat=0.0, lon=float(i)))
+            for i in range(10)]  # ~111 km per degree of longitude at equator
+    d = spark.createDataFrame(rows, "event_id long, loc struct<lat:double, lon:double>")
+    out = compile_aggs(d, {"aggs": {"rings": {"geo_distance": {
+        "field": "loc", "origin": {"lat": 0.0, "lon": 0.0}, "unit": "km",
+        "ranges": [{"to": 250}, {"from": 250, "to": 600}, {"from": 600}]}}}})["rings"]
+    rows_out = {r["key"]: r["doc_count"] for r in out.collect()}
+    # lon 0,1,2 within 250 km; 3,4,5 in [250,600); 6..9 beyond
+    assert rows_out == {"*-250": 3, "250-600": 3, "600-*": 4}
+
+
+def test_textquality_pii_and_repetition(spark):
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        repetition_scores, scrub_pii)
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="mail me at bob@x.io or 10.1.2.3 card 1234 5678 9012 3456"),
+        Row(doc_id=1, text="no pii here at all just words"),
+    ])
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_ipv4"] == 1
+    assert "<EMAIL>" in out[0]["text"] and "<IP>" in out[0]["text"]
+    assert "<CARD>" in out[0]["text"]
+    assert out[1]["pii_total"] == 0 and out[1]["text"] == "no pii here at all just words"
+
+    rep_docs = spark.createDataFrame([
+        Row(doc_id=0, text="a b c a b c a b c"),     # 7 grams, 'a b c' x3
+        Row(doc_id=1, text="one two three four"),     # 2 grams, all unique
+        Row(doc_id=2, text="x y"),                    # < n tokens → no row
+    ])
+    rep = {r["doc_id"]: r for r in repetition_scores(rep_docs, n=3).collect()}
+    assert set(rep) == {0, 1}
+    assert rep[1]["dup_gram_frac_u"] == 0
+    assert rep[0]["n_grams"] == 7
+    # 'a b c' x3 + 'b c a' x2 + 'c a b' x2 = all 7 grams are duplicates
+    assert rep[0]["dup_gram_frac_u"] == 1000000
+    assert rep[0]["top_gram_frac_u"] == 428571  # floor(3/7 * 1e6)

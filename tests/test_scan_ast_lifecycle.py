@@ -348,3 +348,44 @@ def test_query_ast_geo(spark):
     with pytest.raises(UnsupportedQuery):
         compile_query(d, {"query": {"geo_bounding_box": {"loc": {
             "top_left": {"lat": 10, "lon": 170}, "bottom_right": {"lat": -10, "lon": -170}}}}}).collect()
+
+
+def test_date_math():
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import resolve_date_math
+
+    now = dt.datetime(2026, 8, 17, 13, 45, 30)
+    assert resolve_date_math("now-7d", now) == dt.datetime(2026, 8, 10, 13, 45, 30)
+    assert resolve_date_math("now-7d/d", now) == dt.datetime(2026, 8, 10)
+    assert resolve_date_math("now/w", now) == dt.datetime(2026, 8, 17)  # monday
+    assert resolve_date_math("now+1M/M", now) == dt.datetime(2026, 9, 1)
+    assert resolve_date_math("now-1y/y", now) == dt.datetime(2025, 1, 1)
+    # anchored date with || and month-end clamping
+    assert resolve_date_math("2024-01-31||+1M", None) == dt.datetime(2024, 2, 29)
+    assert resolve_date_math("2024-01-01||+2h+30m", None) == dt.datetime(2024, 1, 1, 2, 30)
+    with pytest.raises(UnsupportedQuery):
+        resolve_date_math("yesterday", None)
+    with pytest.raises(UnsupportedQuery):
+        resolve_date_math("now-7q", None)
+
+
+def test_range_date_math_clause(spark):
+    rows = [Row(doc_id=i, ts=dt.datetime(2024, 3, 1 + i)) for i in range(14)]
+    d = spark.createDataFrame(rows)
+    now = dt.datetime(2024, 3, 10, 15, 30)
+    out = compile_query(d, {"query": {"range": {"ts": {
+        "gte": "now-3d/d", "lt": "now/d", "_now": now}}}})
+    # [2024-03-07, 2024-03-10) → days 7, 8, 9 → doc_ids 6, 7, 8
+    assert sorted(r["doc_id"] for r in out.collect()) == [6, 7, 8]
+
+
+def test_min_score_filters_hits(spark, index_dir):
+    from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
+
+    idx = InvertedIndex(spark, index_dir)
+    docs = idx.doc_stats()
+    full = compile_query(docs, {"query": {"match": {"text": "the"}}, "size": 5},
+                         index=idx).collect()
+    bar = full[2]["score"]  # cut below the 3rd hit's score
+    cut = compile_query(docs, {"query": {"match": {"text": "the"}}, "size": 5,
+                               "min_score": bar}, index=idx).collect()
+    assert [r["doc_id"] for r in cut] == [r["doc_id"] for r in full if r["score"] >= bar]
