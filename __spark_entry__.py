@@ -393,6 +393,47 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(_read(spark, sf_dir, "documents"), n=3)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization (streaming/sessionize.py): gaps-and-islands
+    over user event streams — ONE user-keyed window + one (user, session)
+    groupBy, the standard shape at any scale. The streaming twin
+    (session_window + watermark) is e2e-tested in
+    tests/test_streaming_rollup.py."""
+    from fluent_plugin_elasticsearch_spark.streaming.sessionize import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events"), gap_seconds=3600).select(
+        "user_id", "session_id", "session_start", "session_end", "n_events")
+
+
+def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL-style sequence correlation (streaming/sessionize.eql_sequence):
+    ordered view→purchase chains per user within 30 min — per-key
+    equi-joins with a strictly-increasing timestamp range condition,
+    shuffle keyed by user every step."""
+    from fluent_plugin_elasticsearch_spark.streaming.sessionize import eql_sequence
+
+    return eql_sequence(
+        _read(spark, sf_dir, "events"),
+        [{"term": {"event_type": "view"}}, {"term": {"event_type": "purchase"}}],
+        within_seconds=1800,
+    ).select("user_id", "step0_id", "step1_id", "span_seconds")
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection (operators/dedup.
+    contamination_check): docs sharing ≥1 word 3-gram with a benchmark
+    slice (every 100th doc) — distinct-gram equi-join, benchmark side
+    broadcast. The public decontamination recipe (GPT-3 13-grams, Gopher
+    8-grams; 3 here so the sf-gate corpus produces a meaningful pair
+    set)."""
+    from fluent_plugin_elasticsearch_spark.operators.dedup import contamination_check
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    return contamination_check(docs.filter(F.col("doc_id") % 100 != 7), bench, n=3)
+
+
 def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rescore: BM25 retrieves a top-100 window, only that window is
     re-ranked with the expensive phrase scorer (score_mode=total)."""
@@ -1333,6 +1374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_geo_distance_agg": q_es_geo_distance_agg,
         "scrub_pii": q_scrub_pii,
         "repetition_scores": q_repetition_scores,
+        "sessionize": q_sessionize,
+        "eql_sequence": q_eql_sequence,
+        "contamination_check": q_contamination_check,
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_adjacency_matrix": q_es_adjacency_matrix,
@@ -1620,6 +1664,34 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "UNION ALL SELECT 1, '2000-8000', count(*) FROM d WHERE dm >= 2000000.0 AND dm < 8000000.0 "
             "UNION ALL SELECT 2, '8000-*', count(*) FROM d WHERE dm >= 8000000.0"
             ") ORDER BY i"))(),
+        "sessionize": __import__(
+            "fluent_plugin_elasticsearch_spark.streaming.sessionize",
+            fromlist=["sessionize_sql"]).sessionize_sql("events", 3600),
+        "eql_sequence": """
+SELECT a.user_id, a.event_id AS step0_id, b.event_id AS step1_id,
+       CAST(floor(epoch(b.ts) - epoch(a.ts)) AS INT) AS span_seconds
+FROM events a JOIN events b USING (user_id)
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 1800
+ORDER BY user_id, a.ts, step0_id, step1_id
+""",
+        "contamination_check": """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS tokens FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(tokens) - 2, 0)),
+    i -> array_to_string(tokens[i:i+2], ' ')))) AS shingle
+  FROM toks WHERE len(tokens) >= 3
+)
+SELECT d.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared_grams
+FROM grams d JOIN grams b ON d.shingle = b.shingle
+WHERE b.doc_id % 100 = 7 AND d.doc_id % 100 <> 7
+GROUP BY 1, 2
+ORDER BY n_shared_grams DESC, d.doc_id ASC, bench_id ASC
+""",
         "scrub_pii": r"""
 WITH src AS (
   SELECT doc_id,

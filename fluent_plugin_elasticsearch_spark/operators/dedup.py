@@ -351,3 +351,31 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_id_col: str = "bench_id",
+                        bench_text_col: str = "text",
+                        broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark-contamination detection for training corpora: which docs
+    share at least one word n-gram with an eval/benchmark document
+    (the public decontamination recipe — GPT-3 used 13-grams, Gopher 8).
+
+    Plan: distinct n-grams on both sides, equi-join on the gram. The
+    benchmark side is eval-set-sized (thousands of docs) so its exploded
+    grams broadcast by default and the corpus is never shuffled; pass
+    broadcast_benchmark=False for a giant benchmark and AQE picks the
+    strategy. Returns (doc_id, bench_id, n_shared_grams) ordered for
+    review, one row per contaminated (doc, benchmark-doc) pair."""
+    doc_grams = shingles_df(docs, n, id_col, text_col)
+    bench_grams = shingles_df(benchmark, n, bench_id_col, bench_text_col
+                              ).withColumnRenamed("doc_id", "bench_id")
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    return (
+        doc_grams.join(bench_grams, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy(F.desc("n_shared_grams"), F.asc("doc_id"), F.asc("bench_id"))
+    )

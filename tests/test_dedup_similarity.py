@@ -281,3 +281,24 @@ def test_pq_and_ivf_sample_partition_invariant(spark):
     ca = train_ivf_centroids(emb, dim=16, n_lists=4, sample=120, seed=3)
     cb = train_ivf_centroids(shuffled, dim=16, n_lists=4, sample=120, seed=3)
     assert np.array_equal(ca, cb)
+
+
+def test_contamination_check(spark):
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.dedup import (
+        contamination_check)
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="completely different words entirely here now"),
+        Row(doc_id=2, text="quick brown fox appears here too"),
+    ])
+    bench = spark.createDataFrame([
+        Row(bench_id=100, text="watch the quick brown fox run"),
+    ])
+    out = {(r["doc_id"], r["bench_id"]): r["n_shared_grams"]
+           for r in contamination_check(docs, bench, n=3).collect()}
+    # 'quick brown fox' shared by docs 0 and 2; doc 1 clean
+    assert set(out) == {(0, 100), (2, 100)}
+    assert out[(0, 100)] >= 1 and out[(2, 100)] >= 1

@@ -49,3 +49,76 @@ def test_append_rollup_emits_finalized_buckets(spark, tmp_path):
     rows = spark.sql("select * from rollup").collect()
     final_10a = [r for r in rows if r["bucket_start"].hour == 10 and r["tag"] == "a"]
     assert len(final_10a) == 1 and final_10a[0]["doc_count"] == 2  # late row ignored
+
+
+def test_sessionize_stream_e2e(spark, tmp_path):
+    """Streaming session_window twin of the batch sessionize: closed
+    sessions appear once the watermark passes; totals match the batch
+    gaps-and-islands result on the same data."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.streaming.sessionize import (
+        sessionize, sessionize_stream)
+
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    for u in range(3):
+        for s in range(2):          # two sessions per user, 1h apart
+            for i in range(4):      # 4 events, 30s gaps
+                rows.append(Row(user_id=u, ts=base + dt.timedelta(
+                    hours=s, seconds=30 * i)))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = sessionize_stream(stream, gap_seconds=300, watermark="1 second")
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM sess_out").collect()
+    # append mode emits only watermark-closed sessions; every emitted row
+    # must match a batch session exactly
+    batch = {(r["user_id"], r["session_start"], r["n_events"])
+             for r in sessionize(spark.createDataFrame(rows), 300,
+                                 user_col="user_id").collect()}
+    assert batch  # 6 sessions total in batch mode
+    for r in got:
+        assert (r["user_id"], r["session_start"], r["n_events"]) in batch
+
+
+def test_eql_sequence_three_steps(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.streaming.sessionize import (
+        eql_sequence)
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        Row(event_id=1, user_id=1, event_type="a", ts=t0),
+        Row(event_id=2, user_id=1, event_type="b", ts=t0 + dt.timedelta(seconds=10)),
+        Row(event_id=3, user_id=1, event_type="c", ts=t0 + dt.timedelta(seconds=20)),
+        # chain broken by maxspan: c too late relative to step0
+        Row(event_id=4, user_id=2, event_type="a", ts=t0),
+        Row(event_id=5, user_id=2, event_type="b", ts=t0 + dt.timedelta(seconds=10)),
+        Row(event_id=6, user_id=2, event_type="c", ts=t0 + dt.timedelta(seconds=120)),
+        # wrong order never matches
+        Row(event_id=7, user_id=3, event_type="c", ts=t0),
+        Row(event_id=8, user_id=3, event_type="b", ts=t0 + dt.timedelta(seconds=5)),
+        Row(event_id=9, user_id=3, event_type="a", ts=t0 + dt.timedelta(seconds=10)),
+    ]
+    ev = spark.createDataFrame(rows)
+    out = eql_sequence(
+        ev, [{"term": {"event_type": "a"}}, {"term": {"event_type": "b"}},
+             {"term": {"event_type": "c"}}], within_seconds=60)
+    rows_out = out.collect()
+    assert [(r["user_id"], r["step0_id"], r["step1_id"], r["step2_id"],
+             r["span_seconds"]) for r in rows_out] == [(1, 1, 2, 3, 20)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        eql_sequence(ev, [{"term": {"event_type": "a"}}], 60)
