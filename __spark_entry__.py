@@ -434,6 +434,45 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(docs.filter(F.col("doc_id") % 100 != 7), bench, n=3)
 
 
+def q_runtime_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 runtime fields (plans/query_ast.py runtime_mappings): computed
+    column available to query/sort/_source, compiled by the SAFE
+    ast-parsed arithmetic grammar into one Catalyst projection — the
+    vectorized replacement for per-row painless (reference T13
+    anti-pattern). Output quantized for cross-engine hashing."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_query(ev, {
+        "runtime_mappings": {"value_sq": {
+            "type": "double", "script": {"source": "value * value"}}},
+        "query": {"range": {"value_sq": {"gte": 2000}}},
+        "sort": [{"event_id": {"order": "asc"}}],
+        "_source": ["event_id", "value_sq"],
+    })
+    return out.select(
+        "event_id", F.floor(F.col("value_sq") * 1e2).cast("long").alias("value_sq_u"))
+
+
+def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _search/template (plans/query_ast.render_search_template):
+    mustache-lite {{var}} substitution through the body tree — exact
+    placeholders keep parameter types (size stays an int), embedded ones
+    substitute textually — then the rendered body compiles like any
+    search."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        compile_query, render_search_template)
+
+    docs = _read(spark, sf_dir, "documents")
+    body = render_search_template(
+        {"query": {"bool": {"must": [
+            {"term": {"lang": "{{lang}}"}},
+            {"range": {"n_chars": {"gte": "{{min_chars}}"}}}]}},
+         "sort": [{"doc_id": {"order": "desc"}}], "size": "{{k}}"},
+        {"lang": "en", "min_chars": 30, "k": 25})
+    return compile_query(docs, body).select("doc_id", "lang", "n_chars")
+
+
 def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rescore: BM25 retrieves a top-100 window, only that window is
     re-ranked with the expensive phrase scorer (score_mode=total)."""
@@ -1377,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "eql_sequence": q_eql_sequence,
         "contamination_check": q_contamination_check,
+        "runtime_mappings": q_runtime_mappings,
+        "search_template": q_search_template,
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_adjacency_matrix": q_es_adjacency_matrix,
@@ -1664,6 +1705,14 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "UNION ALL SELECT 1, '2000-8000', count(*) FROM d WHERE dm >= 2000000.0 AND dm < 8000000.0 "
             "UNION ALL SELECT 2, '8000-*', count(*) FROM d WHERE dm >= 8000000.0"
             ") ORDER BY i"))(),
+        "runtime_mappings": (
+            "SELECT event_id, CAST(floor(value * value * 1e2) AS BIGINT) AS value_sq_u "
+            "FROM events WHERE value * value >= 2000 ORDER BY event_id ASC"
+        ),
+        "search_template": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang = 'en' AND n_chars >= 30 ORDER BY doc_id DESC LIMIT 25"
+        ),
         "sessionize": __import__(
             "fluent_plugin_elasticsearch_spark.streaming.sessionize",
             fromlist=["sessionize_sql"]).sessionize_sql("events", 3600),

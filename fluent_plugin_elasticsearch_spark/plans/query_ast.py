@@ -30,6 +30,29 @@ class UnsupportedQuery(ValueError):
     pass
 
 
+def render_search_template(source: Any, params: dict[str, Any]) -> Any:
+    """ES _search/template (mustache-lite): substitute {{var}} through a
+    query-body tree. A string that is EXACTLY one placeholder takes the
+    raw parameter value (numbers/lists/dicts stay typed — how ES renders
+    `"size": "{{n}}"` into an integer); placeholders inside longer
+    strings substitute textually. Missing params render as empty string
+    (mustache behavior). The reference forwards template bodies like any
+    search body (in_elasticsearch.rb:94-99)."""
+    import re as _re
+
+    if isinstance(source, dict):
+        return {k: render_search_template(v, params) for k, v in source.items()}
+    if isinstance(source, list):
+        return [render_search_template(v, params) for v in source]
+    if isinstance(source, str):
+        m = _re.fullmatch(r"\{\{\s*(\w+)\s*\}\}", source)
+        if m:
+            return params.get(m.group(1), "")
+        return _re.sub(r"\{\{\s*(\w+)\s*\}\}",
+                       lambda mm: str(params.get(mm.group(1), "")), source)
+    return source
+
+
 def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
     """Compile one query clause to a boolean Column. `col` resolves a field
     name to a Column — F.col for top-level rows; inside a `nested` clause
@@ -304,6 +327,30 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
     size = body.get("size")
     out = docs
 
+    rt = body.get("runtime_mappings")
+    if rt:
+        # ES 8 runtime fields: computed columns available to query/sort/
+        # _source like mapped fields. The script is the engine's SAFE
+        # vectorized arithmetic subset (same ast-parsed grammar as
+        # bucket_script — fields, + - * /, comparisons, and/or; no
+        # painless emit loops): a per-row painless interpreter would be
+        # the row-at-a-time anti-pattern (reference T13) — this compiles
+        # to one Catalyst projection instead.
+        from .aggs import _script_expr
+
+        for rname, spec in rt.items():
+            script = spec.get("script") if isinstance(spec, dict) else spec
+            if isinstance(script, dict):
+                script = script.get("source")
+            paths = {c: c for c in out.columns}
+            expr = _script_expr(str(script), paths)
+            rtype = spec.get("type") if isinstance(spec, dict) else None
+            casts = {"long": "long", "double": "double", "integer": "int",
+                     "keyword": "string", "boolean": "boolean"}
+            if rtype in casts:
+                expr = expr.cast(casts[rtype])
+            out = out.withColumn(rname, expr)
+
     if "knn" in body:
         # ES 8 kNN search body: {"knn": {"field": f, "query_vector": [...],
         # "k": n, "filter": {...}}} → brute-force cosine top-k
@@ -415,10 +462,15 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         out = out.filter(_compile_clause(query))
 
     src = body.get("_source")
+    # the _id lead column only when the table has one (events-style tables
+    # address rows by their own keys)
+    id_lead = ["doc_id"] if "doc_id" in out.columns else []
     if src is False:
-        out = out.select("doc_id")
+        if not id_lead:
+            raise UnsupportedQuery("_source: false needs a doc_id column")
+        out = out.select(*id_lead)
     elif isinstance(src, list):
-        out = out.select("doc_id", *[c for c in src if c != "doc_id"])
+        out = out.select(*id_lead, *[c for c in src if c != "doc_id"])
 
     sort_cols = []
     sort_keys: list[tuple[str, bool]] = []  # (field, ascending) for search_after

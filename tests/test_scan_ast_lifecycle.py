@@ -389,3 +389,35 @@ def test_min_score_filters_hits(spark, index_dir):
     cut = compile_query(docs, {"query": {"match": {"text": "the"}}, "size": 5,
                                "min_score": bar}, index=idx).collect()
     assert [r["doc_id"] for r in cut] == [r["doc_id"] for r in full if r["score"] >= bar]
+
+
+def test_runtime_mappings(spark):
+    rows = [Row(doc_id=i, a=float(i), b=float(10 - i)) for i in range(10)]
+    d = spark.createDataFrame(rows)
+    out = compile_query(d, {
+        "runtime_mappings": {"score": {"type": "double",
+                                       "script": {"source": "a * 2 + b"}}},
+        "query": {"range": {"score": {"gte": 12}}},
+        "sort": [{"doc_id": {"order": "asc"}}],
+    })
+    got = [(r["doc_id"], r["score"]) for r in out.collect()]
+    want = [(i, i * 2.0 + (10 - i)) for i in range(10) if i * 2 + (10 - i) >= 12]
+    assert got == want
+    # unknown field names in the script raise (safe grammar, no eval)
+    with pytest.raises(UnsupportedQuery):
+        compile_query(d, {"runtime_mappings": {
+            "x": {"script": {"source": "nope + 1"}}}}).collect()
+
+
+def test_search_template_rendering():
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        render_search_template)
+
+    out = render_search_template(
+        {"query": {"term": {"lang": "{{lang}}"}}, "size": "{{k}}",
+         "note": "got {{lang}} here", "keep": 7},
+        {"lang": "en", "k": 3})
+    assert out == {"query": {"term": {"lang": "en"}}, "size": 3,
+                   "note": "got en here", "keep": 7}
+    # missing params render empty, mustache-style
+    assert render_search_template({"a": "{{gone}}"}, {}) == {"a": ""}
