@@ -473,6 +473,16 @@ def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_query(docs, body).select("doc_id", "lang", "n_chars")
 
 
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester, unigram-LM form (operators/relevance.
+    phrase_suggest_df): best in-vocabulary correction per query term
+    under a levenshtein band — vocab-sized work, corpus scanned once."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.phrase_suggest_df(
+        _read(spark, sf_dir, "documents"), ["tabel", "qury", "spark"])
+
+
 def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rescore: BM25 retrieves a top-100 window, only that window is
     re-ranked with the expensive phrase scorer (score_mode=total)."""
@@ -1418,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "runtime_mappings": q_runtime_mappings,
         "search_template": q_search_template,
+        "phrase_suggest": q_phrase_suggest,
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_adjacency_matrix": q_es_adjacency_matrix,
@@ -1705,6 +1716,10 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "UNION ALL SELECT 1, '2000-8000', count(*) FROM d WHERE dm >= 2000000.0 AND dm < 8000000.0 "
             "UNION ALL SELECT 2, '8000-*', count(*) FROM d WHERE dm >= 8000000.0"
             ") ORDER BY i"))(),
+        "phrase_suggest": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.relevance",
+            fromlist=["phrase_suggest_sql"]).phrase_suggest_sql(
+                "documents", ["tabel", "qury", "spark"]),
         "runtime_mappings": (
             "SELECT event_id, CAST(floor(value * value * 1e2) AS BIGINT) AS value_sq_u "
             "FROM events WHERE value * value >= 2000 ORDER BY event_id ASC"

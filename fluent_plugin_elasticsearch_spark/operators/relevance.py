@@ -801,3 +801,73 @@ WHERE m.sf > 0
 ORDER BY score_u DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def phrase_suggest_df(docs: DataFrame, query_terms: list[str],
+                      max_edit: int = 2, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """ES phrase suggester (did-you-mean), unigram-LM form: per query
+    term, the best correction among vocab terms within `max_edit`
+    Levenshtein edits, ranked (distance asc, doc-freq desc, term asc) —
+    ES's candidate generator + a unigram language model (the full
+    suggester adds a bigram LM re-rank over whole phrases; the reference
+    forwards suggester bodies verbatim, in_elasticsearch.rb:94-99).
+
+    Plan: one vocab scan (explode → groupBy term → df) joined to the
+    broadcast query-term list under a JVM levenshtein band, winner per
+    position via a tiny window over the (query terms × candidates)
+    frame. Vocabulary-sized work, corpus touched once. Returns
+    (pos, input_term, suggestion, distance, df); exact-vocab inputs
+    suggest themselves at distance 0."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(simple_tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(query_terms)], "pos int, input_term string")
+    cand = (
+        vocab.join(F.broadcast(qdf),
+                   F.levenshtein(F.col("term"), F.col("input_term")) <= max_edit)
+        .withColumn("distance", F.levenshtein(F.col("term"), F.col("input_term")))
+    )
+    w = Window.partitionBy("pos").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("pos", "input_term", F.col("term").alias("suggestion"),
+                "distance", "df")
+        .orderBy("pos")
+    )
+
+
+def phrase_suggest_sql(table: str, query_terms: list[str],
+                       max_edit: int = 2, id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """DuckDB mirror of phrase_suggest_df."""
+    toks = _TOKS_SQL.format(col=text_col)
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    vals = ", ".join(f"({i}, {lit(t)})" for i, t in enumerate(query_terms))
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT unnest({toks}) AS term FROM {table}
+  ) GROUP BY term
+),
+q(pos, input_term) AS (VALUES {vals}),
+cand AS (
+  SELECT q.pos, q.input_term, v.term AS suggestion,
+         levenshtein(v.term, q.input_term) AS distance, v.df
+  FROM vocab v JOIN q ON levenshtein(v.term, q.input_term) <= {max_edit}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pos
+             ORDER BY distance ASC, df DESC, suggestion ASC) AS r
+  FROM cand
+)
+SELECT pos, input_term, suggestion, distance, df FROM ranked
+WHERE r = 1 ORDER BY pos
+"""

@@ -285,3 +285,14 @@ def test_span_first(docs, duck):
     # end beyond every doc length ≡ plain term match with tf = full count
     _match(rel.span_first_df(docs, "merge", 99, k=8), duck,
            rel.span_first_sql("docs", "merge", 99, k=8))
+
+
+def test_phrase_suggest(docs, duck):
+    got = [tuple(r) for r in rel.phrase_suggest_df(
+        docs, ["quik", "brwn", "merge"], max_edit=2).collect()]
+    want = [tuple(r) for r in duck.sql(rel.phrase_suggest_sql(
+        "docs", ["quik", "brwn", "merge"], max_edit=2)).fetchall()]
+    assert got == want
+    by_pos = {g[0]: g for g in got}
+    assert by_pos[0][2] == "quick"      # quik → quick
+    assert by_pos[2][2] == "merge" and by_pos[2][3] == 0  # exact stays
