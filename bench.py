@@ -129,7 +129,8 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
     # job run ONCE and reused (IvfIndex), serve time measured separately
     from pyspark.sql import functions as F
 
-    from fluent_plugin_elasticsearch_spark.operators.similarity import IvfIndex, cosine_topk
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        IvfIndex, cosine_topk_batch)
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -137,8 +138,10 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
     qdf = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # matmul batch form (rank-identical to the JVM-fold exactness baseline
+    # away from float ties — asserted in tests/test_dedup_similarity.py)
     t0 = time.time()
-    cosine_topk(emb, qdf, k=10).collect()
+    cosine_topk_batch(emb, qdf, k=10).collect()
     per_q["ann_batch_100_brute"] = round(time.time() - t0, 3)
     t0 = time.time()
     ivf = IvfIndex(emb, dim=64, n_lists=16)

@@ -473,3 +473,52 @@ def _kmeans(x: np.ndarray, n_clusters: int, rng, iters: int) -> np.ndarray:
     if k < n_clusters:  # pad (tiny training sets): repeat rows
         cents = np.vstack([cents, cents[rng.integers(0, k, n_clusters - k)]])
     return cents
+
+
+def cosine_topk_batch(embeddings: DataFrame, query_df: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "query_id") -> DataFrame:
+    """Brute-force cosine top-k for a QUERY BATCH, matmul form: the query
+    matrix ships to every task (closure capture, like an ES node's query
+    cache) and each Arrow batch scores ALL queries with ONE numpy GEMM —
+    (batch × dim) @ (dim × n_queries) — followed by a per-partition
+    argpartition cut, so the shuffle carries partitions × n_queries × k
+    rows, never the corpus. The global per-query top-k is the usual
+    window over that tiny candidate frame.
+
+    vs cosine_topk (the JVM-fold exactness baseline, oracle-gated): same
+    contract and tie-break; float sums differ only in associativity
+    (GEMM blocking vs sequential fold), so ranks agree except at exact
+    float ties — asserted in tests. Use THIS for offline query batches;
+    at 100 TB the corpus pass is one scan either way but the GEMM is
+    ~d× cheaper per row than an element-wise fold."""
+    qpdf = query_df.select(F.col(qid_col).alias("qid"),
+                           F.col(vec_col).alias("qv")).toPandas()
+    qids = qpdf["qid"].to_numpy().astype(np.int64)
+    qmat = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    qmat = _np_l2_normalize(qmat)  # (nq, d)
+
+    def score(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            sims = _np_l2_normalize(mat) @ qmat.T  # (n, nq)
+            take = min(k, sims.shape[0])
+            # per-query partial top-k inside the partition
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
+            out_q, out_i, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                sel = part[:, j]
+                out_q.append(np.full(take, qids[j], dtype=np.int64))
+                out_i.append(ids[sel])
+                out_s.append(sims[sel, j])
+            yield pd.DataFrame({"query_id": np.concatenate(out_q),
+                                "vec_id": np.concatenate(out_i),
+                                "cosine": np.concatenate(out_s)})
+
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("vec"))
+    cands = base.mapInPandas(score, "query_id long, vec_id long, cosine double")
+    return per_query_topk(cands, k, n_queries=len(qids))

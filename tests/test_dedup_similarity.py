@@ -302,3 +302,24 @@ def test_contamination_check(spark):
     # 'quick brown fox' shared by docs 0 and 2; doc 1 clean
     assert set(out) == {(0, 100), (2, 100)}
     assert out[(0, 100)] >= 1 and out[(2, 100)] >= 1
+
+
+def test_cosine_topk_batch_matches_jvm(spark):
+    import numpy as np
+
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        cosine_topk, cosine_topk_batch)
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(400, 16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>")
+    qdf = emb.filter(F.col("vec_id") < 8).select(
+        F.lit(0).alias("__drop"), F.col("vec_id").alias("query_id"), "embedding"
+    ).drop("__drop")
+    a = {(r["query_id"], r["rank"]): r["vec_id"]
+         for r in cosine_topk(emb, qdf, k=10).collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"]
+         for r in cosine_topk_batch(emb, qdf, k=10).collect()}
+    assert a == b  # rank-identical (random doubles: no exact float ties)
