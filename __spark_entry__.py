@@ -483,6 +483,57 @@ def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), ["tabel", "qury", "spark"])
 
 
+def q_es_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms agg (plans/aggs.py): tuple-keyed buckets in one
+    multi-key groupBy, ES order (doc_count desc, keys asc), size cut."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long"))
+    out = compile_aggs(ev, {"aggs": {"mt": {
+        "multi_terms": {"terms": [{"field": "event_type"},
+                                  {"field": "user_id"}], "size": 15},
+        "aggs": {"v_sum": {"sum": {"field": "value_u"}}},
+    }}})["mt"]
+    return out.select("key", "event_type", "user_id", "doc_count",
+                      F.col("v_sum").cast("long").alias("v_sum"))
+
+
+def q_es_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms agg: the long tail — buckets at or under
+    max_doc_count, ordered doc_count asc then key asc."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_aggs(docs, {"aggs": {"rare": {
+        "rare_terms": {"field": "source", "max_doc_count": 60}}}})["rare"]
+    return out
+
+
+def q_es_global_and_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES global + single-filter aggs under a query: global escapes the
+    body's query filter (whole-index metrics), filter buckets one clause.
+    Both single-row frames, unioned with a tag for one comparable
+    result."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long"))
+    out = compile_aggs(ev, {
+        "query": {"range": {"value": {"gte": 50}}},
+        "aggs": {
+            "g": {"global": {}, "aggs": {"v_sum": {"sum": {"field": "value_u"}}}},
+            "f": {"filter": {"term": {"event_type": "purchase"}},
+                  "aggs": {"v_sum": {"sum": {"field": "value_u"}}}},
+        },
+    })
+    g = out["g"].select(F.lit("global").alias("agg"), "doc_count",
+                        F.col("v_sum").cast("long").alias("v_sum"))
+    f = out["f"].select(F.lit("filter").alias("agg"), "doc_count",
+                        F.col("v_sum").cast("long").alias("v_sum"))
+    return g.unionByName(f).orderBy("agg")
+
+
 def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rescore: BM25 retrieves a top-100 window, only that window is
     re-ranked with the expensive phrase scorer (score_mode=total)."""
@@ -1429,6 +1480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_mappings": q_runtime_mappings,
         "search_template": q_search_template,
         "phrase_suggest": q_phrase_suggest,
+        "es_multi_terms": q_es_multi_terms,
+        "es_rare_terms": q_es_rare_terms,
+        "es_global_filter_agg": q_es_global_and_filter_agg,
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_adjacency_matrix": q_es_adjacency_matrix,
@@ -1716,6 +1770,28 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "UNION ALL SELECT 1, '2000-8000', count(*) FROM d WHERE dm >= 2000000.0 AND dm < 8000000.0 "
             "UNION ALL SELECT 2, '8000-*', count(*) FROM d WHERE dm >= 8000000.0"
             ") ORDER BY i"))(),
+        "es_multi_terms": """
+SELECT event_type || '|' || CAST(user_id AS VARCHAR) AS key,
+       event_type, user_id, count(*) AS doc_count,
+       CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum
+FROM events GROUP BY event_type, user_id
+ORDER BY doc_count DESC, event_type ASC, user_id ASC LIMIT 15
+""",
+        "es_rare_terms": """
+SELECT source AS key, count(*) AS doc_count FROM documents
+GROUP BY source HAVING count(*) <= 60
+ORDER BY doc_count ASC, key ASC
+""",
+        "es_global_filter_agg": """
+SELECT 'filter' AS agg, count(*) AS doc_count,
+       CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum
+FROM events WHERE value >= 50 AND event_type = 'purchase'
+UNION ALL
+SELECT 'global', count(*),
+       CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT)
+FROM events
+ORDER BY agg
+""",
         "phrase_suggest": __import__(
             "fluent_plugin_elasticsearch_spark.operators.relevance",
             fromlist=["phrase_suggest_sql"]).phrase_suggest_sql(

@@ -249,6 +249,45 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                     _compile_bucket_path(base, name, spec2), pipes)
             else:
                 out[name] = _compile_bucket_path(base, name, spec)
+        elif kind == "multi_terms":
+            # ES multi_terms: bucket on a TUPLE of fields — one multi-key
+            # groupBy (single shuffle), ES order doc_count desc then keys
+            # asc, `size` cut. Key rendered as the ES-style joined string
+            # alongside the per-field columns.
+            fields = [t["field"] for t in inner["terms"]]
+            msize = int(inner.get("size", 10))
+            df = (
+                base.groupBy(*[F.col(f) for f in fields])
+                .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
+                .withColumn("key", F.concat_ws("|", *[F.col(f).cast("string")
+                                                      for f in fields]))
+            )
+            out[name] = df.orderBy(
+                F.desc("doc_count"), *[F.asc(f) for f in fields]
+            ).limit(msize).select("key", *fields, "doc_count",
+                                  *[c for c in df.columns
+                                    if c not in fields + ["key", "doc_count"]])
+        elif kind == "rare_terms":
+            # ES rare_terms: the LONG TAIL — buckets with doc_count <=
+            # max_doc_count (default 1), ordered doc_count asc then key asc
+            # (no size cut in ES; bounded by the cap instead)
+            field = inner["field"]
+            cap = int(inner.get("max_doc_count", 1))
+            out[name] = (
+                base.groupBy(F.col(field).alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
+                .filter(F.col("doc_count") <= cap)
+                .orderBy(F.asc("doc_count"), F.asc("key"))
+            )
+        elif kind == "global":
+            # ES global agg: escape the query filter — metrics over the
+            # WHOLE index regardless of the body's query
+            out[name] = docs.agg(
+                F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
+        elif kind == "filter":
+            # ES single-filter agg: one bucket for the clause's matches
+            out[name] = base.filter(_compile_clause(inner)).agg(
+                F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
         elif kind == "filters":
             # ES filters agg: {"filters": {"filters": {name: clause, ...}}}
             # — a doc may land in SEVERAL buckets (each filter counts

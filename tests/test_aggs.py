@@ -503,3 +503,24 @@ def test_textquality_pii_and_repetition(spark):
     # 'a b c' x3 + 'b c a' x2 + 'c a b' x2 = all 7 grams are duplicates
     assert rep[0]["dup_gram_frac_u"] == 1000000
     assert rep[0]["top_gram_frac_u"] == 428571  # floor(3/7 * 1e6)
+
+
+def test_multi_terms_rare_terms_global_filter(events):
+    body = {
+        "query": {"range": {"value": {"gte": 25}}},
+        "aggs": {
+            "mt": {"multi_terms": {"terms": [{"field": "event_type"}], "size": 2}},
+            "rare": {"rare_terms": {"field": "event_id", "max_doc_count": 1}},
+            "g": {"global": {}},
+            "f": {"filter": {"term": {"event_type": "error"}}},
+        },
+    }
+    out = compile_aggs(events, body)
+    mt = out["mt"].collect()
+    assert len(mt) == 2 and mt[0]["doc_count"] >= mt[1]["doc_count"]
+    # every event_id is unique → all filtered rows are rare at cap 1
+    assert out["rare"].count() == out["g"].first()["doc_count"] / 2
+    # global escapes the query filter: 300 total docs regardless
+    assert out["g"].first()["doc_count"] == 300
+    # filter bucket counts errors WITHIN the query filter
+    assert out["f"].first()["doc_count"] == 50
