@@ -1,0 +1,89 @@
+"""Copy-on-write bucketed table: MERGE correctness vs the full-rewrite
+emulation, touched-bucket-only rewrites, snapshot isolation, vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fluent_plugin_elasticsearch_spark.sinks.cow_table import CowTable
+from fluent_plugin_elasticsearch_spark.sinks.write_ops import op_upsert
+
+
+def _mk(spark, tmp_path, n=200, n_buckets=8):
+    t = CowTable(spark, str(tmp_path / "t"), id_col="doc_id", n_buckets=n_buckets)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, v=f"v{i}", n=i) for i in range(n)])
+    t.create(df)
+    return t, df
+
+
+def test_upsert_matches_full_rewrite_emulation(spark, tmp_path):
+    t, df = _mk(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [Row(doc_id=5, v="NEW5", n=500),
+         Row(doc_id=7, v="NEW7", n=700),
+         Row(doc_id=999, v="NEW999", n=999)])
+    want = {(r["doc_id"], r["v"], r["n"])
+            for r in op_upsert(df, batch, "doc_id").collect()}
+    t.upsert(batch)
+    got = {(r["doc_id"], r["v"], r["n"]) for r in t.read().collect()}
+    assert got == want
+    assert ("NEW5" in {v for _, v, _ in got}) and (999, "NEW999", 999) in got
+
+
+def test_update_only_mode_skips_inserts(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, n=20)
+    batch = spark.createDataFrame(
+        [Row(doc_id=3, v="U3", n=33), Row(doc_id=777, v="NOPE", n=0)])
+    t.upsert(batch, insert_missing=False)
+    rows = {r["doc_id"]: r["v"] for r in t.read().collect()}
+    assert rows[3] == "U3" and 777 not in rows and len(rows) == 20
+
+
+def test_only_touched_buckets_rewritten(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, n=500, n_buckets=16)
+    import json
+
+    m0 = json.load(open(os.path.join(t.path, "manifest.json")))
+    batch = spark.createDataFrame([Row(doc_id=5, v="X", n=0)])
+    res = t.upsert(batch)
+    m1 = json.load(open(os.path.join(t.path, "manifest.json")))
+    # exactly ONE bucket moved to the new generation; 15 untouched
+    assert len(res["touched_buckets"]) == 1
+    moved = [b for b in map(str, range(16)) if m0["buckets"][b] != m1["buckets"][b]]
+    assert len(moved) == 1 and m1["generation"] == m0["generation"] + 1
+
+
+def test_snapshot_isolation_and_vacuum(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, n=100)
+    before = t.read()          # plan bound to gen-0 directories
+    n0 = before.count()
+    t.upsert(spark.createDataFrame([Row(doc_id=1, v="CHANGED", n=-1)]))
+    # the pre-swap reader still sees the old snapshot value
+    old_rows = {r["doc_id"]: r["v"] for r in before.collect()}
+    assert old_rows[1] == "v1" and len(old_rows) == n0
+    new_rows = {r["doc_id"]: r["v"] for r in t.read().collect()}
+    assert new_rows[1] == "CHANGED"
+    # vacuum drops the retired gen-0 bucket dir
+    assert t.vacuum() == 1
+    assert {r["doc_id"]: r["v"] for r in t.read().collect()}[1] == "CHANGED"
+
+
+def test_delete_where_rewrites_matching_buckets_only(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, n=100, n_buckets=8)
+    res = t.delete_where(F.col("doc_id") < 10)
+    assert 0 < len(res["touched_buckets"]) <= 8
+    left = t.read()
+    assert left.count() == 90
+    assert left.filter(F.col("doc_id") < 10).count() == 0
+    # no-match delete touches nothing
+    res2 = t.delete_where(F.col("doc_id") > 10_000)
+    assert res2["touched_buckets"] == []
+
+
+def test_create_twice_rejected(spark, tmp_path):
+    t, df = _mk(spark, tmp_path, n=10)
+    with pytest.raises(ValueError):
+        t.create(df)
