@@ -33,7 +33,8 @@ class IngestPipeline:
                  hash_type: str = "sha1", time_key: str | None = None,
                  event_time_col: str = "time", logstash_prefix: str = "logstash",
                  write_op: str = "index", run_id: str | None = None,
-                 max_records_per_file: int | None = None):
+                 max_records_per_file: int | None = None,
+                 table_format: str = "parquet", n_buckets: int = 16):
         self.docs_dir = docs_dir
         self.id_keys = id_keys
         self.hash_type = hash_type
@@ -45,6 +46,18 @@ class IngestPipeline:
         # K7 — request/file size splitting on the table sink (the analogue
         # of bulk_message_request_threshold; Iceberg: write.target-file-size)
         self.max_records_per_file = max_records_per_file
+        # table_format="cow": write through the copy-on-write bucketed
+        # table (sinks/cow_table) — write_op index/create become REAL
+        # per-id merges that rewrite only touched buckets, instead of the
+        # append + full-table anti-join scan. Requires id_keys (merge
+        # needs a doc identity).
+        if table_format not in ("parquet", "cow"):
+            raise ValueError(f"unknown table_format: {table_format}")
+        if table_format == "cow" and not id_keys:
+            raise ValueError("table_format='cow' requires id_keys")
+        self.table_format = table_format
+        self.n_buckets = n_buckets
+        self._cow = None
 
     def transform(self, batch: DataFrame) -> DataFrame:
         out = inject_timestamp(batch, time_key=self.time_key, event_time_col=self.event_time_col)
@@ -59,6 +72,25 @@ class IngestPipeline:
         docs = self.transform(batch)
         path = os.path.join(self.docs_dir, "docs")
         stats = {"epoch": epoch_id}
+        if self.table_format == "cow":
+            from ..sinks.cow_table import CowTable
+
+            if self._cow is None:
+                self._cow = CowTable(batch.sparkSession, path,
+                                     id_col="doc_id", n_buckets=self.n_buckets)
+            if not self._cow.exists():
+                self._cow.create(docs)
+                stats.update(created=True)
+                return stats
+            if self.write_op == "create":
+                # insert-only: effectively-once under at-least-once retries
+                res = self._cow.upsert(
+                    docs.join(self._cow.read().select("doc_id"),
+                              "doc_id", "left_anti"))
+            else:  # index: replace-or-insert merge
+                res = self._cow.upsert(docs)
+            stats.update(res)
+            return stats
         if self.write_op == "create" and self.id_keys and os.path.exists(path):
             target = batch.sparkSession.read.parquet(path)
             merged, dup = op_create(target.select(*docs.columns), docs, "doc_id")

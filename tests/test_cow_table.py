@@ -87,3 +87,27 @@ def test_create_twice_rejected(spark, tmp_path):
     t, df = _mk(spark, tmp_path, n=10)
     with pytest.raises(ValueError):
         t.create(df)
+
+
+def test_ingest_pipeline_cow_sink(spark, tmp_path):
+    import datetime as dt
+
+    from fluent_plugin_elasticsearch_spark.streaming.ingest import IngestPipeline
+
+    pipe = IngestPipeline(str(tmp_path / "out"), id_keys=["user"],
+                          write_op="index", table_format="cow", n_buckets=4)
+    b1 = spark.createDataFrame(
+        [Row(time=dt.datetime(2024, 1, 1, 5), user=f"u{i}", msg=f"m{i}")
+         for i in range(10)])
+    pipe.run_batch(b1, 0)
+    # second batch: same ids (updated msg) + new ids → cow merge
+    b2 = spark.createDataFrame(
+        [Row(time=dt.datetime(2024, 1, 1, 6), user="u1", msg="UPDATED"),
+         Row(time=dt.datetime(2024, 1, 1, 6), user="u99", msg="fresh")])
+    stats = pipe.run_batch(b2, 1)
+    assert stats["touched_buckets"]
+    rows = {r["user"]: r["msg"] for r in pipe._cow.read().collect()}
+    assert rows["u1"] == "UPDATED" and rows["u99"] == "fresh"
+    assert len(rows) == 11  # 10 originals + 1 new, u1 replaced not duplicated
+    with pytest.raises(ValueError):
+        IngestPipeline(str(tmp_path / "x"), table_format="cow")  # no id_keys
