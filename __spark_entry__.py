@@ -534,6 +534,44 @@ def q_es_global_and_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionByName(f).orderBy("agg")
 
 
+def q_es_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_range agg (plans/aggs._ip_range_agg): [from,to) + CIDR-mask
+    buckets over an IPv4 string column — bounds parsed driver-side, the
+    row side one split/cast projection. IPs derived deterministically
+    from events (no ip column in the pinned schema)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat_ws(".", F.lit("10"), (F.col("user_id") % 256).cast("string"),
+                    (F.col("event_id") % 256).cast("string"),
+                    ((F.col("event_id") * 7) % 256).cast("string")
+                    ).alias("client_ip"))
+    out = compile_aggs(ev, {"aggs": {"ips": {"ip_range": {
+        "field": "client_ip",
+        "ranges": [{"to": "10.64.0.0"},
+                   {"from": "10.64.0.0", "to": "10.192.0.0"},
+                   {"mask": "10.128.0.0/9"}]}}}})["ips"]
+    return out.select("key", "doc_count")
+
+
+def q_es_date_histogram_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES min_doc_count=0 date_histogram (plans/aggs.
+    _gap_filled_histogram): EVERY day between the data bounds appears,
+    empty days with doc_count 0, key-ordered — the dashboard contract
+    (gaps render as zeros). Sparse filter guarantees real gaps in the
+    sf-gate data."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_aggs(ev, {
+        "query": {"range": {"value": {"gte": 300}}},
+        "aggs": {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day", "min_doc_count": 0}}},
+    })["d"]
+    return out
+
+
 def q_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write bucketed table MERGE (sinks/cow_table.CowTable): the
     transactional-style upsert that rewrites ONLY touched buckets +
@@ -1505,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_mappings": q_runtime_mappings,
         "search_template": q_search_template,
         "phrase_suggest": q_phrase_suggest,
+        "es_ip_range": q_es_ip_range,
+        "es_date_histogram_gaps": q_es_date_histogram_gaps,
         "cow_upsert": q_cow_upsert,
         "es_multi_terms": q_es_multi_terms,
         "es_rare_terms": q_es_rare_terms,
@@ -1796,6 +1836,36 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "UNION ALL SELECT 1, '2000-8000', count(*) FROM d WHERE dm >= 2000000.0 AND dm < 8000000.0 "
             "UNION ALL SELECT 2, '8000-*', count(*) FROM d WHERE dm >= 8000000.0"
             ") ORDER BY i"))(),
+        "es_ip_range": """
+WITH ips AS (
+  SELECT CAST(user_id % 256 AS BIGINT) * 65536
+       + CAST(event_id % 256 AS BIGINT) * 256
+       + CAST((event_id * 7) % 256 AS BIGINT)
+       + 10 * 16777216 AS ipl
+  FROM events
+)
+SELECT key, doc_count FROM (
+  SELECT 0 AS i, '*-10.64.0.0' AS key, count(*) AS doc_count FROM ips
+  WHERE ipl < 10 * 16777216 + 64 * 65536
+  UNION ALL
+  SELECT 1, '10.64.0.0-10.192.0.0', count(*) FROM ips
+  WHERE ipl >= 10 * 16777216 + 64 * 65536 AND ipl < 10 * 16777216 + 192 * 65536
+  UNION ALL
+  SELECT 2, '10.128.0.0/9', count(*) FROM ips
+  WHERE ipl >= 10 * 16777216 + 128 * 65536 AND ipl < 10 * 16777216 + 256 * 65536
+) ORDER BY i
+""",
+        "es_date_histogram_gaps": """
+WITH agg AS (
+  SELECT date_trunc('day', ts) AS k, count(*) AS c FROM events
+  WHERE value >= 300 GROUP BY 1
+),
+b AS (SELECT min(k) AS lo, max(k) AS hi FROM agg),
+f AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                    INTERVAL 1 day)) AS key)
+SELECT f.key, coalesce(agg.c, 0) AS doc_count
+FROM f LEFT JOIN agg ON f.key = agg.k ORDER BY f.key
+""",
         "cow_upsert": """
 WITH batch AS (
   SELECT doc_id, 'UPD ' || text AS text, lang, source, n_chars

@@ -212,6 +212,67 @@ def _compile_bucket_path(base: DataFrame, name: str, spec: dict[str, Any]) -> Da
     return df.orderBy(*order)
 
 
+_CAL_INTERVAL = {
+    "second": "interval 1 second", "minute": "interval 1 minute",
+    "hour": "interval 1 hour", "day": "interval 1 day",
+    "week": "interval 7 days", "month": "interval 1 month",
+    "quarter": "interval 3 months", "year": "interval 1 year",
+}
+
+
+def _gap_filled_histogram(base: DataFrame, kind: str, inner: dict[str, Any],
+                          sub: dict[str, Any] | None) -> DataFrame:
+    """ES min_doc_count=0 histogram semantics: EVERY bucket between the
+    (data or extended_bounds) min and max key appears, empty ones with
+    doc_count 0 — the shape every ES dashboard relies on (gaps render as
+    zeros, not missing points). Buckets in key order, ES histogram
+    natural order.
+
+    Plan: the normal partial-aggregated groupBy for the non-empty
+    buckets; bounds = ONE collected row (coordinating-node-sized, like
+    ES); the dense key axis is a generated sequence joined LEFT against
+    the buckets. Metrics on empty buckets are null (ES renders null/0
+    per metric kind — the envelope layer's concern)."""
+    key = _bucket_key(kind, inner)
+    agg = base.groupBy(key.alias("key")).agg(
+        F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
+    spark = base.sparkSession
+    eb = inner.get("extended_bounds") or {}
+    row = agg.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None and not eb:
+        return agg.orderBy(F.asc("key"))  # no data, no bounds → empty
+    if kind == "histogram":
+        w = float(inner["interval"])
+        lo = min(x for x in (lo, eb.get("min")) if x is not None)
+        hi = max(x for x in (hi, eb.get("max")) if x is not None)
+        import math
+
+        lo_k = math.floor(lo / w) * w
+        n = int(math.floor(hi / w) - math.floor(lo / w)) + 1
+        axis = spark.range(n).select(
+            (F.lit(lo_k) + F.col("id") * F.lit(w)).alias("key"))
+    else:
+        unit = _CAL[inner.get("calendar_interval") or inner.get("fixed_interval")]
+        import datetime as _dt
+
+        def as_dt(v):
+            return _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+
+        cands_lo = [x for x in (lo, as_dt(eb.get("min"))) if x is not None]
+        cands_hi = [x for x in (hi, as_dt(eb.get("max"))) if x is not None]
+        lo, hi = min(cands_lo), max(cands_hi)
+        axis = spark.createDataFrame([(lo, hi)], "lo timestamp, hi timestamp").select(
+            F.explode(F.expr(
+                f"sequence(date_trunc('{unit}', lo), date_trunc('{unit}', hi),"
+                f" {_CAL_INTERVAL[unit]})")).alias("key"))
+    filled = (
+        axis.join(agg, "key", "left")
+        .withColumn("doc_count", F.coalesce(F.col("doc_count"), F.lit(0)))
+    )
+    return filled.orderBy(F.asc("key"))
+
+
 def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
     """Compile the body's `aggs` over docs (after its `query` filter).
     Returns {agg_name: DataFrame} — bucket aggs yield (key, doc_count,
@@ -227,6 +288,12 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
     for name, spec in (body.get("aggs") or {}).items():
         sub = spec.get("aggs")
         ((kind, inner),) = ((k, v) for k, v in spec.items() if k != "aggs")
+        if (kind in ("date_histogram", "histogram")
+                and inner.get("min_doc_count", 1) == 0
+                and not any(next(iter(k for k in s if k != "aggs"))
+                            in _BUCKET_KINDS for s in (sub or {}).values())):
+            out[name] = _gap_filled_histogram(base, kind, inner, sub)
+            continue
         if kind in _BUCKET_KINDS:
             th = {n: s for n, s in (sub or {}).items() if next(iter(s)) == "top_hits"}
             if th:
@@ -330,6 +397,8 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = _range_agg(base, kind, inner, sub)
         elif kind == "geo_distance":
             out[name] = _geo_distance_agg(base, inner, sub)
+        elif kind == "ip_range":
+            out[name] = _ip_range_agg(base, inner, sub)
         elif kind == "missing":
             # ES missing agg: one bucket counting docs where the field is
             # null — a single partial-aggregated scan, no shuffle key
@@ -529,6 +598,60 @@ def _range_agg(base: DataFrame, kind: str, inner: dict[str, Any],
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    return df.orderBy(F.asc("bucket_idx"))
+
+
+def ip_to_long(ip: str) -> int:
+    """Dotted-quad IPv4 → uint32 (driver-side, for range bounds)."""
+    a, b, c, d = (int(x) for x in ip.split("."))
+    return a * 16777216 + b * 65536 + c * 256 + d
+
+
+def ip_col_to_long(col: Column) -> Column:
+    """IPv4 string column → long, pure JVM split/cast arithmetic — the
+    sortable form ES's ip type gives ranges for free."""
+    p = F.split(col, r"\.")
+    return (
+        F.element_at(p, 1).cast("long") * 16777216
+        + F.element_at(p, 2).cast("long") * 65536
+        + F.element_at(p, 3).cast("long") * 256
+        + F.element_at(p, 4).cast("long")
+    )
+
+
+def _ip_range_agg(base: DataFrame, inner: dict[str, Any],
+                  sub: dict[str, Any] | None) -> DataFrame:
+    """ES ip_range agg: [from, to) buckets and CIDR masks over an IPv4
+    string column — bounds parsed driver-side to uint32, the row side is
+    one split/cast projection, then the range agg's union-of-filtered-
+    aggregates shape (ranges may overlap)."""
+    field = inner["field"]
+    ipl = ip_col_to_long(F.col(field))
+    parts = []
+    for idx, r in enumerate(inner["ranges"]):
+        if "mask" in r:
+            bits_base, bits = r["mask"].split("/")
+            nbits = int(bits)
+            lo = ip_to_long(bits_base) & (~((1 << (32 - nbits)) - 1) & 0xFFFFFFFF)
+            hi = lo + (1 << (32 - nbits))
+            cond = (ipl >= F.lit(lo)) & (ipl < F.lit(hi))
+            key = r["mask"]
+        else:
+            frm, to = r.get("from"), r.get("to")
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (ipl >= F.lit(ip_to_long(frm)))
+            if to is not None:
+                cond = cond & (ipl < F.lit(ip_to_long(to)))
+            key = r.get("key") or (
+                f"{'*' if frm is None else frm}-{'*' if to is None else to}")
+        agg = base.filter(cond).agg(
+            F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
+        parts.append(agg.select(
+            F.lit(idx).alias("bucket_idx"), F.lit(str(key)).alias("key"), "*"))
+    df = parts[0]
+    for p_ in parts[1:]:
+        df = df.unionByName(p_)
     return df.orderBy(F.asc("bucket_idx"))
 
 

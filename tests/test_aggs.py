@@ -524,3 +524,43 @@ def test_multi_terms_rare_terms_global_filter(events):
     assert out["g"].first()["doc_count"] == 300
     # filter bucket counts errors WITHIN the query filter
     assert out["f"].first()["doc_count"] == 50
+
+
+def test_histogram_gap_filling(events):
+    # sparse filter → missing days must appear with doc_count 0
+    body = {"query": {"term": {"event_type": "error"}},
+            "aggs": {"d": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day", "min_doc_count": 0}}}}
+    rows = compile_aggs(events, body)["d"].collect()
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys)  # key order, not count order
+    # dense axis: consecutive days with no holes
+    assert len(keys) == (keys[-1] - keys[0]).days + 1
+    # numeric histogram honors extended_bounds beyond the data
+    body2 = {"aggs": {"h": {"histogram": {
+        "field": "value", "interval": 20.0, "min_doc_count": 0,
+        "extended_bounds": {"min": -40, "max": 80}}}}}
+    rows2 = compile_aggs(events, body2)["h"].collect()
+    assert rows2[0]["key"] == -40.0 and rows2[0]["doc_count"] == 0
+    assert rows2[-1]["key"] >= 40.0
+    ks = [r["key"] for r in rows2]
+    assert ks == sorted(ks) and all(b - a == 20.0 for a, b in zip(ks, ks[1:]))
+
+
+def test_ip_range_agg(spark):
+    from fluent_plugin_elasticsearch_spark.plans.aggs import ip_to_long
+
+    assert ip_to_long("0.0.0.1") == 1
+    assert ip_to_long("10.0.0.0") == 10 * 2**24
+    assert ip_to_long("255.255.255.255") == 2**32 - 1
+    rows = [Row(i=i, ip=f"192.168.{i}.{i * 3 % 256}") for i in range(10)]
+    d = spark.createDataFrame(rows)
+    out = compile_aggs(d, {"aggs": {"r": {"ip_range": {"field": "ip", "ranges": [
+        {"to": "192.168.5.0"},
+        {"from": "192.168.5.0"},
+        {"mask": "192.168.4.0/22"},  # covers .4 - .7
+    ]}}}})["r"]
+    got = {r["key"]: r["doc_count"] for r in out.collect()}
+    assert got["*-192.168.5.0"] == 5
+    assert got["192.168.5.0-*"] == 5
+    assert got["192.168.4.0/22"] == 4
