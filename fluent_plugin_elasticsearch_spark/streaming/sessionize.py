@@ -142,3 +142,40 @@ def eql_sequence(events: DataFrame, steps: list, within_seconds: int,
         F.floor(_epoch(F.col(f"step{last}_ts")) - _epoch(F.col("step0_ts")))
         .cast("int").alias("span_seconds"),
     ).orderBy("user_id", "step0_ts", *[f"step{i}_id" for i in range(len(steps))])
+
+
+def eql_sequence_stream(stream_a: DataFrame, stream_b: DataFrame,
+                        within_seconds: int, by_col: str = "user_id",
+                        ts_col: str = "ts", id_col: str = "event_id",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of the 2-step eql_sequence: a watermarked
+    STREAM-STREAM inner join — step-A events buffered in state until the
+    maxspan window passes, step-B events matched on (key, time-range).
+    The watermark bounds both state stores (ES EQL keeps the same sliding
+    window in the coordinating node). Append-mode output: one row per
+    matched chain, exactly the batch operator's columns, so a
+    backfill-vs-live parity check is a frame compare."""
+    a = (
+        stream_a.select(F.col(by_col).alias("user_id"),
+                        F.col(id_col).alias("step0_id"),
+                        F.col(ts_col).alias("step0_ts"))
+        .withWatermark("step0_ts", watermark)
+    )
+    b = (
+        stream_b.select(F.col(by_col).alias("b_user_id"),
+                        F.col(id_col).alias("step1_id"),
+                        F.col(ts_col).alias("step1_ts"))
+        .withWatermark("step1_ts", watermark)
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("step1_ts") > F.col("step0_ts"))
+        & (F.col("step1_ts")
+           <= F.col("step0_ts") + F.expr(f"interval {within_seconds} seconds")),
+    )
+    return joined.select(
+        "user_id", "step0_id", "step0_ts", "step1_id", "step1_ts",
+        F.floor(_epoch(F.col("step1_ts")) - _epoch(F.col("step0_ts")))
+        .cast("int").alias("span_seconds"),
+    )

@@ -122,3 +122,40 @@ def test_eql_sequence_three_steps(spark):
 
     with pytest.raises(ValueError):
         eql_sequence(ev, [{"term": {"event_type": "a"}}], 60)
+
+
+def test_eql_sequence_stream_matches_batch(spark, tmp_path):
+    """Stream-stream EQL join (watermarked) returns exactly the batch
+    operator's chains on the same data — live/backfill parity."""
+    import datetime as dt
+
+    from fluent_plugin_elasticsearch_spark.streaming.sessionize import (
+        eql_sequence, eql_sequence_stream)
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = []
+    for u in range(5):
+        rows.append(Row(event_id=u * 10, user_id=u, event_type="view",
+                        ts=t0 + dt.timedelta(seconds=u)))
+        rows.append(Row(event_id=u * 10 + 1, user_id=u, event_type="purchase",
+                        ts=t0 + dt.timedelta(seconds=u + (5 if u % 2 else 2000))))
+    ev = spark.createDataFrame(rows)
+    views_dir, buys_dir = str(tmp_path / "v"), str(tmp_path / "b")
+    ev.filter(F.col("event_type") == "view").write.parquet(views_dir)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(buys_dir)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    sv = spark.readStream.schema(schema).parquet(views_dir)
+    sb = spark.readStream.schema(schema).parquet(buys_dir)
+    out = eql_sequence_stream(sv, sb, within_seconds=60, watermark="1 second")
+    q = (out.writeStream.format("memory").queryName("eqlstream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["user_id"], r["step0_id"], r["step1_id"], r["span_seconds"])
+           for r in spark.sql("SELECT * FROM eqlstream").collect()}
+    want = {(r["user_id"], r["step0_id"], r["step1_id"], r["span_seconds"])
+            for r in eql_sequence(
+                ev, [{"term": {"event_type": "view"}},
+                     {"term": {"event_type": "purchase"}}], 60).collect()}
+    assert got == want and len(want) == 2  # odd users (u=1,3) within 60s
