@@ -534,6 +534,19 @@ def q_es_global_and_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionByName(f).orderBy("agg")
 
 
+def q_es_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram (plans/aggs._auto_date_histogram): interval
+    chosen from the calendar ladder to fit the bucket target, then
+    gap-filled date_histogram; the chosen interval rides along (ES
+    returns it). The oracle pins the choice the ladder makes for the
+    events span (30 days, target 40 → day)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    return compile_aggs(ev, {"aggs": {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 40}}}})["a"]
+
+
 def q_es_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ip_range agg (plans/aggs._ip_range_agg): [from,to) + CIDR-mask
     buckets over an IPv4 string column — bounds parsed driver-side, the
@@ -1543,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_mappings": q_runtime_mappings,
         "search_template": q_search_template,
         "phrase_suggest": q_phrase_suggest,
+        "es_auto_date_histogram": q_es_auto_date_histogram,
         "es_ip_range": q_es_ip_range,
         "es_date_histogram_gaps": q_es_date_histogram_gaps,
         "cow_upsert": q_cow_upsert,
@@ -1836,6 +1850,16 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "UNION ALL SELECT 1, '2000-8000', count(*) FROM d WHERE dm >= 2000000.0 AND dm < 8000000.0 "
             "UNION ALL SELECT 2, '8000-*', count(*) FROM d WHERE dm >= 8000000.0"
             ") ORDER BY i"))(),
+        "es_auto_date_histogram": """
+WITH agg AS (
+  SELECT date_trunc('day', ts) AS k, count(*) AS c FROM events GROUP BY 1
+),
+b AS (SELECT min(k) AS lo, max(k) AS hi FROM agg),
+f AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                    INTERVAL 1 day)) AS key)
+SELECT f.key, coalesce(agg.c, 0) AS doc_count, 'day' AS interval
+FROM f LEFT JOIN agg ON f.key = agg.k ORDER BY f.key
+""",
         "es_ip_range": """
 WITH ips AS (
   SELECT CAST(user_id % 256 AS BIGINT) * 65536

@@ -220,6 +220,38 @@ _CAL_INTERVAL = {
 }
 
 
+_UNIT_SECONDS = [("second", 1), ("minute", 60), ("hour", 3600),
+                 ("day", 86400), ("week", 604800), ("month", 2592000),
+                 ("quarter", 7776000), ("year", 31536000)]
+
+
+def _auto_date_histogram(base: DataFrame, inner: dict[str, Any],
+                         sub: dict[str, Any] | None) -> DataFrame:
+    """ES auto_date_histogram: pick the smallest calendar interval whose
+    dense bucket count fits the `buckets` target (default 10), then
+    behave like a gap-filled date_histogram at that interval. The chosen
+    interval rides along as a literal `interval` column (ES returns it in
+    the response). Bounds are one collected row, like the gap filler."""
+    field = inner["field"]
+    target = int(inner.get("buckets", 10))
+    row = base.agg(F.min(field).alias("lo"), F.max(field).alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return base.agg(F.count(F.lit(1)).alias("doc_count")).limit(0).select(
+            F.lit(None).cast("timestamp").alias("key"),
+            F.lit(0).alias("doc_count"), F.lit("day").alias("interval"))
+    span_s = max((hi - lo).total_seconds(), 1.0)
+    unit = _UNIT_SECONDS[-1][0]
+    for u, secs in _UNIT_SECONDS:
+        if span_s / secs + 1 <= target:
+            unit = u
+            break
+    filled = _gap_filled_histogram(
+        base, "date_histogram",
+        {"field": field, "calendar_interval": unit, "min_doc_count": 0}, sub)
+    return filled.withColumn("interval", F.lit(unit))
+
+
 def _gap_filled_histogram(base: DataFrame, kind: str, inner: dict[str, Any],
                           sub: dict[str, Any] | None) -> DataFrame:
     """ES min_doc_count=0 histogram semantics: EVERY bucket between the
@@ -399,6 +431,8 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = _geo_distance_agg(base, inner, sub)
         elif kind == "ip_range":
             out[name] = _ip_range_agg(base, inner, sub)
+        elif kind == "auto_date_histogram":
+            out[name] = _auto_date_histogram(base, inner, sub)
         elif kind == "missing":
             # ES missing agg: one bucket counting docs where the field is
             # null — a single partial-aggregated scan, no shuffle key

@@ -564,3 +564,16 @@ def test_ip_range_agg(spark):
     assert got["*-192.168.5.0"] == 5
     assert got["192.168.5.0-*"] == 5
     assert got["192.168.4.0/22"] == 4
+
+
+def test_auto_date_histogram(events):
+    # events span 4 days x few hours: 10-bucket target → day interval
+    out = compile_aggs(events, {"aggs": {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 10}}}})["a"]
+    rows = out.collect()
+    assert rows[0]["interval"] == "day"
+    assert len(rows) == 4 and sum(r["doc_count"] for r in rows) == 300
+    # tight target forces a coarser unit
+    out2 = compile_aggs(events, {"aggs": {"a": {
+        "auto_date_histogram": {"field": "ts", "buckets": 2}}}})["a"]
+    assert out2.collect()[0]["interval"] in ("week", "month")
