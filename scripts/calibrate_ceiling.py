@@ -76,12 +76,13 @@ def run(procs: int, n_docs: int, corpus: str, trials: int = 2) -> dict:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     corpus = sys.argv[2] if len(sys.argv) > 2 else "/tmp/corpus2m"
-    lo, hi = run(8, n_docs, corpus), run(32, n_docs, corpus)
+    n_lo = int(os.environ.get("SCALE_N", "8"))
+    lo, hi = run(n_lo, n_docs, corpus), run(4 * n_lo, n_docs, corpus)
     eff = (lo["wall_s"] / hi["wall_s"]) / 4.0
     print(json.dumps({
         "workload": "extract_text+tokenize_unicode, multiprocessing (no Spark)",
         "n_docs": n_docs,
-        "procs8": lo, "procs32": hi,
+        f"procs{n_lo}": lo, f"procs{4 * n_lo}": hi,
         "speedup": round(lo["wall_s"] / hi["wall_s"], 3),
         "ceiling_efficiency": round(eff, 3),
     }, indent=2))
