@@ -534,6 +534,31 @@ def q_es_global_and_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionByName(f).orderBy("agg")
 
 
+def q_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score (plans/query_ast.py): inner-query filter + score
+    from the SAFE ast-parsed arithmetic over row fields — the vectorized
+    replacement for per-row painless."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {"query": {"script_score": {
+        "query": {"term": {"lang": "en"}},
+        "script": {"source": "n_chars * 2 + doc_id / 100"}}}, "size": 25})
+    return out.select("doc_id", "score_u")
+
+
+def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature: recency/proximity boost — score = boost *
+    pivot / (pivot + |field - origin|), date origin here."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    ev = _read(spark, sf_dir, "events").withColumnRenamed("event_id", "doc_id")
+    out = compile_query(ev, {"query": {"distance_feature": {
+        "field": "ts", "origin": "2024-01-15T12:00:00", "pivot": "1d",
+        "boost": 2.0}}, "size": 30})
+    return out.select("doc_id", "score_u")
+
+
 def q_es_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES auto_date_histogram (plans/aggs._auto_date_histogram): interval
     chosen from the calendar ladder to fit the bucket target, then
@@ -1556,6 +1581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_mappings": q_runtime_mappings,
         "search_template": q_search_template,
         "phrase_suggest": q_phrase_suggest,
+        "script_score": q_script_score,
+        "distance_feature": q_distance_feature,
         "es_auto_date_histogram": q_es_auto_date_histogram,
         "es_ip_range": q_es_ip_range,
         "es_date_histogram_gaps": q_es_date_histogram_gaps,
@@ -1850,6 +1877,18 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "UNION ALL SELECT 1, '2000-8000', count(*) FROM d WHERE dm >= 2000000.0 AND dm < 8000000.0 "
             "UNION ALL SELECT 2, '8000-*', count(*) FROM d WHERE dm >= 8000000.0"
             ") ORDER BY i"))(),
+        "script_score": """
+SELECT doc_id,
+       CAST(floor((n_chars * 2 + doc_id / 100) * 1e6) AS BIGINT) AS score_u
+FROM documents WHERE lang = 'en'
+ORDER BY score_u DESC, doc_id ASC LIMIT 25
+""",
+        "distance_feature": """
+SELECT event_id AS doc_id,
+       CAST(floor(2.0 * 86400.0 / (86400.0 + abs(epoch(ts) - epoch(TIMESTAMP '2024-01-15 12:00:00'))) * 1e6) AS BIGINT) AS score_u
+FROM events
+ORDER BY score_u DESC, doc_id ASC LIMIT 30
+""",
         "es_auto_date_histogram": """
 WITH agg AS (
   SELECT date_trunc('day', ts) AS k, count(*) AS c FROM events GROUP BY 1

@@ -448,6 +448,53 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score"), F.asc("doc_id")
         )
 
+    if query and "script_score" in query:
+        # ES script_score: filter by the inner query, score = script over
+        # the row's fields — the SAFE ast-parsed arithmetic grammar (same
+        # parser as runtime_mappings/bucket_script; per-row painless is
+        # the reference's T13 anti-pattern). Quantized like every score.
+        from .aggs import _script_expr
+
+        spec = query["script_score"]
+        script = spec["script"]
+        if isinstance(script, dict):
+            script = script.get("source")
+        inner_q = spec.get("query", {"match_all": {}})
+        out = out.filter(F.coalesce(_compile_clause(inner_q), F.lit(False)))
+        paths = {c: c for c in out.columns}
+        out = out.withColumn(
+            "score_u",
+            F.floor(_script_expr(str(script), paths) * 1e6).cast("long"))
+        k = size or 10
+        return out.orderBy(F.desc("score_u"), F.asc("doc_id")).limit(int(k))
+
+    if query and "distance_feature" in query:
+        # ES distance_feature: boost by closeness to an origin —
+        # score = boost * pivot / (pivot + |field - origin|), for date or
+        # numeric origins (geo origins route through haversine_m_col).
+        spec = query["distance_feature"]
+        field, boost = spec["field"], float(spec.get("boost", 1.0))
+        origin, pivot = spec["origin"], spec["pivot"]
+        if isinstance(origin, dict):  # geo point origin
+            dist = haversine_m_col(F.col(field), float(origin["lat"]),
+                                   float(origin["lon"]))
+            pivot_v = parse_distance(pivot)
+        elif isinstance(origin, str):  # date origin; pivot like "7d"
+            import datetime as _dt
+
+            o = _dt.datetime.fromisoformat(origin)
+            dist = F.abs(F.col(field).cast("timestamp").cast("double")
+                         - F.lit(o.timestamp()))
+            unit_s = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+            pivot_v = float(pivot[:-1]) * unit_s[pivot[-1]]
+        else:
+            dist = F.abs(F.col(field) - F.lit(float(origin)))
+            pivot_v = float(pivot)
+        score = F.lit(boost) * F.lit(pivot_v) / (F.lit(pivot_v) + dist)
+        out = out.withColumn("score_u", F.floor(score * 1e6).cast("long"))
+        k = size or 10
+        return out.orderBy(F.desc("score_u"), F.asc("doc_id")).limit(int(k))
+
     if query and "constant_score" in query:
         # ES constant_score: the wrapped filter selects, scoring is a
         # constant boost (no BM25 statistics touched — pure filter plan

@@ -421,3 +421,20 @@ def test_search_template_rendering():
                    "note": "got en here", "keep": 7}
     # missing params render empty, mustache-style
     assert render_search_template({"a": "{{gone}}"}, {}) == {"a": ""}
+
+
+def test_script_score_and_distance_feature(spark):
+    rows = [Row(doc_id=i, n=float(i * 10), ts=dt.datetime(2024, 1, 1 + i))
+            for i in range(10)]
+    d = spark.createDataFrame(rows)
+    out = compile_query(d, {"query": {"script_score": {
+        "query": {"range": {"n": {"gte": 30}}},
+        "script": {"source": "n * 2"}}}, "size": 3}).collect()
+    assert [(r["doc_id"], r["score_u"]) for r in out] == [
+        (9, 180000000), (8, 160000000), (7, 140000000)]
+    df = compile_query(d, {"query": {"distance_feature": {
+        "field": "ts", "origin": "2024-01-05T00:00:00", "pivot": "1d"}},
+        "size": 3}).collect()
+    # doc 4 (exactly at origin) scores boost*1.0 = 1e6, neighbors lower
+    assert df[0]["doc_id"] == 4 and df[0]["score_u"] == 1000000
+    assert {df[1]["doc_id"], df[2]["doc_id"]} == {3, 5}
