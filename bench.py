@@ -62,13 +62,19 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
     # of today's: 25.4/29.4/31.7/35.0 s for the same code); best-of-N is
     # the established estimator here (same protocol as SCALING.json, which
     # records every trial). Both walls are reported.
+    # n_shards = cores: a shard is the unit of BOTH build-write and query
+    # parallelism, so one task wave per job is the right sizing for the
+    # machine (measured r4: 64 shards on 32 cores = 2 waves + stragglers —
+    # build 9.7→6.5 s and wand p99 1.05→0.30 s by matching shards to
+    # cores; a 1000-executor cluster sizes shards ≈ executors the same way)
+    n_shards = cores
     walls = []
     for trial in range(2):
         idx_dir = tempfile.mkdtemp(prefix=f"bench_idx{trial}_") + "/idx"
         t0 = time.time()
         build_index(
             spark, docs, idx_dir, id_col="doc_id", html_col="html", text_col=None,
-            url_col="url", tokenizer="unicode", n_shards=64, n_salts=8,
+            url_col="url", tokenizer="unicode", n_shards=n_shards, n_salts=8,
         )
         walls.append(time.time() - t0)
     build_s = min(walls)
