@@ -99,6 +99,10 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
     res["query_p50_sec"] = round(statistics.median(lat_s), 4)
     res["query_p99_sec"] = round(lat_s[min(len(lat_s) - 1, int(0.99 * len(lat_s)))], 4)
     res["query_mean_sec"] = round(sum(lat_s) / len(lat_s), 4)
+    # steady-state p99: pass 2 only (pass 1 pays one-time python-worker
+    # spin-up; an ES node's serving p99 is the warm number — both published)
+    lat2 = sorted(lat[len(BENCH_QUERIES):])
+    res["query_p99_steady_sec"] = round(lat2[-1], 4)
     # serving default: mode='auto' (WAND only where shard posting mass pays
     # for the DAAT loop, vectorized exhaustive elsewhere — rank-identical)
     lat_auto = []
@@ -280,6 +284,7 @@ def main() -> None:
             "index_build": res["index_build_sec"],
             "wand_p50": res["query_p50_sec"],
             "wand_p99": res["query_p99_sec"],
+            "wand_p99_steady": res["query_p99_steady_sec"],
             "auto_p50": res["query_auto_p50_sec"],
         },
         "sf": sf,
