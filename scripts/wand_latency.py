@@ -43,9 +43,10 @@ def measure(spark, n_docs: int) -> dict:
     docs = with_doc_id(spark.read.parquet(corpus), "url")
     idx_dir = tempfile.mkdtemp(prefix=f"wlidx{n_docs}_") + "/idx"
     t0 = time.time()
+    n_shards = int(os.environ.get("WL_SHARDS", "32"))  # ≈ cores (r4 sizing)
     build_index(spark, docs, idx_dir, id_col="doc_id", html_col="html",
                 text_col=None, url_col="url", tokenizer="unicode",
-                n_shards=64, n_salts=8)
+                n_shards=n_shards, n_salts=8)
     build_s = time.time() - t0
     idx = InvertedIndex(spark, idx_dir, cache_term_stats=True).warm()
     out: dict = {"n_docs": n_docs, "build_wall_s": round(build_s, 1),

@@ -183,3 +183,45 @@ def test_percolate_registry_broadcast_gate(spark, sf_dir):
         assert "BroadcastExchange" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sessionize_shuffles_on_user_key(spark, sf_dir):
+    from fluent_plugin_elasticsearch_spark.streaming.sessionize import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(sessionize(ev, 3600))
+    # the gaps-and-islands window and the session groupBy both partition
+    # by the user key — no unpartitioned window, no extra exchanges
+    assert "hashpartitioning(user_id" in plan
+    assert "WindowExec: No Partition" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    from fluent_plugin_elasticsearch_spark.operators.dedup import (
+        contamination_check)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.limit(5).selectExpr("doc_id AS bench_id", "text")
+    plan = plan_of(contamination_check(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan  # corpus grams never shuffle for the join
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        gated = plan_of(contamination_check(docs, bench, n=3,
+                                            broadcast_benchmark=False))
+        assert "BroadcastExchange" not in gated
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_gap_filled_histogram_no_global_window(spark, sf_dir):
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = compile_aggs(ev, {"aggs": {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day", "min_doc_count": 0}}}})["d"]
+    plan = plan_of(out)
+    # partial aggregation reaches the scan side; the dense-axis join is
+    # against the already-aggregated buckets (no corpus re-shuffle)
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
