@@ -62,11 +62,13 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
     # of today's: 25.4/29.4/31.7/35.0 s for the same code); best-of-N is
     # the established estimator here (same protocol as SCALING.json, which
     # records every trial). Both walls are reported.
-    # n_shards = cores: a shard is the unit of BOTH build-write and query
-    # parallelism, so one task wave per job is the right sizing for the
-    # machine (measured r4: 64 shards on 32 cores = 2 waves + stragglers —
-    # build 9.7→6.5 s and wand p99 1.05→0.30 s by matching shards to
-    # cores; a 1000-executor cluster sizes shards ≈ executors the same way)
+    # Shard sizing is two-sided: shards ≈ cores gives one task wave per
+    # job (64 on 32 cores = 2 waves + stragglers — build 9.7→6.5 s, wand
+    # p99 1.05→0.30 s at this corpus), but per-shard posting mass must
+    # stay bounded as the corpus grows (at 2M docs, 32 shards doubles
+    # shard mass and moves forced-WAND p50 0.38→3.2 s — scripts/
+    # wand_latency.py keeps 64 there). Here: 100k docs / 32 shards ≈ 3k
+    # docs/shard, comfortably inside the kernel's working set.
     n_shards = cores
     walls = []
     for trial in range(2):

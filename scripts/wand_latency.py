@@ -43,7 +43,11 @@ def measure(spark, n_docs: int) -> dict:
     docs = with_doc_id(spark.read.parquet(corpus), "url")
     idx_dir = tempfile.mkdtemp(prefix=f"wlidx{n_docs}_") + "/idx"
     t0 = time.time()
-    n_shards = int(os.environ.get("WL_SHARDS", "32"))  # ≈ cores (r4 sizing)
+    # 64, NOT cores: shard sizing is two-sided — one task wave per job
+    # wants shards ≈ cores, but per-shard posting mass must stay bounded
+    # (measured r4: 32 shards at 2M docs doubles shard mass and moves
+    # forced-WAND p50 0.38→3.2 s; 64 keeps both 600k and 2M healthy)
+    n_shards = int(os.environ.get("WL_SHARDS", "64"))
     build_index(spark, docs, idx_dir, id_col="doc_id", html_col="html",
                 text_col=None, url_col="url", tokenizer="unicode",
                 n_shards=n_shards, n_salts=8)
