@@ -534,6 +534,24 @@ def q_es_global_and_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionByName(f).orderBy("agg")
 
 
+def q_es_terms_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-agg options in one body (plans/aggs.py): `missing` bucket
+    for null keys, `include` anchored-regex key filter, `order` by a
+    metric sub-agg — all inside the single partial-aggregated groupBy."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long")).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("event_type")))
+    out = compile_aggs(ev, {"aggs": {"t": {
+        "terms": {"field": "event_type", "size": 10, "missing": "N/A",
+                  "include": "N/A|p.*|v.*", "order": {"v_sum": "desc"}},
+        "aggs": {"v_sum": {"sum": {"field": "value_u"}}},
+    }}})["t"]
+    return out.select("key", "doc_count", F.col("v_sum").cast("long").alias("v_sum"))
+
+
 def q_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES script_score (plans/query_ast.py): inner-query filter + score
     from the SAFE ast-parsed arithmetic over row fields — the vectorized
@@ -1581,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_mappings": q_runtime_mappings,
         "search_template": q_search_template,
         "phrase_suggest": q_phrase_suggest,
+        "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
         "distance_feature": q_distance_feature,
         "es_auto_date_histogram": q_es_auto_date_histogram,
@@ -1877,6 +1896,20 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "UNION ALL SELECT 1, '2000-8000', count(*) FROM d WHERE dm >= 2000000.0 AND dm < 8000000.0 "
             "UNION ALL SELECT 2, '8000-*', count(*) FROM d WHERE dm >= 8000000.0"
             ") ORDER BY i"))(),
+        "es_terms_options": """
+WITH src AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN 'N/A' ELSE event_type END AS key,
+         CAST(floor(value * 1e2) AS BIGINT) AS value_u
+  FROM events
+),
+agg AS (
+  SELECT key, count(*) AS doc_count, CAST(sum(value_u) AS BIGINT) AS v_sum
+  FROM src GROUP BY key
+)
+SELECT key, doc_count, v_sum FROM agg
+WHERE regexp_full_match(key, '(?:N/A|p.*|v.*)')
+ORDER BY v_sum DESC, key ASC LIMIT 10
+""",
         "script_score": """
 SELECT doc_id,
        CAST(floor((n_chars * 2 + doc_id / 100) * 1e6) AS BIGINT) AS score_u

@@ -43,6 +43,10 @@ _METRICS = {
 def _bucket_key(kind: str, spec: dict[str, Any]) -> Column:
     field = spec["field"]
     if kind == "terms":
+        # ES `missing`: docs with a null field land in a named bucket
+        # instead of being dropped
+        if "missing" in spec:
+            return F.coalesce(F.col(field), F.lit(spec["missing"]))
         return F.col(field)
     if kind == "date_histogram":
         unit = spec.get("calendar_interval") or spec.get("fixed_interval")
@@ -181,7 +185,23 @@ def _compile_bucket_path(base: DataFrame, name: str, spec: dict[str, Any]) -> Da
     if len(levels) == 1:  # historical single-level shape: key/doc_count,
         # TakeOrderedAndProject instead of a single-partition window
         df = df.withColumnRenamed(key_names[0], "key")
-        df = df.orderBy(F.desc("doc_count"), F.asc("key"))
+        inner0 = next(v for k, v in spec.items() if k != "aggs")
+        # ES terms options: include (anchored regex on keys), order by a
+        # metric sub-agg ({"order": {"<metric>": "asc"|"desc"}} or _key)
+        inc = inner0.get("include")
+        if inc:
+            df = df.filter(F.col("key").cast("string").rlike(f"^(?:{inc})$"))
+        order_spec = inner0.get("order")
+        if order_spec:
+            ((ocol, odir),) = order_spec.items()
+            ocol = "key" if ocol == "_key" else (
+                "doc_count" if ocol == "_count" else ocol)
+            if ocol not in df.columns:
+                raise UnsupportedQuery(f"order references unknown agg: {ocol}")
+            lead = F.col(ocol).desc() if odir == "desc" else F.col(ocol).asc()
+            df = df.orderBy(lead, F.asc("key"))
+        else:
+            df = df.orderBy(F.desc("doc_count"), F.asc("key"))
         if levels[0][2]:
             df = df.limit(levels[0][2])
         return df

@@ -577,3 +577,26 @@ def test_auto_date_histogram(events):
     out2 = compile_aggs(events, {"aggs": {"a": {
         "auto_date_histogram": {"field": "ts", "buckets": 2}}}})["a"]
     assert out2.collect()[0]["interval"] in ("week", "month")
+
+
+def test_terms_order_missing_include(events, spark):
+    import datetime as _dt
+
+    ev = events.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("event_type")))
+    body = {"aggs": {"t": {"terms": {
+        "field": "event_type", "missing": "unknown", "size": 10,
+        "order": {"_key": "asc"}}}}}
+    rows = compile_aggs(ev, body)["t"].collect()
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys) and "unknown" in keys
+    # order by metric sub-agg
+    body2 = {"aggs": {"t": {"terms": {"field": "event_type",
+                                      "order": {"m": "asc"}, "size": 2},
+                            "aggs": {"m": {"max": {"field": "value"}}}}}}
+    rows2 = compile_aggs(events, body2)["t"].collect()
+    assert rows2[0]["m"] <= rows2[1]["m"]
+    # include regex
+    body3 = {"aggs": {"t": {"terms": {"field": "event_type", "include": "c.*"}}}}
+    assert [r["key"] for r in compile_aggs(events, body3)["t"].collect()] == ["click"]
