@@ -191,6 +191,9 @@ def _compile_bucket_path(base: DataFrame, name: str, spec: dict[str, Any]) -> Da
         inc = inner0.get("include")
         if inc:
             df = df.filter(F.col("key").cast("string").rlike(f"^(?:{inc})$"))
+        exc = inner0.get("exclude")
+        if exc:
+            df = df.filter(~F.col("key").cast("string").rlike(f"^(?:{exc})$"))
         order_spec = inner0.get("order")
         if order_spec:
             ((ocol, odir),) = order_spec.items()

@@ -600,3 +600,6 @@ def test_terms_order_missing_include(events, spark):
     # include regex
     body3 = {"aggs": {"t": {"terms": {"field": "event_type", "include": "c.*"}}}}
     assert [r["key"] for r in compile_aggs(events, body3)["t"].collect()] == ["click"]
+    # exclude regex drops matching keys
+    body4 = {"aggs": {"t": {"terms": {"field": "event_type", "exclude": "c.*|v.*"}}}}
+    assert [r["key"] for r in compile_aggs(events, body4)["t"].collect()] == ["error"]
