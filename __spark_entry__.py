@@ -534,6 +534,17 @@ def q_es_global_and_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionByName(f).orderBy("agg")
 
 
+def q_stemmed_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Light plural stemming (operators/textquality.stem_token_col —
+    Harman S-stemmer, the rule set of ES's light plural stemmers) as
+    per-doc distinct raw-vs-stemmed term counts; pure column CASE +
+    regexp_replace, mirrored verbatim in SQL."""
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        stemmed_token_counts)
+
+    return stemmed_token_counts(_read(spark, sf_dir, "documents"))
+
+
 def q_es_terms_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms-agg options in one body (plans/aggs.py): `missing` bucket
     for null keys, `include` anchored-regex key filter, `order` by a
@@ -1599,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_mappings": q_runtime_mappings,
         "search_template": q_search_template,
         "phrase_suggest": q_phrase_suggest,
+        "stemmed_token_counts": q_stemmed_token_counts,
         "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
         "distance_feature": q_distance_feature,
@@ -1896,6 +1908,14 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "UNION ALL SELECT 1, '2000-8000', count(*) FROM d WHERE dm >= 2000000.0 AND dm < 8000000.0 "
             "UNION ALL SELECT 2, '8000-*', count(*) FROM d WHERE dm >= 8000000.0"
             ") ORDER BY i"))(),
+        "stemmed_token_counts": (lambda _st=__import__(
+            "fluent_plugin_elasticsearch_spark.operators.textquality",
+            fromlist=["stem_sql_expr"]).stem_sql_expr("t"): (
+            "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents) "
+            "SELECT doc_id, len(list_distinct(tk)) AS n_raw_terms, "
+            "len(list_distinct(list_transform(tk, t -> " + _st + "))) "
+            "AS n_stemmed_terms FROM toks"))(),
         "es_terms_options": """
 WITH src AS (
   SELECT CASE WHEN event_id % 7 = 0 THEN 'N/A' ELSE event_type END AS key,

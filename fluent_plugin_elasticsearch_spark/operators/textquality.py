@@ -239,3 +239,48 @@ def repetition_scores(docs: DataFrame, n: int = 3,
             .alias("top_gram_frac_u"),
         )
     )
+
+
+# --- light stemming (ES minimal_english-style plural stripping) -------------
+
+def stem_token_col(t: Column) -> Column:
+    """S-stemmer (Harman 1991 — the rule set behind ES's light plural
+    stemmers): ies→y, (s|x|z|ch|sh)es→(s|x|z|ch|sh), trailing s dropped
+    unless ss/us/is. Pure column CASE + regexp_replace — vectorized,
+    mirrored verbatim in SQL by stem_sql_expr."""
+    return (
+        F.when(t.rlike(".{2,}ies$"), F.regexp_replace(t, "ies$", "y"))
+        .when(t.rlike("(ss|us|is)$"), t)
+        .when(t.rlike("(s|x|z|ch|sh)es$"), F.regexp_replace(t, "es$", ""))
+        .when(t.rlike(".{2,}s$"), F.regexp_replace(t, "s$", ""))
+        .otherwise(t)
+    )
+
+
+def stem_sql_expr(e: str) -> str:
+    """DuckDB mirror of stem_token_col over expression `e`."""
+    return (
+        f"CASE WHEN regexp_matches({e}, '.{{2,}}ies$')"
+        f" THEN regexp_replace({e}, 'ies$', 'y')"
+        f" WHEN regexp_matches({e}, '(ss|us|is)$') THEN {e}"
+        f" WHEN regexp_matches({e}, '(s|x|z|ch|sh)es$')"
+        f" THEN regexp_replace({e}, 'es$', '')"
+        f" WHEN regexp_matches({e}, '.{{2,}}s$')"
+        f" THEN regexp_replace({e}, 's$', '')"
+        f" ELSE {e} END"
+    )
+
+
+def stemmed_token_counts(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Per-doc counts of DISTINCT stemmed terms vs raw terms — the
+    vocabulary-compression readout of the stemmer (and an oracle-gated
+    exercise of stem_token_col over a corpus). One projection + sizes,
+    no shuffle."""
+    toks = simple_tokens_col(F.col(text_col))
+    stemmed = F.transform(toks, stem_token_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.array_distinct(toks)).alias("n_raw_terms"),
+        F.size(F.array_distinct(stemmed)).alias("n_stemmed_terms"),
+    )

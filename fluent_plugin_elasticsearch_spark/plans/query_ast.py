@@ -518,6 +518,24 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         out = out.select(*id_lead)
     elif isinstance(src, list):
         out = out.select(*id_lead, *[c for c in src if c != "doc_id"])
+    elif isinstance(src, dict):
+        # ES object form: {"includes": [...], "excludes": [...]} with
+        # * / ? wildcards per pattern
+        import re as _re
+
+        def match(col: str, pats: list[str]) -> bool:
+            for p_ in pats:
+                rx = "".join(".*" if ch == "*" else "." if ch == "?"
+                             else _re.escape(ch) for ch in p_)
+                if _re.fullmatch(rx, col):
+                    return True
+            return False
+
+        inc = src.get("includes")
+        exc = src.get("excludes") or []
+        cols = [c for c in out.columns
+                if (inc is None or match(c, inc)) and not match(c, exc)]
+        out = out.select(*id_lead, *[c for c in cols if c != "doc_id"])
 
     sort_cols = []
     sort_keys: list[tuple[str, bool]] = []  # (field, ascending) for search_after

@@ -80,3 +80,27 @@ def parse_timestamps_on_read(df: DataFrame, time_key: str = "@timestamp",
     """S6 — timestamp parse on read; parse failures → quarantine DF (the
     reference emits them to an error tag, in_elasticsearch.rb:200-205)."""
     return parse_time_with_quarantine(df, time_key, fmt, out_col="event_time")
+
+
+def index_pattern_filter(df: DataFrame, pattern: str,
+                         index_col: str = "index_name") -> DataFrame:
+    """ES multi-index patterns — `logstash-2024.01.*`, `logs-a,logs-b`,
+    `logstash-*` — against the index-name column that models index
+    membership here (the reference writes date-partitioned
+    `logstash-YYYY.MM.DD` names via T5 and every Kibana query reads them
+    back through exactly these patterns, in_elasticsearch.rb:30 `index`
+    config). Comma = union of patterns; `*`/`?` ES wildcard semantics.
+    Compiles to one anchored rlike (or isin for literal lists) — both
+    pushdown-friendly, and on a table PARTITIONED by the index column the
+    literal/prefix forms prune partitions at plan time."""
+    import re as _re
+
+    parts = [p.strip() for p in pattern.split(",") if p.strip()]
+    if all("*" not in p and "?" not in p for p in parts):
+        return df.filter(F.col(index_col).isin(parts))
+    regexes = []
+    for p in parts:
+        regexes.append("".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in p))
+    return df.filter(F.col(index_col).rlike(f"^(?:{'|'.join(regexes)})$"))

@@ -438,3 +438,19 @@ def test_script_score_and_distance_feature(spark):
     # doc 4 (exactly at origin) scores boost*1.0 = 1e6, neighbors lower
     assert df[0]["doc_id"] == 4 and df[0]["score_u"] == 1000000
     assert {df[1]["doc_id"], df[2]["doc_id"]} == {3, 5}
+
+
+def test_source_includes_excludes_and_index_patterns(docs):
+    from fluent_plugin_elasticsearch_spark.sources.scan import (
+        index_pattern_filter)
+
+    out = compile_query(docs, {"_source": {"includes": ["lang", "n*"],
+                                           "excludes": ["n"]}})
+    assert out.columns == ["doc_id", "lang"]
+    out2 = compile_query(docs, {"_source": {"excludes": ["index_*"]}})
+    assert "index_name" not in out2.columns and "lang" in out2.columns
+    # index patterns over the index_name column (idx-0 / idx-1 / idx-2)
+    assert index_pattern_filter(docs, "idx-*").count() == 20
+    assert index_pattern_filter(docs, "idx-0,idx-2").count() == 13
+    assert index_pattern_filter(docs, "idx-?").count() == 20
+    assert index_pattern_filter(docs, "nope-*").count() == 0

@@ -127,3 +127,24 @@ def test_extract_udf_byte_identity_spark(spark, corpus_df):
 
     bad = corpus_df.filter(extract_text_udf(F.col("html")) != F.col("text")).count()
     assert bad == 0
+
+
+def test_s_stemmer_rules(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        stem_token_col)
+
+    cases = {
+        "ladies": "lady", "dishes": "dish", "classes": "class",
+        "boxes": "box", "churches": "church", "tables": "table",
+        "cats": "cat", "bus": "bus", "kiss": "kiss", "basis": "basis",
+        "is": "is",
+        # too short for the ies→y rule, but the generic s-rule applies
+        "ties": "tie",
+        "dog": "dog",
+    }
+    d = spark.createDataFrame([Row(w=w) for w in cases])
+    got = {r["w"]: r["s"] for r in d.select("w", stem_token_col(F.col("w")).alias("s")).collect()}
+    assert got == cases
