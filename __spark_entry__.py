@@ -534,6 +534,19 @@ def q_es_global_and_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionByName(f).orderBy("agg")
 
 
+def q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES combined_fields (operators/bm25.combined_fields_df): fields
+    scored as one blended BM25 field (shared tf/dl/df statistics — BM25F
+    with the exact weighted-concatenation reduction); field^2 boost
+    syntax through the AST."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {"query": {"combined_fields": {
+        "query": "merge src3", "fields": ["text", "source^2"]}}, "size": 20})
+    return out.select("doc_id", "score_u")
+
+
 def q_stemmed_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Light plural stemming (operators/textquality.stem_token_col —
     Harman S-stemmer, the rule set of ES's light plural stemmers) as
@@ -1610,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_mappings": q_runtime_mappings,
         "search_template": q_search_template,
         "phrase_suggest": q_phrase_suggest,
+        "combined_fields": q_combined_fields,
         "stemmed_token_counts": q_stemmed_token_counts,
         "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
@@ -1908,6 +1922,11 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "UNION ALL SELECT 1, '2000-8000', count(*) FROM d WHERE dm >= 2000000.0 AND dm < 8000000.0 "
             "UNION ALL SELECT 2, '8000-*', count(*) FROM d WHERE dm >= 8000000.0"
             ") ORDER BY i"))(),
+        "combined_fields": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.bm25",
+            fromlist=["combined_fields_sql"]).combined_fields_sql(
+                "documents", ["merge", "src3"], ["text", "source"], k=20,
+                weights={"source": 2}),
         "stemmed_token_counts": (lambda _st=__import__(
             "fluent_plugin_elasticsearch_spark.operators.textquality",
             fromlist=["stem_sql_expr"]).stem_sql_expr("t"): (

@@ -478,3 +478,55 @@ GROUP BY doc_id
 ORDER BY score_u DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def combined_fields_df(docs: DataFrame, query_terms: list[str],
+                       fields: list[str], k: int = 10,
+                       weights: dict[str, int] | None = None,
+                       id_col: str = "doc_id",
+                       k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES combined_fields (7.13+): fields scored as ONE combined field —
+    term frequencies and lengths blend across fields (BM25F with shared
+    statistics), unlike multi_match which scores per-field indexes and
+    combines afterwards.
+
+    Exact reduction: with integer per-field weights, the combined field
+    IS the weighted concatenation of the fields — tf sums across copies,
+    dl is the weighted length sum, df/avgdl come from the combined text —
+    so the single-field BM25 pipeline applies unchanged (one extra
+    projection; ES itself restricts combined_fields weights to >= 1).
+    Returns (doc_id, score_u), tie (score desc, doc_id asc)."""
+    parts: list = []
+    for f in fields:
+        w = int((weights or {}).get(f, 1))
+        if w < 1:
+            raise ValueError("combined_fields weights must be >= 1 (ES rule)")
+        parts += [F.coalesce(F.col(f).cast("string"), F.lit(""))] * w
+    combined = docs.withColumn("__combined", F.concat_ws(" ", *parts))
+    scores = bm25_scores_df(combined, query_terms, id_col, "__combined", k1, b)
+    return (
+        scores.orderBy(F.desc("score_u"), F.asc("doc_id")).limit(k)
+    )
+
+
+def combined_fields_sql(table: str, query_terms: list[str],
+                        fields: list[str], k: int = 10,
+                        weights: dict[str, int] | None = None,
+                        id_col: str = "doc_id",
+                        k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of combined_fields_df (same weighted concatenation
+    into the single-field quantized-score pipeline)."""
+    from .relevance_sql_shim import scores_cte  # local import, see shim
+
+    parts: list[str] = []
+    for f in fields:
+        w = int((weights or {}).get(f, 1))
+        parts += [f"coalesce(CAST({f} AS VARCHAR), '')"] * w
+    combined = "concat_ws(' ', " + ", ".join(parts) + ")"
+    cte = scores_cte(0, table, combined, query_terms, id_col, k1, b)
+    return f"""
+WITH {cte}
+SELECT doc_id, s_0 AS score_u FROM q0_scores
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""

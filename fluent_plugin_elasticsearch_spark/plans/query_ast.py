@@ -428,6 +428,30 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score_u"), F.asc("doc_id")
         )
 
+    if query and "combined_fields" in query:
+        # ES combined_fields: fields blended into ONE BM25 field (shared
+        # statistics) — see operators/bm25.combined_fields_df
+        from ..operators.bm25 import combined_fields_df
+        from ..textproc import tokenize_simple
+
+        spec = query["combined_fields"]
+        fields = []
+        weights = {}
+        for f in spec["fields"]:
+            if "^" in f:
+                name, w = f.split("^", 1)
+                fields.append(name)
+                weights[name] = int(float(w))
+            else:
+                fields.append(f)
+        topk = combined_fields_df(docs, tokenize_simple(spec["query"]),
+                                  fields, k=size or 10, weights=weights)
+        if min_score is not None:
+            topk = topk.filter(F.col("score_u") >= int(float(min_score) * 1e6))
+        return docs.join(F.broadcast(topk), "doc_id").orderBy(
+            F.desc("score_u"), F.asc("doc_id")
+        )
+
     if query and "query_string" in query:
         from ..operators.bm25 import query_string_df
 

@@ -296,3 +296,25 @@ def test_phrase_suggest(docs, duck):
     by_pos = {g[0]: g for g in got}
     assert by_pos[0][2] == "quick"      # quik → quick
     assert by_pos[2][2] == "merge" and by_pos[2][3] == 0  # exact stays
+
+
+def test_combined_fields_blends_statistics(docs, duck):
+    from fluent_plugin_elasticsearch_spark.operators.bm25 import (
+        combined_fields_df, combined_fields_sql, multi_match_df)
+
+    got = [(r["doc_id"], r["score_u"]) for r in combined_fields_df(
+        docs, ["quick", "en"], ["text", "lang"], k=8).collect()]
+    want = [(int(a), int(b)) for a, b in duck.sql(combined_fields_sql(
+        "docs", ["quick", "en"], ["text", "lang"], k=8)).fetchall()]
+    assert got == want
+    # shared statistics ≠ per-field combination: a doc matching only via
+    # 'lang' still scores (blended df), and scores differ from most_fields
+    mm = {r["doc_id"]: r["score_u"] for r in multi_match_df(
+        docs, ["quick", "en"], ["text", "lang"], k=8,
+        match_type="most_fields").collect()}
+    cf = dict(got)
+    assert cf and any(cf.get(d) != mm.get(d) for d in cf)
+    # weight floor enforced like ES
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        combined_fields_df(docs, ["quick"], ["text"], weights={"text": 0})
