@@ -66,8 +66,12 @@ def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
         return col("doc_id").isin([int(v) for v in body["values"]])
     if kind == "term":
         ((field, value),) = body.items()
+        ci = False
         if isinstance(value, dict):
+            ci = bool(value.get("case_insensitive"))
             value = value["value"]
+        if ci:  # ES 7.10+ term option
+            return F.lower(col(field)) == F.lit(str(value).lower())
         return col(field) == F.lit(value)
     if kind == "range":
         ((field, conds),) = body.items()
@@ -88,12 +92,18 @@ def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
         return col(field).isin(list(values))
     if kind == "prefix":  # {"prefix": {"field": "val"}} or {"field": {"value": v}}
         ((field, value),) = body.items()
+        ci = False
         if isinstance(value, dict):
+            ci = bool(value.get("case_insensitive"))
             value = value["value"]
+        if ci:
+            return F.lower(col(field)).startswith(str(value).lower())
         return col(field).startswith(str(value))
     if kind == "wildcard":  # ES wildcard: * = any run, ? = any single char
         ((field, value),) = body.items()
+        ci = False
         if isinstance(value, dict):
+            ci = bool(value.get("case_insensitive"))
             value = value["value"]
         import re as _re
 
@@ -101,6 +111,8 @@ def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
             ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
             for ch in str(value)
         ) + "$"
+        if ci:
+            return F.lower(col(field)).rlike(pat.lower())
         return col(field).rlike(pat)
     if kind == "fuzzy":  # {"fuzzy": {"field": {"value": v, "fuzziness": n}}}
         ((field, spec),) = body.items()

@@ -454,3 +454,16 @@ def test_source_includes_excludes_and_index_patterns(docs):
     assert index_pattern_filter(docs, "idx-0,idx-2").count() == 13
     assert index_pattern_filter(docs, "idx-?").count() == 20
     assert index_pattern_filter(docs, "nope-*").count() == 0
+
+
+def test_case_insensitive_term_prefix_wildcard(spark):
+    rows = [Row(doc_id=0, tag="Alpha"), Row(doc_id=1, tag="ALPHA"),
+            Row(doc_id=2, tag="beta"), Row(doc_id=3, tag="AlphaBet")]
+    d = spark.createDataFrame(rows)
+    q = lambda body: sorted(  # noqa: E731
+        r["doc_id"] for r in compile_query(d, {"query": body}).collect())
+    assert q({"term": {"tag": {"value": "alpha", "case_insensitive": True}}}) == [0, 1]
+    assert q({"term": {"tag": {"value": "alpha"}}}) == []
+    assert q({"prefix": {"tag": {"value": "alpha", "case_insensitive": True}}}) == [0, 1, 3]
+    assert q({"wildcard": {"tag": {"value": "*bet", "case_insensitive": True}}}) == [3]
+    assert q({"wildcard": {"tag": {"value": "*bet"}}}) == []
