@@ -845,6 +845,54 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), "merge", "window", slop=2, k=20)
 
 
+def q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_or over single-term clauses (relevance.span_or_df): any
+    occurrence of any clause term, span-contract scoring."""
+    return _rel.span_or_df(
+        _read(spark, sf_dir, "documents"), ["merge", "window"], k=20)
+
+
+def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_not (relevance.span_not_df): 'merge' occurrences not within
+    2 tokens of a 'window' occurrence."""
+    return _rel.span_not_df(
+        _read(spark, sf_dir, "documents"), "merge", "window", pre=2, post=2, k=20)
+
+
+def q_intervals_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals `match` rule, ordered, 3 terms, max_gaps=10
+    (relevance.intervals_match_df — nested JVM exists-chains)."""
+    return _rel.intervals_match_df(
+        _read(spark, sf_dir, "documents"), ["merge", "group", "filter"],
+        max_gaps=10, ordered=True, k=20)
+
+
+def q_intervals_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals `match` rule, unordered pair, max_gaps=2."""
+    return _rel.intervals_match_df(
+        _read(spark, sf_dir, "documents"), ["hash", "table"],
+        max_gaps=2, ordered=False, k=20)
+
+
+def q_hybrid_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 hybrid search: knn + multi_match in one body, additive score
+    combination over the union of both top-k hit sets
+    (plans/query_ast.compile_query knn branch)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents").join(
+        _read(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id"),
+        "doc_id")
+    body = {
+        "query": {"multi_match": {"query": "fast table src1",
+                                  "fields": ["text", "source"]}},
+        "knn": {"field": "embedding", "query_vector": [1.0] * 64,
+                "k": 10, "boost": 0.5},
+        "size": 10,
+    }
+    return compile_query(docs, body).select("doc_id", "score_u")
+
+
 def q_es_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES pipeline aggregations over a date_histogram series: derivative,
     cumulative_sum, trailing moving_fn(avg, 2), bucket_script ratio —
@@ -1647,6 +1695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent": q_has_parent,
         "children_agg": q_children_agg,
         "span_near": q_span_near,
+        "span_or": q_span_or,
+        "span_not": q_span_not,
+        "intervals_ordered": q_intervals_ordered,
+        "intervals_unordered": q_intervals_unordered,
+        "hybrid_knn_query": q_hybrid_knn_query,
         "es_pipeline_aggs": q_es_pipeline_aggs,
         "terms_lookup": q_terms_lookup,
         "pq_ann_topk": q_pq_ann_topk,
@@ -1786,6 +1839,32 @@ SELECT doc_id, lang, CAST(2500000 AS BIGINT) AS score_u
 FROM documents WHERE lang = 'en' ORDER BY doc_id ASC LIMIT 200
 """,
         "span_near": _rel.span_near_sql("documents", "merge", "window", slop=2, k=20),
+        "span_or": _rel.span_or_sql("documents", ["merge", "window"], k=20),
+        "span_not": _rel.span_not_sql("documents", "merge", "window", pre=2, post=2, k=20),
+        "intervals_ordered": _rel.intervals_match_sql(
+            "documents", ["merge", "group", "filter"], max_gaps=10, ordered=True, k=20),
+        "intervals_unordered": _rel.intervals_match_sql(
+            "documents", ["hash", "table"], max_gaps=2, ordered=False, k=20),
+        "hybrid_knn_query": f"""
+WITH q AS ({multi_match_sql("documents", ["fast", "table", "src1"],
+                            ["text", "source"], k=10, match_type="best_fields")}),
+qv AS (SELECT [{", ".join(["1.0"] * 64)}]::DOUBLE[] AS v),
+cos AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(embedding::DOUBLE[], qv.v)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv.v, qv.v))) AS cosine
+  FROM embeddings CROSS JOIN qv
+  ORDER BY cosine DESC, doc_id ASC LIMIT 10
+),
+knn AS (
+  SELECT doc_id, CAST(floor(cosine * 1e6 * 0.5) AS BIGINT) AS knn_u FROM cos
+)
+SELECT coalesce(q.doc_id, knn.doc_id) AS doc_id,
+       CAST(coalesce(q.score_u, 0) + coalesce(knn.knn_u, 0) AS BIGINT) AS score_u
+FROM q FULL OUTER JOIN knn ON q.doc_id = knn.doc_id
+ORDER BY score_u DESC, doc_id ASC LIMIT 10
+""",
         "es_pipeline_aggs": """
 WITH b AS (
   SELECT date_trunc('day', ts) AS key, count(*) AS doc_count,

@@ -871,3 +871,270 @@ ranked AS (
 SELECT pos, input_term, suggestion, distance, df FROM ranked
 WHERE r = 1 ORDER BY pos
 """
+
+
+def _span_score(matched: DataFrame, toks: DataFrame, terms: list[str],
+                k: int, k1: float, b: float) -> DataFrame:
+    """Shared span scorer: BM25 with tf = span freq and idf summed over
+    the clause terms (the span_near/match_phrase contract). `matched` is
+    (doc_id, dl, sf) with sf > 0."""
+    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    df_all = None
+    for i, t in enumerate(terms):
+        d = toks.select(F.sum(F.when(F.array_contains("tokens", t), 1).otherwise(0))
+                        .alias(f"df{i}"))
+        df_all = d if df_all is None else df_all.crossJoin(d)
+    scored = matched.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(df_all))
+    idf_sum = None
+    for i in range(len(terms)):
+        idf_i = F.log(1.0 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5))
+        idf_sum = idf_i if idf_sum is None else idf_sum + idf_i
+    score = (
+        idf_sum * (k1 + 1.0) * F.col("sf")
+        / (F.col("sf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.select("doc_id", F.floor(score * 1e6).cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _span_idf_sql(terms: list[str], k1: float, b: float, k: int) -> str:
+    """Shared SQL tail for the span scorers: dfs CTE + final SELECT.
+    Expects CTEs `toks`, `stats`, `matched(doc_id, dl, sf)`."""
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(tokens, {lit(t)}) THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms))
+    idf = " + ".join(
+        f"ln(1.0 + (s.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+        for i in range(len(terms)))
+    return f"""
+dfs AS (SELECT {dfs} FROM toks)
+SELECT m.doc_id,
+       CAST(floor(({idf})
+            * {k1 + 1.0} * m.sf
+            / (m.sf + {k1} * (1.0 - {b} + {b} * m.dl / s.avgdl)) * 1e6) AS BIGINT) AS score_u
+FROM matched m CROSS JOIN stats s CROSS JOIN dfs d
+WHERE m.sf > 0
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def span_or_df(docs: DataFrame, terms: list[str], k: int = 10,
+               id_col: str = "doc_id", text_col: str = "text",
+               k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES span_or over single-term clauses (Lucene SpanOrQuery): matches
+    any occurrence of any clause term. Span frequency = total occurrences
+    of ANY of the terms; scoring = the span contract (_span_score: tf =
+    span freq, idf summed over clause terms). Reference forwards span
+    bodies verbatim (in_elasticsearch.rb query passthrough); the whole
+    match is JVM higher-order functions, no Python. Returns
+    (doc_id, score_u)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    sf = F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(term_arr, t)))
+    matched = (
+        toks.withColumn("sf", sf)
+        .filter(F.col("sf") > 0)
+        .select("doc_id", F.size("tokens").alias("dl"), "sf")
+    )
+    return _span_score(matched, toks, terms, k, k1, b)
+
+
+def span_or_sql(table: str, terms: list[str], k: int = 10,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of span_or_df."""
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    toks = _TOKS_SQL.format(col=text_col)
+    arr = "[" + ", ".join(lit(t) for t in terms) + "]"
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+matched AS (
+  SELECT doc_id, len(tokens) AS dl,
+         len(list_filter(tokens, t -> list_contains({arr}, t))) AS sf
+  FROM toks
+),
+{_span_idf_sql(terms, k1, b, k)}
+"""
+
+
+def span_not_df(docs: DataFrame, include: str, exclude: str,
+                pre: int = 0, post: int = 0, k: int = 10,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES span_not (Lucene SpanNotQuery), single-term include/exclude:
+    occurrences of `include` that are NOT within `pre` tokens after an
+    `exclude` occurrence nor `post` tokens before one — i.e. reject
+    position p when an exclude position q satisfies p-pre <= q <= p+post.
+    Span frequency = surviving positions; span-contract scoring on the
+    include term. Returns (doc_id, score_u)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    idx_seq = F.when(
+        F.size("tokens") >= 1, F.sequence(F.lit(1), F.size("tokens"))
+    ).otherwise(F.array().cast("array<int>"))
+    pos_i = F.filter(idx_seq, lambda i: F.element_at(F.col("tokens"), i) == F.lit(include))
+    pos_x = F.filter(idx_seq, lambda i: F.element_at(F.col("tokens"), i) == F.lit(exclude))
+    base = toks.withColumn("pi", pos_i).withColumn("px", pos_x)
+    sf = F.size(F.filter(
+        F.col("pi"),
+        lambda p: ~F.exists(F.col("px"),
+                            lambda q: (q >= p - pre) & (q <= p + post)),
+    ))
+    matched = (
+        base.withColumn("sf", F.when(F.size("pi") > 0, sf).otherwise(F.lit(0)))
+        .filter(F.col("sf") > 0)
+        .select("doc_id", F.size("tokens").alias("dl"), "sf")
+    )
+    return _span_score(matched, toks, [include], k, k1, b)
+
+
+def span_not_sql(table: str, include: str, exclude: str,
+                 pre: int = 0, post: int = 0, k: int = 10,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of span_not_df."""
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    toks = _TOKS_SQL.format(col=text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+pos AS (
+  SELECT doc_id, len(tokens) AS dl,
+         list_filter(generate_series(1, len(tokens)), i -> tokens[i] = {lit(include)}) AS pi,
+         list_filter(generate_series(1, len(tokens)), i -> tokens[i] = {lit(exclude)}) AS px
+  FROM toks
+),
+matched AS (
+  SELECT doc_id, dl,
+         len(list_filter(pi, p -> len(list_filter(px,
+             q -> q >= p - {pre} AND q <= p + {post})) = 0)) AS sf
+  FROM pos
+),
+{_span_idf_sql([include], k1, b, k)}
+"""
+
+
+def intervals_match_df(docs: DataFrame, terms: list[str], max_gaps: int = -1,
+                       ordered: bool = False, k: int = 10,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES intervals query, `match` rule: an interval containing one
+    occurrence of EACH term with at most `max_gaps` non-query tokens
+    inside it (max_gaps=-1 → unbounded), optionally in query order.
+
+    ordered, n terms:   increasing positions q1<…<qn with
+                        (qn-q1+1) - n <= max_gaps; span freq counts the
+                        anchor (last-term) positions that complete a chain.
+    unordered, 2 terms: |p2-p1| - 1 <= max_gaps, anchored on the second
+                        term's positions. (Unordered n>2 — minimal-interval
+                        enumeration — raises UnsupportedQuery: a silent
+                        approximation would mis-score.)
+
+    Entirely JVM nested higher-order functions (exists-chains close over
+    the outer lambda's position variable); span-contract scoring (tf =
+    span freq, idf summed over terms). Returns (doc_id, score_u)."""
+    from ..plans.query_ast import UnsupportedQuery
+
+    n = len(terms)
+    if n < 2:
+        raise UnsupportedQuery("intervals match needs >= 2 terms")
+    if not ordered and n > 2:
+        raise UnsupportedQuery("unordered intervals support exactly 2 terms")
+    mg = int(max_gaps)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    idx_seq = F.when(
+        F.size("tokens") >= 1, F.sequence(F.lit(1), F.size("tokens"))
+    ).otherwise(F.array().cast("array<int>"))
+    base = toks
+
+    def _pos_pred(term):
+        # factory, NOT a default-arg lambda: a 2-parameter function would
+        # be treated by F.filter as its (element, index) form
+        return lambda j: F.element_at(F.col("tokens"), j) == F.lit(term)
+
+    for i, t in enumerate(terms):
+        base = base.withColumn(f"p{i}", F.filter(idx_seq, _pos_pred(t)))
+    if not ordered:
+        sf = F.size(F.filter(
+            F.col("p1"),
+            lambda b2: F.exists(F.col("p0"),
+                                lambda a: (b2 != a) if mg < 0
+                                else (F.abs(b2 - a) - 1 <= mg) & (b2 != a)),
+        ))
+    else:
+        def chain(i, prev, anchor):
+            # exists q in p_i with q < prev (order) and, at the first term,
+            # the whole-interval gap bound (intermediates lie inside it)
+            if i == 0:
+                if mg < 0:
+                    return F.exists(F.col("p0"), lambda q: q < prev)
+                return F.exists(F.col("p0"),
+                                lambda q: (q < prev) & (anchor - q + 1 - n <= mg))
+            return F.exists(F.col(f"p{i}"),
+                            lambda q: (q < prev) & chain(i - 1, q, anchor))
+
+        sf = F.size(F.filter(F.col(f"p{n - 1}"),
+                             lambda a: chain(n - 2, a, a)))
+    matched = (
+        base.withColumn("sf", F.when(F.size(f"p{n - 1}") > 0, sf).otherwise(F.lit(0)))
+        .filter(F.col("sf") > 0)
+        .select("doc_id", F.size("tokens").alias("dl"), "sf")
+    )
+    return _span_score(matched, toks, terms, k, k1, b)
+
+
+def intervals_match_sql(table: str, terms: list[str], max_gaps: int = -1,
+                        ordered: bool = False, k: int = 10,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of intervals_match_df (same nested-closure chains)."""
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    toks = _TOKS_SQL.format(col=text_col)
+    n = len(terms)
+    mg = int(max_gaps)
+    pos_cols = ",\n         ".join(
+        f"list_filter(generate_series(1, len(tokens)), i -> tokens[i] = {lit(t)}) AS p{i}"
+        for i, t in enumerate(terms))
+    if not ordered:
+        gap = "TRUE" if mg < 0 else f"abs(b2 - a) - 1 <= {mg}"
+        sf = (f"len(list_filter(p1, b2 -> len(list_filter(p0,"
+              f" a -> b2 != a AND {gap})) > 0))")
+    else:
+        def chain(i, prev, anchor):
+            if i == 0:
+                gap = "TRUE" if mg < 0 else f"{anchor} - q0 + 1 - {n} <= {mg}"
+                return f"len(list_filter(p0, q0 -> q0 < {prev} AND {gap})) > 0"
+            return (f"len(list_filter(p{i}, q{i} -> q{i} < {prev}"
+                    f" AND {chain(i - 1, f'q{i}', anchor)})) > 0")
+
+        sf = f"len(list_filter(p{n - 1}, a -> {chain(n - 2, 'a', 'a')}))"
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+pos AS (
+  SELECT doc_id, len(tokens) AS dl,
+         {pos_cols}
+  FROM toks
+),
+matched AS (
+  SELECT doc_id, dl, {sf} AS sf
+  FROM pos
+),
+{_span_idf_sql(terms, k1, b, k)}
+"""

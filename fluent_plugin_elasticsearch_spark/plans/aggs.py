@@ -347,7 +347,15 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                 and inner.get("min_doc_count", 1) == 0
                 and not any(next(iter(k for k in s if k != "aggs"))
                             in _BUCKET_KINDS for s in (sub or {}).values())):
-            out[name] = _gap_filled_histogram(base, kind, inner, sub)
+            # pipeline subs (derivative over a gap-filled series is THE
+            # canonical ES pairing with min_doc_count:0) run over the
+            # filled bucket frame, not inside the groupBy (ADVICE r4)
+            gf_pipes = {n: s for n, s in (sub or {}).items()
+                        if next(iter(s)) in _PIPELINE_KINDS}
+            gf_plain = {n: s for n, s in (sub or {}).items() if n not in gf_pipes}
+            filled = _gap_filled_histogram(base, kind, inner, gf_plain)
+            out[name] = (_apply_pipeline_aggs(filled, gf_pipes)
+                         if gf_pipes else filled)
             continue
         if kind in _BUCKET_KINDS:
             th = {n: s for n, s in (sub or {}).items() if next(iter(s)) == "top_hits"}
@@ -544,6 +552,8 @@ def _apply_pipeline_aggs(df: DataFrame, pipes: dict[str, Any]) -> DataFrame:
     for pname, spec in pipes.items():
         ((pk, ps),) = spec.items()
         path = ps.get("buckets_path")
+        if path == "_count":  # ES alias for the bucket's own doc count
+            path = "doc_count"
         if pk == "derivative":
             df = df.withColumn(pname, F.col(path) - F.lag(path, 1).over(w))
         elif pk == "serial_diff":

@@ -81,7 +81,10 @@ def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
         for op, v in conds.items():
             if op not in ops:  # format/time_zone/boost/_now — not bounds
                 continue
-            if isinstance(v, str) and ("now" in v or "||" in v):
+            # date-math only when the string matches resolve_date_math's own
+            # anchor grammar — a bare substring test would misroute plain
+            # string bounds like {"gte": "knowledge"} (ADVICE r4)
+            if isinstance(v, str) and (v.startswith("now") or "||" in v):
                 v = resolve_date_math(v, now=now)
             c = c & getattr(col(field), ops[op])(F.lit(v))
         return c
@@ -370,13 +373,18 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         # query); at scale swap in the LSH/IVF variants behind the same
         # contract. The knn-level "filter" is ES's PRE-filter: compiled and
         # applied to the candidate set before the top-k, so k survivors are
-        # returned. Hybrid knn+query score combination and explicit sort
-        # over knn hits are NOT implemented — raise instead of silently
-        # returning unfiltered/unsorted results.
+        # returned. Hybrid knn+query (ES 8.4+ additive score combination)
+        # is supported when the query section is a SELF-CONTAINED scorer
+        # (multi_match / combined_fields / query_string — each returns a
+        # quantized score_u with a DuckDB-mirrorable formula); other query
+        # kinds raise instead of silently dropping the query section.
         if query:
-            raise UnsupportedQuery(
-                "knn combined with a query section (hybrid scoring) is not"
-                " supported; use knn.filter for pre-filtering")
+            _HYBRID_OK = {"multi_match", "combined_fields", "query_string"}
+            if not set(query) <= _HYBRID_OK:
+                raise UnsupportedQuery(
+                    "hybrid knn+query supports only self-contained scorers"
+                    f" {sorted(_HYBRID_OK)}; got {sorted(query)} — use"
+                    " knn.filter for pre-filtering")
         if body.get("sort"):
             raise UnsupportedQuery("knn results are score-ordered; explicit sort unsupported")
         from ..operators.similarity import cosine_topk
@@ -391,6 +399,25 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         qdf = spark.createDataFrame([(0, qv)], f"query_id long, {field} array<double>")
         emb = cand.withColumn(field, F.transform(field, lambda x: x.cast("double")))
         top = cosine_topk(emb, qdf, k=k, id_col="doc_id", vec_col=field)
+        if query:
+            # additive hybrid: score = query score_u + floor(cosine·boost·1e6)
+            # over the UNION of the two top-k hit sets (both bounded,
+            # broadcast-sized frames), final `size` cut after combination
+            n = int(size or 10)
+            knn_boost = float(spec.get("boost", 1.0))
+            knn_scores = top.select(
+                F.col("vec_id").alias("doc_id"),
+                F.floor(F.col("cosine") * 1e6 * knn_boost).cast("long").alias("knn_u"))
+            q_scores = (compile_query(docs, {"query": query, "size": n}, index=index)
+                        .select("doc_id", F.col("score_u").alias("q_u")))
+            combined = (
+                q_scores.join(knn_scores, "doc_id", "full_outer")
+                .select("doc_id",
+                        (F.coalesce(F.col("q_u"), F.lit(0))
+                         + F.coalesce(F.col("knn_u"), F.lit(0))).alias("score_u"))
+                .orderBy(F.desc("score_u"), F.asc("doc_id")).limit(n))
+            return docs.join(F.broadcast(combined), "doc_id").orderBy(
+                F.desc("score_u"), F.asc("doc_id"))
         out = (
             cand.join(F.broadcast(top.select(F.col("vec_id").alias("doc_id"), "cosine", "rank")), "doc_id")
             .orderBy("rank")
@@ -519,6 +546,11 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             import datetime as _dt
 
             o = _dt.datetime.fromisoformat(origin)
+            if o.tzinfo is None:  # anchor naive origins in UTC — the field
+                # side (cast('timestamp').cast('double')) and the DuckDB
+                # oracle are UTC epoch; a local-tz .timestamp() would shift
+                # every score by the driver's offset (ADVICE r4)
+                o = o.replace(tzinfo=_dt.timezone.utc)
             dist = F.abs(F.col(field).cast("timestamp").cast("double")
                          - F.lit(o.timestamp()))
             unit_s = {"s": 1, "m": 60, "h": 3600, "d": 86400}

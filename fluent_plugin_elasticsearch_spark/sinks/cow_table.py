@@ -32,6 +32,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,13 +82,23 @@ class CowTable:
         return F.pmod(F.xxhash64(F.col(self.id_col).cast("string")),
                       F.lit(self.n_buckets)).cast("int")
 
-    def _gen_dir(self, gen: int) -> str:
-        return os.path.join(self.path, "data", f"gen={gen}")
+    def _new_gen_rel(self, gen: int) -> str:
+        """Unique staging dir per write ATTEMPT, not per generation number.
 
-    def _write_buckets(self, df: DataFrame, gen: int) -> None:
+        A deterministic ``gen=N`` dir is unsafe under retry: if a writer
+        crashes between the parquet write and the manifest swap, a
+        redelivered micro-batch (foreachBatch effectively-once) recomputes
+        the same N and ``mode('append')`` would duplicate every row in the
+        touched buckets.  A fresh uuid token per attempt makes the write
+        idempotent — the crashed attempt's dir is an orphan no manifest
+        names, swept by ``vacuum``.
+        """
+        return os.path.join("data", f"gen={gen}-{uuid.uuid4().hex[:12]}")
+
+    def _write_buckets(self, df: DataFrame, gen_rel: str) -> None:
         """Write df (with __bucket) partitioned by bucket into gen dir."""
         (df.write.mode("append").partitionBy("__bucket")
-         .parquet(self._gen_dir(gen)))
+         .parquet(os.path.join(self.path, gen_rel)))
 
     # --- API --------------------------------------------------------------
 
@@ -98,11 +109,12 @@ class CowTable:
         os.makedirs(self.path, exist_ok=True)
         df = dedup_latest(df, self.id_col)
         tagged = df.withColumn("__bucket", self._bucket_col())
-        self._write_buckets(tagged, 0)
+        gen_rel = self._new_gen_rel(0)
+        self._write_buckets(tagged, gen_rel)
         m = {
             "id_col": self.id_col, "n_buckets": self.n_buckets,
             "generation": 0, "columns": df.columns,
-            "buckets": {str(b): f"data/gen=0/__bucket={b}"
+            "buckets": {str(b): f"{gen_rel}/__bucket={b}"
                         for b in range(self.n_buckets)},
             "retired": [],
             "updated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -136,17 +148,34 @@ class CowTable:
         batch = dedup_latest(batch.select(*m["columns"]), self.id_col)
         touched = self._touched_buckets(batch)
         if not touched:
-            return m
+            # stable return shape for stats.update() callers (ADVICE r4)
+            return {"generation": m["generation"], "touched_buckets": []}
         gen = m["generation"] + 1
+        gen_rel = self._new_gen_rel(gen)
         current = self.read(buckets=touched)
         keep = current.join(batch.select(self.id_col), self.id_col, "left_anti")
         merged = keep.unionByName(batch) if insert_missing else keep.unionByName(
             batch.join(current.select(self.id_col), self.id_col, "left_semi"))
         self._write_buckets(
-            merged.withColumn("__bucket", self._bucket_col()), gen)
+            merged.withColumn("__bucket", self._bucket_col()), gen_rel)
         retired = [m["buckets"][str(b)] for b in touched]
         for b in touched:
-            m["buckets"][str(b)] = f"data/gen={gen}/__bucket={b}"
+            m["buckets"][str(b)] = f"{gen_rel}/__bucket={b}"
+        m["generation"] = gen
+        m["retired"] = m.get("retired", []) + retired
+        m["updated_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        self._swap_manifest(m)
+        return {"generation": gen, "touched_buckets": touched}
+
+    def _rewrite_touched(self, m: dict, touched: list[int],
+                         survivors: DataFrame) -> dict:
+        gen = m["generation"] + 1
+        gen_rel = self._new_gen_rel(gen)
+        self._write_buckets(
+            survivors.withColumn("__bucket", self._bucket_col()), gen_rel)
+        retired = [m["buckets"][str(b)] for b in touched]
+        for b in touched:
+            m["buckets"][str(b)] = f"{gen_rel}/__bucket={b}"
         m["generation"] = gen
         m["retired"] = m.get("retired", []) + retired
         m["updated_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
@@ -155,30 +184,61 @@ class CowTable:
 
     def delete_where(self, predicate) -> dict:
         """DELETE FROM … WHERE predicate — rewrites only buckets that
-        contain at least one matching row (one pruned scan finds them)."""
+        contain at least one matching row.  The find-hits scan reads all
+        buckets (an arbitrary predicate can match anywhere); when deleting
+        by id, use :meth:`delete_ids`, which prunes the scan itself."""
         m = self._load_manifest()
         hit_rows = (self.read().filter(predicate)
                     .select(self._bucket_col().alias("__b")).distinct().collect())
         touched = sorted(r["__b"] for r in hit_rows)
         if not touched:
             return {"generation": m["generation"], "touched_buckets": []}
-        gen = m["generation"] + 1
         survivors = self.read(buckets=touched).filter(~F.coalesce(predicate, F.lit(False)))
+        return self._rewrite_touched(m, touched, survivors)
+
+    def delete_ids(self, ids: list) -> dict:
+        """DELETE by id list.  The bucket of every id is known from the
+        hash alone, so ONLY touched buckets are scanned — no full-table
+        find-hits pass (closes the delete_where scan seam for the common
+        ES delete-by-_id case, ``out_elasticsearch.rb`` op ``delete``)."""
+        m = self._load_manifest()
+        if not ids:
+            return {"generation": m["generation"], "touched_buckets": []}
+        id_df = self.spark.createDataFrame(
+            [(str(i),) for i in ids], f"`{self.id_col}` string")
+        touched = self._touched_buckets(id_df)
+        survivors = self.read(buckets=touched).join(
+            F.broadcast(id_df), self.id_col, "left_anti")
+        return self._rewrite_touched(m, touched, survivors)
+
+    def compact(self, target_buckets: int | None = None) -> dict:
+        """Rewrite EVERY bucket into one fresh generation — coalesces the
+        per-generation file fragments that accrue under many small
+        upserts (Iceberg's rewrite_data_files).  ``target_buckets``
+        re-buckets the table (e.g. widen 16 → 512 as it grows)."""
+        m = self._load_manifest()
+        all_rows = self.read()
+        retired = list(m["buckets"].values())  # every old dir is replaced
+        if target_buckets is not None:
+            self.n_buckets = target_buckets
+            m["n_buckets"] = target_buckets
+        gen = m["generation"] + 1
+        gen_rel = self._new_gen_rel(gen)
         self._write_buckets(
-            survivors.withColumn("__bucket", self._bucket_col()), gen)
-        retired = [m["buckets"][str(b)] for b in touched]
-        for b in touched:
-            m["buckets"][str(b)] = f"data/gen={gen}/__bucket={b}"
+            all_rows.withColumn("__bucket", self._bucket_col()), gen_rel)
+        m["buckets"] = {str(b): f"{gen_rel}/__bucket={b}"
+                        for b in range(self.n_buckets)}
         m["generation"] = gen
         m["retired"] = m.get("retired", []) + retired
         m["updated_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         self._swap_manifest(m)
-        return {"generation": gen, "touched_buckets": touched}
+        return {"generation": gen, "touched_buckets": list(range(self.n_buckets))}
 
     def vacuum(self) -> int:
-        """Drop retired generation directories (breaks snapshot isolation
-        for still-running readers of OLD snapshots — call when quiesced,
-        like Iceberg's expire_snapshots)."""
+        """Drop retired generation directories AND orphan staging dirs
+        (crashed write attempts whose manifest swap never happened).
+        Breaks snapshot isolation for still-running readers of OLD
+        snapshots — call when quiesced, like Iceberg's expire_snapshots."""
         m = self._load_manifest()
         n = 0
         live = set(m["buckets"].values())
@@ -189,6 +249,15 @@ class CowTable:
             if os.path.exists(p):
                 shutil.rmtree(p)
                 n += 1
+        # orphan sweep: any data/gen=* dir no live bucket points into
+        live_gen_dirs = {rel.split("/__bucket=")[0] for rel in live}
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for name in os.listdir(data_root):
+                rel = os.path.join("data", name)
+                if rel not in live_gen_dirs:
+                    shutil.rmtree(os.path.join(data_root, name))
+                    n += 1
         m["retired"] = []
         self._swap_manifest(m)
         return n

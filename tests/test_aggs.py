@@ -603,3 +603,32 @@ def test_terms_order_missing_include(events, spark):
     # exclude regex drops matching keys
     body4 = {"aggs": {"t": {"terms": {"field": "event_type", "exclude": "c.*|v.*"}}}}
     assert [r["key"] for r in compile_aggs(events, body4)["t"].collect()] == ["error"]
+
+
+def test_gap_filled_histogram_with_pipeline_sub(events):
+    """ADVICE r4 (medium): derivative under min_doc_count:0 — the canonical
+    ES pairing — must gap-fill THEN differentiate over the filled series."""
+    body = {"query": {"term": {"event_type": "error"}},
+            "aggs": {"d": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day",
+                                   "min_doc_count": 0},
+                "aggs": {"diff": {"derivative": {"buckets_path": "_count"}}}}}}
+    rows = compile_aggs(events, body)["d"].collect()
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys)
+    assert len(keys) == (keys[-1] - keys[0]).days + 1  # dense axis preserved
+    assert rows[0]["diff"] is None  # first bucket has no predecessor
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["diff"] == cur["doc_count"] - prev["doc_count"]
+    # metric sub-agg + pipeline over it also composes on the filled frame
+    body2 = {"query": {"term": {"event_type": "error"}},
+             "aggs": {"d": {
+                 "date_histogram": {"field": "ts", "calendar_interval": "day",
+                                    "min_doc_count": 0},
+                 "aggs": {"v_sum": {"sum": {"field": "value"}},
+                          "cum": {"cumulative_sum": {"buckets_path": "v_sum"}}}}}}
+    rows2 = compile_aggs(events, body2)["d"].collect()
+    running = 0.0
+    for r in rows2:
+        running += r["v_sum"] or 0.0
+        assert abs((r["cum"] or running) - running) < 1e-9

@@ -111,3 +111,66 @@ def test_ingest_pipeline_cow_sink(spark, tmp_path):
     assert len(rows) == 11  # 10 originals + 1 new, u1 replaced not duplicated
     with pytest.raises(ValueError):
         IngestPipeline(str(tmp_path / "x"), table_format="cow")  # no id_keys
+
+
+def test_retry_after_crash_does_not_duplicate(spark, tmp_path):
+    """ADVICE r4 (medium): a crashed attempt (parquet written, manifest NOT
+    swapped) followed by a redelivered retry must not duplicate rows."""
+    t, _ = _mk(spark, tmp_path, n=50, n_buckets=4)
+    batch = spark.createDataFrame([Row(doc_id=5, v="RETRY", n=55)])
+    # simulate the crash: do the data write exactly as upsert would,
+    # but never swap the manifest
+    m = t._load_manifest()
+    gen_rel = t._new_gen_rel(m["generation"] + 1)
+    touched = t._touched_buckets(batch)
+    current = t.read(buckets=touched)
+    keep = current.join(batch.select("doc_id"), "doc_id", "left_anti")
+    t._write_buckets(keep.unionByName(batch).withColumn("__bucket", t._bucket_col()),
+                     gen_rel)
+    # redelivery: the real upsert runs; unique staging dir → no collision
+    t.upsert(batch)
+    rows = t.read().collect()
+    assert len(rows) == 50  # no duplicates
+    assert {r["v"] for r in rows if r["doc_id"] == 5} == {"RETRY"}
+    # the crashed attempt's orphan dir is swept by vacuum
+    n = t.vacuum()
+    assert n >= 2  # retired bucket + orphan staging dir
+    assert len(t.read().collect()) == 50
+
+
+def test_upsert_noop_returns_stable_shape(spark, tmp_path):
+    """ADVICE r4 (low): empty-batch upsert returns the same summary shape
+    as a real one, not the whole manifest."""
+    t, df = _mk(spark, tmp_path, n=10, n_buckets=4)
+    empty = spark.createDataFrame([], df.schema)
+    res = t.upsert(empty)
+    assert set(res) == {"generation", "touched_buckets"}
+    assert res["touched_buckets"] == []
+
+
+def test_delete_ids_prunes_scan_to_touched_buckets(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, n=100, n_buckets=8)
+    res = t.delete_ids([3, 7])
+    assert 0 < len(res["touched_buckets"]) <= 2
+    left = t.read()
+    assert left.count() == 98
+    assert left.filter(F.col("doc_id").isin(3, 7)).count() == 0
+    assert t.delete_ids([])["touched_buckets"] == []
+
+
+def test_compact_coalesces_and_rebuckets(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, n=100, n_buckets=4)
+    for i in range(3):  # accrue generations
+        t.upsert(spark.createDataFrame([Row(doc_id=i, v=f"g{i}", n=i)]))
+    before = {(r["doc_id"], r["v"]) for r in t.read().collect()}
+    res = t.compact(target_buckets=16)
+    assert len(res["touched_buckets"]) == 16
+    t2 = CowTable(spark, t.path)  # reopen — manifest carries new n_buckets
+    assert t2.n_buckets == 16
+    after = {(r["doc_id"], r["v"]) for r in t2.read().collect()}
+    assert after == before
+    t2.vacuum()
+    assert {(r["doc_id"], r["v"]) for r in t2.read().collect()} == before
+    # post-compact upserts still land in the right (new) buckets
+    t2.upsert(spark.createDataFrame([Row(doc_id=0, v="after", n=0)]))
+    assert {r["v"] for r in t2.read().filter(F.col("doc_id") == 0).collect()} == {"after"}

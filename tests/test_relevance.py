@@ -318,3 +318,81 @@ def test_combined_fields_blends_statistics(docs, duck):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         combined_fields_df(docs, ["quick"], ["text"], weights={"text": 0})
+
+
+def test_span_or_semantics(docs, duck):
+    # any occurrence of 'fox' or 'cat': docs 0, 1, 7
+    ids = {r["doc_id"] for r in rel.span_or_df(docs, ["fox", "cat"], k=8).collect()}
+    assert ids == {0, 1, 7}
+    _match(rel.span_or_df(docs, ["fox", "cat"], k=8), duck,
+           rel.span_or_sql("docs", ["fox", "cat"], k=8))
+    # empty-token docs don't crash
+    assert rel.span_or_df(docs, ["zzznope"], k=8).count() == 0
+
+
+def test_span_not_semantics(docs, duck):
+    # 'dog' NOT within 1 token of 'lazy': doc 0/3 have "lazy dog" (adjacent
+    # → rejected); doc 7 "fox and dog" survives
+    ids = {r["doc_id"] for r in rel.span_not_df(docs, "dog", "lazy", pre=1, post=1, k=8).collect()}
+    assert ids == {7}
+    # pre/post 0 → only exact-same-position exclusion (impossible) → all dog docs
+    ids0 = {r["doc_id"] for r in rel.span_not_df(docs, "dog", "lazy", pre=0, post=0, k=8).collect()}
+    assert ids0 == {0, 3, 7}
+    _match(rel.span_not_df(docs, "dog", "lazy", pre=2, post=2, k=8), duck,
+           rel.span_not_sql("docs", "dog", "lazy", pre=2, post=2, k=8))
+
+
+def test_intervals_semantics(docs, duck):
+    # ordered 'quick'..'fox' with the whole interval gap <= 1:
+    # doc 0 "quick brown fox" = width 3, gaps 1 → matches
+    ids = {r["doc_id"] for r in rel.intervals_match_df(
+        docs, ["quick", "fox"], max_gaps=1, ordered=True, k=8).collect()}
+    assert ids == {0}
+    assert rel.intervals_match_df(
+        docs, ["quick", "fox"], max_gaps=0, ordered=True, k=8).count() == 0
+    # unordered finds 'fox'..'quick' in either order
+    idsu = {r["doc_id"] for r in rel.intervals_match_df(
+        docs, ["fox", "quick"], max_gaps=1, ordered=False, k=8).collect()}
+    assert idsu == {0}
+    # 3-term ordered chain: 'the quick brown fox jumps over the lazy dog'
+    ids3 = {r["doc_id"] for r in rel.intervals_match_df(
+        docs, ["quick", "fox", "dog"], max_gaps=10, ordered=True, k=8).collect()}
+    assert ids3 == {0}
+    # tight gap bound excludes it: quick..dog spans 8 tokens, 5 gaps
+    assert rel.intervals_match_df(
+        docs, ["quick", "fox", "dog"], max_gaps=4, ordered=True, k=8).count() == 0
+    _match(rel.intervals_match_df(docs, ["quick", "fox", "dog"], max_gaps=10,
+                                  ordered=True, k=8),
+           duck,
+           rel.intervals_match_sql("docs", ["quick", "fox", "dog"], max_gaps=10,
+                                   ordered=True, k=8))
+    with pytest.raises(UnsupportedQuery):
+        rel.intervals_match_df(docs, ["a", "b", "c"], ordered=False)
+    with pytest.raises(UnsupportedQuery):
+        rel.intervals_match_df(docs, ["a"])
+
+
+def test_hybrid_knn_query(spark):
+    import math
+
+    rows = [Row(doc_id=i, text=("quick fox " if i < 3 else "other text ") * 3,
+                embedding=[1.0 if j == i % 4 else 0.1 for j in range(4)])
+            for i in range(8)]
+    d = spark.createDataFrame(rows)
+    body = {"query": {"multi_match": {"query": "quick fox", "fields": ["text"]}},
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0, 0.0, 0.0],
+                    "k": 2, "boost": 2.0},
+            "size": 5}
+    out = compile_query(d, body).collect()
+    got = {r["doc_id"]: r["score_u"] for r in out}
+    # doc 0: text hit AND knn cosine 1.0*2.0 → combined dominates
+    assert out[0]["doc_id"] == 0
+    assert got[0] >= 2_000_000  # knn contribution alone is 2e6
+    # knn-only doc (doc 1 = exact match on dim 1? cosine 0 vs query) —
+    # query-only docs 1,2 appear with just their text score
+    assert 1 in got and 2 in got
+    # unsupported query kind still raises
+    with pytest.raises(UnsupportedQuery):
+        compile_query(d, {"query": {"term": {"text": "x"}},
+                          "knn": {"field": "embedding",
+                                  "query_vector": [1.0, 0, 0, 0], "k": 2}})

@@ -467,3 +467,34 @@ def test_case_insensitive_term_prefix_wildcard(spark):
     assert q({"prefix": {"tag": {"value": "alpha", "case_insensitive": True}}}) == [0, 1, 3]
     assert q({"wildcard": {"tag": {"value": "*bet", "case_insensitive": True}}}) == [3]
     assert q({"wildcard": {"tag": {"value": "*bet"}}}) == []
+
+
+def test_range_string_bound_containing_now_is_not_date_math(spark):
+    """ADVICE r4 (low): a plain string bound that merely CONTAINS 'now'
+    (e.g. 'knowledge') must compile as a string comparison, not date math."""
+    rows = [Row(doc_id=i, title=t) for i, t in
+            enumerate(["apple", "knowledge", "snow", "zebra"])]
+    d = spark.createDataFrame(rows)
+    out = compile_query(d, {"query": {"range": {"title": {"gte": "knowledge"}}}})
+    assert sorted(r["title"] for r in out.collect()) == ["knowledge", "snow", "zebra"]
+    # and a bound STARTING with 'now' still resolves as date math
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import UnsupportedQuery
+    with pytest.raises(UnsupportedQuery):
+        compile_query(d, {"query": {"range": {"title": {"gte": "nowhere"}}}}).collect()
+
+
+def test_distance_feature_naive_date_origin_is_utc(spark):
+    """ADVICE r4 (low): naive ISO date origins anchor in UTC, matching the
+    UTC-epoch field side, regardless of driver timezone."""
+    import datetime as _dt
+
+    rows = [Row(doc_id=i, ts=_dt.datetime(2024, 1, 1 + i)) for i in range(5)]
+    d = spark.createDataFrame(rows)
+    body = {"query": {"distance_feature": {
+        "field": "ts", "origin": "2024-01-03T00:00:00", "pivot": "1d"}},
+        "size": 5}
+    out = compile_query(d, body).collect()
+    # doc at the origin scores highest: boost*pivot/(pivot+0) = 1.0
+    assert out[0]["doc_id"] == 2
+    top = [r["doc_id"] for r in out[:3]]
+    assert set(top) == {1, 2, 3}  # symmetric neighbors next
