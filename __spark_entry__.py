@@ -699,6 +699,69 @@ def q_es_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.floor(F.col("w") * 1e2).cast("long").alias("wavg_u"))
 
 
+def q_es_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks: % of values <= each given value, exact count
+    ratio quantized to 1e-4 % (plans/aggs._metric_cols)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    return compile_aggs(ev, {"aggs": {"pr": {"percentile_ranks": {
+        "field": "value", "values": [10.0, 50.0, 90.0]}}}})["pr"]
+
+
+def q_es_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation: median(|x - median(x)|), two chained
+    exact medians (inner one a broadcast single-row subplan)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    return compile_aggs(ev, {"aggs": {"mad": {
+        "median_absolute_deviation": {"field": "value"}}}})["mad"]
+
+
+def q_es_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics: metric values from the top-3 docs by value desc
+    (deterministic tie-break: metric columns asc)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long"))
+    return compile_aggs(ev, {"aggs": {"tm": {"top_metrics": {
+        "metrics": [{"field": "event_id"}], "sort": [{"value_u": "desc"}],
+        "size": 3}}}})["tm"]
+
+
+def _geo_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer with a deterministic synthetic geo_point (exact .25-grid
+    doubles — cross-engine-stable sums)."""
+    return _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.struct(
+            ((F.col("c_custkey") * 7 % 140) - 70 + F.lit(0.25)).cast("double").alias("lat"),
+            ((F.col("c_custkey") * 13 % 360) - 180 + F.lit(0.25)).cast("double").alias("lon"),
+        ).alias("loc"))
+
+
+def q_es_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_centroid metric agg: mean lat/lon (here over an exact
+    .25-grid synthetic geo_point, so the double sums are exact)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_geo_customers(spark, sf_dir),
+                        {"aggs": {"gc": {"geo_centroid": {"field": "loc"}}}})["gc"]
+
+
+def q_es_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid bucket agg: web-mercator "z/x/y" tile keys at
+    precision 4, ES bucket order (doc_count desc, key asc)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    out = compile_aggs(_geo_customers(spark, sf_dir),
+                       {"aggs": {"gt": {"geotile_grid": {
+                           "field": "loc", "precision": 4, "size": 20}}}})["gt"]
+    return out
+
+
 def q_es_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix agg: per-filter buckets plus pairwise
     intersections (key 'a&b')."""
@@ -1685,6 +1748,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_global_filter_agg": q_es_global_and_filter_agg,
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
+        "es_percentile_ranks": q_es_percentile_ranks,
+        "es_mad": q_es_mad,
+        "es_top_metrics": q_es_top_metrics,
+        "es_geo_centroid": q_es_geo_centroid,
+        "es_geotile_grid": q_es_geotile_grid,
         "es_adjacency_matrix": q_es_adjacency_matrix,
         "embedding_neardup": q_embedding_neardup,
         "percolate": q_percolate,
@@ -1803,6 +1871,42 @@ def oracle_sql() -> dict[str, str]:
 SELECT CAST(floor(sum(CAST(floor(value * 1e2) AS BIGINT) * user_id) * 1.0
             / sum(user_id) * 1e2) AS BIGINT) AS wavg_u
 FROM events
+""",
+        "es_percentile_ranks": """
+SELECT CAST(floor(avg(CASE WHEN value <= 10.0 THEN 1.0 ELSE 0.0 END) * 1e6) AS BIGINT) AS pr_rank_10_u,
+       CAST(floor(avg(CASE WHEN value <= 50.0 THEN 1.0 ELSE 0.0 END) * 1e6) AS BIGINT) AS pr_rank_50_u,
+       CAST(floor(avg(CASE WHEN value <= 90.0 THEN 1.0 ELSE 0.0 END) * 1e6) AS BIGINT) AS pr_rank_90_u
+FROM events
+""",
+        "es_mad": """
+WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events)
+SELECT CAST(floor(quantile_cont(abs(value - m.med), 0.5) * 1e6) AS BIGINT) AS mad_u
+FROM events CROSS JOIN m
+""",
+        "es_top_metrics": """
+SELECT CAST(floor(value * 1e2) AS BIGINT) AS sort_value, event_id FROM events
+ORDER BY sort_value DESC, event_id ASC LIMIT 3
+""",
+        "es_geo_centroid": """
+SELECT avg((c_custkey * 7 % 140) - 70 + 0.25) AS gc_lat,
+       avg((c_custkey * 13 % 360) - 180 + 0.25) AS gc_lon
+FROM customer
+""",
+        "es_geotile_grid": """
+WITH pts AS (
+  SELECT ((c_custkey * 7 % 140) - 70 + 0.25)::DOUBLE AS lat,
+         ((c_custkey * 13 % 360) - 180 + 0.25)::DOUBLE AS lon FROM customer
+), keyed AS (
+  SELECT '4/' ||
+    CAST(least(greatest(CAST(floor((lon + 180.0) / 360.0 * 16) AS BIGINT), 0), 15) AS VARCHAR)
+    || '/' ||
+    CAST(least(greatest(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+                             / 2.0 * 16) AS BIGINT), 0), 15) AS VARCHAR) AS key
+  FROM pts
+)
+SELECT key, doc_count FROM (
+  SELECT key, count(*) AS doc_count FROM keyed GROUP BY key
+) ORDER BY doc_count DESC, key ASC LIMIT 20
 """,
         "es_adjacency_matrix": """
 SELECT 'clicks' AS key, count(*) AS doc_count FROM events WHERE event_type = 'click'

@@ -56,6 +56,24 @@ def _bucket_key(kind: str, spec: dict[str, Any]) -> Column:
     if kind == "histogram":
         w = float(spec["interval"])
         return (F.floor(F.col(field) / w) * w)
+    if kind == "geotile_grid":
+        # ES geotile_grid: web-mercator tile key "z/x/y" at `precision`
+        # zoom — pure column math (radians/tan/log), one groupBy like any
+        # bucket agg. Poles clamped to the valid tile range like ES.
+        import math as _math
+
+        z = int(spec.get("precision", 7))
+        n = 2 ** z
+        lat = F.col(field).getField("lat")
+        lon = F.col(field).getField("lon")
+        lat_r = F.radians(lat)
+        x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+        y = F.floor(
+            (F.lit(1.0) - F.log(F.tan(lat_r) + F.lit(1.0) / F.cos(lat_r)) / F.lit(_math.pi))
+            / F.lit(2.0) * F.lit(n)).cast("long")
+        x = F.least(F.greatest(x, F.lit(0)), F.lit(n - 1))
+        y = F.least(F.greatest(y, F.lit(0)), F.lit(n - 1))
+        return F.concat_ws("/", F.lit(str(z)), x, y)
     raise UnsupportedQuery(f"unsupported bucket agg: {kind}")
 
 
@@ -116,6 +134,23 @@ def _metric_cols(aggs: dict[str, Any]) -> list[Column]:
                 F.var_pop(field).alias(f"{name}_variance"),
                 F.stddev_pop(field).alias(f"{name}_std_deviation"),
             ]
+        elif kind == "percentile_ranks":
+            # ES percentile_ranks: for each given value v, the percentage
+            # of field values <= v. Exact (count ratio), quantized to
+            # 1e-4 % so the cross-engine hash is stable:
+            # {name}_rank_u columns are floor(pct · 1e4) per value.
+            for v in body["values"]:
+                label = f"{float(v):g}".replace(".", "_").replace("-", "m")
+                cols.append(
+                    F.floor(F.avg(F.when(F.col(field) <= float(v), 1.0)
+                                  .otherwise(0.0)) * 1e6).cast("long")
+                    .alias(f"{name}_rank_{label}_u"))
+        elif kind == "geo_centroid":
+            # ES geo_centroid: arithmetic mean of lat/lon over the bucket
+            cols += [
+                F.avg(F.col(field).getField("lat")).alias(f"{name}_lat"),
+                F.avg(F.col(field).getField("lon")).alias(f"{name}_lon"),
+            ]
         elif kind in _METRICS:
             cols.append(_METRICS[kind](field).alias(name))
         else:
@@ -123,7 +158,7 @@ def _metric_cols(aggs: dict[str, Any]) -> list[Column]:
     return cols
 
 
-_BUCKET_KINDS = ("terms", "date_histogram", "histogram")
+_BUCKET_KINDS = ("terms", "date_histogram", "histogram", "geotile_grid")
 
 
 def _compile_bucket_path(base: DataFrame, name: str, spec: dict[str, Any]) -> DataFrame:
@@ -477,8 +512,39 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = _significant_text(docs, base, inner)
         elif kind == "composite":
             out[name] = _composite(base, inner, sub)
+        elif kind == "median_absolute_deviation":
+            # ES MAD: median(|x - median(x)|). Two chained exact medians —
+            # the inner one is a broadcast single-row subplan, the outer a
+            # second partial-aggregated pass; quantized for the oracle.
+            f = inner["field"]
+            med = base.agg(F.expr(f"percentile({f}, 0.5)").alias("__med"))
+            out[name] = (
+                base.crossJoin(F.broadcast(med))
+                .agg(F.floor(F.expr(f"percentile(abs({f} - __med), 0.5)") * 1e6)
+                     .cast("long").alias(f"{name}_u")))
+        elif kind == "top_metrics":
+            # ES top_metrics: metric values from the top `size` docs by the
+            # sort key. Deterministic tie-break: after the sort key, order
+            # by every metric column ascending (documented contract; ES
+            # itself is shard-order-dependent on ties).
+            sort = inner["sort"]
+            if isinstance(sort, list):
+                sort = sort[0]
+            ((sf_, sdir),) = sort.items()
+            if isinstance(sdir, dict):
+                sdir = sdir.get("order", "asc")
+            ms = inner["metrics"]
+            metrics = [m["field"] for m in (ms if isinstance(ms, list) else [ms])]
+            sz = int(inner.get("size", 1))
+            lead = F.desc(sf_) if sdir == "desc" else F.asc(sf_)
+            out[name] = (
+                base.select(F.col(sf_).alias("sort_value"),
+                            *[F.col(m) for m in metrics])
+                .orderBy(lead, *[F.asc(m) for m in metrics])
+                .limit(sz))
         elif (kind in ("stats", "extended_stats", "percentiles", "cardinality",
-                       "weighted_avg") or kind in _METRICS):
+                       "weighted_avg", "percentile_ranks", "geo_centroid")
+              or kind in _METRICS):
             out[name] = base.agg(*_metric_cols({name: {kind: inner}}))
         else:
             raise UnsupportedQuery(f"unsupported agg kind: {kind}")

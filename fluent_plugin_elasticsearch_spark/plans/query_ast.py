@@ -173,18 +173,21 @@ def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
     if kind == "geo_bounding_box":
         # {"geo_bounding_box": {field: {"top_left": {"lat","lon"},
         #   "bottom_right": {...}}}} — field is a geo_point struct
-        # (lat, lon). Pure range predicates → pushdown-friendly. No
-        # dateline wrap (left > right) — raise rather than silently wrong.
+        # (lat, lon). Pure range predicates → pushdown-friendly. A box
+        # whose left lon > right lon wraps the antimeridian (ES semantics):
+        # it splits into the disjunction [left, 180] ∪ [-180, right] —
+        # still two pushdown-friendly ranges.
         ((field, spec),) = body.items()
         tl, br = spec["top_left"], spec["bottom_right"]
-        if float(tl["lon"]) > float(br["lon"]):
-            raise UnsupportedQuery("geo_bounding_box across the dateline unsupported")
         lat = col(field).getField("lat")
         lon = col(field).getField("lon")
-        return (
-            (lat <= F.lit(float(tl["lat"]))) & (lat >= F.lit(float(br["lat"])))
-            & (lon >= F.lit(float(tl["lon"]))) & (lon <= F.lit(float(br["lon"])))
-        )
+        lat_ok = (lat <= F.lit(float(tl["lat"]))) & (lat >= F.lit(float(br["lat"])))
+        left, right = float(tl["lon"]), float(br["lon"])
+        if left > right:  # dateline wrap
+            lon_ok = (lon >= F.lit(left)) | (lon <= F.lit(right))
+        else:
+            lon_ok = (lon >= F.lit(left)) & (lon <= F.lit(right))
+        return lat_ok & lon_ok
     if kind == "geo_distance":
         # {"geo_distance": {"distance": "10km", field: {"lat","lon"}}} —
         # haversine on a mean-earth-radius sphere (ES arc distance).

@@ -84,7 +84,7 @@ def test_percentiles_agg(events):
 
 def test_unsupported_agg_raises(events):
     with pytest.raises(UnsupportedQuery):
-        compile_aggs(events, {"aggs": {"x": {"geo_centroid": {"field": "value"}}}})
+        compile_aggs(events, {"aggs": {"x": {"boxplot": {"field": "value"}}}})
     with pytest.raises(UnsupportedQuery):
         compile_aggs(events, {"aggs": {"x": {"date_histogram": {"field": "ts", "calendar_interval": "fortnight"}}}})
 
@@ -632,3 +632,36 @@ def test_gap_filled_histogram_with_pipeline_sub(events):
     for r in rows2:
         running += r["v_sum"] or 0.0
         assert abs((r["cum"] or running) - running) < 1e-9
+
+
+def test_percentile_ranks_and_mad(events):
+    out = compile_aggs(events, {"aggs": {"pr": {"percentile_ranks": {
+        "field": "value", "values": [0.0, 24.0, 49.0]}}}})["pr"].first()
+    # values are 0..49 uniformly (i % 50 over 300 docs): rank(49) = 100%
+    assert out["pr_rank_49_u"] == 1_000_000
+    assert out["pr_rank_0_u"] == 20_000   # 6/300
+    assert out["pr_rank_24_u"] == 500_000  # 150/300
+    mad = compile_aggs(events, {"aggs": {"m": {
+        "median_absolute_deviation": {"field": "value"}}}})["m"].first()
+    # median of 0..49 = 24.5; |x - 24.5| has median 12.5
+    assert mad["m_u"] == 12_500_000
+
+
+def test_top_metrics_and_geo_aggs(events, spark):
+    tm = compile_aggs(events, {"aggs": {"t": {"top_metrics": {
+        "metrics": [{"field": "event_id"}], "sort": [{"value": "desc"}],
+        "size": 2}}}})["t"].collect()
+    assert len(tm) == 2
+    assert all(r["sort_value"] == 49.0 for r in tm)
+    assert tm[0]["event_id"] < tm[1]["event_id"]  # deterministic tie-break
+    geo = spark.createDataFrame(
+        [Row(i=i, loc=Row(lat=10.25 + i, lon=-20.25 + i)) for i in range(4)],
+        "i long, loc struct<lat:double, lon:double>")
+    gc = compile_aggs(geo, {"aggs": {"c": {"geo_centroid": {"field": "loc"}}}})["c"].first()
+    assert gc["c_lat"] == 11.75 and gc["c_lon"] == -18.75
+    gt = compile_aggs(geo, {"aggs": {"g": {"geotile_grid": {
+        "field": "loc", "precision": 2}}}})["g"].collect()
+    # z=2 → 4x4 tiles; all four points land near (lat~10-13, lon~-20..-17):
+    # x = floor((lon+180)/360*4) = 1, y: lat>0 → tile 1
+    assert all(r["key"].startswith("2/") for r in gt)
+    assert sum(r["doc_count"] for r in gt) == 4

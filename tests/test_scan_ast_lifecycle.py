@@ -345,9 +345,16 @@ def test_query_ast_geo(spark):
     box = compile_query(d, {"query": {"geo_bounding_box": {"loc": {
         "top_left": {"lat": 10, "lon": -0.5}, "bottom_right": {"lat": -10, "lon": 0.5}}}}})
     assert sorted(r["doc_id"] for r in box.collect()) == [0, 3]
-    with pytest.raises(UnsupportedQuery):
-        compile_query(d, {"query": {"geo_bounding_box": {"loc": {
-            "top_left": {"lat": 10, "lon": 170}, "bottom_right": {"lat": -10, "lon": -170}}}}}).collect()
+    # dateline wrap (left lon > right lon): [170, 180] ∪ [-180, -170]
+    d2 = spark.createDataFrame(
+        [Row(doc_id=0, loc=Row(lat=0.0, lon=175.0)),
+         Row(doc_id=1, loc=Row(lat=0.0, lon=-175.0)),
+         Row(doc_id=2, loc=Row(lat=0.0, lon=0.0)),
+         Row(doc_id=3, loc=Row(lat=40.0, lon=178.0))],
+        "doc_id long, loc struct<lat:double, lon:double>")
+    wrap = compile_query(d2, {"query": {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 10, "lon": 170}, "bottom_right": {"lat": -10, "lon": -170}}}}})
+    assert sorted(r["doc_id"] for r in wrap.collect()) == [0, 1]
 
 
 def test_date_math():
