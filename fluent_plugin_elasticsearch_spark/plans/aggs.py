@@ -584,6 +584,31 @@ def _script_expr(script: str, paths: dict[str, str]) -> Column:
             return combined
         if isinstance(node, _ast.UnaryOp) and isinstance(node.op, _ast.USub):
             return -conv(node.operand)
+        if isinstance(node, _ast.Call):
+            # whitelisted math calls, accepted both bare (`log(x)`) and in
+            # painless style (`Math.log(x)`); still no eval, no attributes
+            # beyond the Math namespace
+            fn = node.func
+            if isinstance(fn, _ast.Attribute) and isinstance(fn.value, _ast.Name) \
+                    and fn.value.id == "Math":
+                fname = fn.attr
+            elif isinstance(fn, _ast.Name):
+                fname = fn.id
+            else:
+                raise UnsupportedQuery("unsupported script call form")
+            one = {"abs": F.abs, "log": F.log, "sqrt": F.sqrt, "floor": F.floor,
+                   "ceil": F.ceil, "exp": F.exp, "log10": F.log10}
+            many = {"min": F.least, "max": F.greatest, "pow": F.pow}
+            args = [conv(a) for a in node.args]
+            if fname in one:
+                if len(args) != 1:
+                    raise UnsupportedQuery(f"{fname}() takes one argument")
+                return one[fname](args[0])
+            if fname in many:
+                if len(args) < 2:
+                    raise UnsupportedQuery(f"{fname}() takes two+ arguments")
+                return many[fname](*args)
+            raise UnsupportedQuery(f"unsupported script function: {fname}")
         if isinstance(node, _ast.Name):
             if node.id not in paths:
                 raise UnsupportedQuery(f"script name not in buckets_path: {node.id}")

@@ -665,3 +665,23 @@ def test_top_metrics_and_geo_aggs(events, spark):
     # x = floor((lon+180)/360*4) = 1, y: lat>0 → tile 1
     assert all(r["key"].startswith("2/") for r in gt)
     assert sum(r["doc_count"] for r in gt) == 4
+
+
+def test_script_expr_math_functions(events, spark):
+    from fluent_plugin_elasticsearch_spark.plans.aggs import _script_expr
+
+    d = spark.createDataFrame([Row(x=4.0, y=-3.0)])
+    row = d.select(
+        _script_expr("sqrt(x)", {"x": "x"}).alias("a"),
+        _script_expr("Math.abs(y)", {"y": "y"}).alias("b"),
+        _script_expr("max(x, Math.abs(y), 1)", {"x": "x", "y": "y"}).alias("c"),
+        _script_expr("Math.pow(x, 2) + min(x, y)", {"x": "x", "y": "y"}).alias("d"),
+        _script_expr("floor(Math.exp(0))", {}).alias("e"),
+    ).first()
+    assert (row["a"], row["b"], row["c"], row["d"], row["e"]) == (2.0, 3.0, 4.0, 13.0, 1)
+    with pytest.raises(UnsupportedQuery):
+        _script_expr("__import__('os')", {})
+    with pytest.raises(UnsupportedQuery):
+        _script_expr("open('x')", {})
+    with pytest.raises(UnsupportedQuery):
+        _script_expr("x.foo(1)", {"x": "x"})
