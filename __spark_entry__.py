@@ -699,6 +699,78 @@ def q_es_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.floor(F.col("w") * 1e2).cast("long").alias("wavg_u"))
 
 
+def q_count_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _count API: count-only aggregate of a compiled query body
+    (sources/scan.count_query — column-pruned count plan)."""
+    from fluent_plugin_elasticsearch_spark.sources.scan import count_query
+
+    return count_query(_read(spark, sf_dir, "documents"),
+                       {"query": {"bool": {"must": [
+                           {"term": {"lang": "en"}},
+                           {"range": {"n_chars": {"gte": 500}}}]}}})
+
+
+def q_mget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mget API: id-list fetch in REQUEST order (broadcast join)."""
+    from fluent_plugin_elasticsearch_spark.sources.scan import mget
+
+    out = mget(_read(spark, sf_dir, "documents"), [42, 7, 499, 123456, 0])
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature query: saturation shape over n_chars with an
+    explicit pivot (relevance.rank_feature_df)."""
+    return _rel.rank_feature_df(
+        _read(spark, sf_dir, "documents"), "n_chars", k=20,
+        function="saturation", pivot=500.0, boost=2.0)
+
+
+def q_rank_feature_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature, log shape (ln(scaling_factor·x + 1))."""
+    return _rel.rank_feature_df(
+        _read(spark, sf_dir, "documents"), "n_chars", k=20,
+        function="log", scaling_factor=0.01)
+
+
+def q_function_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score gauss decay over n_chars (origin 600, scale 300,
+    decay 0.5) multiplying the BM25 text score."""
+    return _rel.decay_score_df(
+        _read(spark, sf_dir, "documents"), ["merge", "table"], "n_chars",
+        origin=600.0, scale=300.0, decay=0.5, shape="gauss", k=20)
+
+
+def q_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score random_score: deterministic md5(seed:doc_id)
+    pseudo-random ordering (documented contract, mirrored bit-exactly)."""
+    return _rel.random_score_df(_read(spark, sf_dir, "documents"), seed=7, k=25)
+
+
+def q_wrapper_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wrapper query: base64(JSON) inner clause decoded and recursed
+    through the same clause compiler."""
+    import base64
+    import json as _json
+
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    inner = {"bool": {"must": [{"term": {"lang": "en"}},
+                               {"range": {"n_chars": {"gte": 300}}}]}}
+    b64 = base64.b64encode(_json.dumps(inner).encode()).decode()
+    out = compile_query(_read(spark, sf_dir, "documents"),
+                        {"query": {"wrapper": {"query": b64}},
+                         "sort": [{"doc_id": "asc"}]})
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean surprisal under the
+    corpus unigram LM, integer micro-nat quantization
+    (textquality.unigram_logprob_scores)."""
+    return _tq.unigram_logprob_scores(_read(spark, sf_dir, "documents"))
+
+
 def q_es_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percentile_ranks: % of values <= each given value, exact count
     ratio quantized to 1e-4 % (plans/aggs._metric_cols)."""
@@ -1749,6 +1821,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_percentile_ranks": q_es_percentile_ranks,
+        "count_api": q_count_api,
+        "mget": q_mget,
+        "rank_feature": q_rank_feature,
+        "rank_feature_log": q_rank_feature_log,
+        "function_decay": q_function_decay,
+        "random_score": q_random_score,
+        "wrapper_query": q_wrapper_query,
+        "unigram_logprob": q_unigram_logprob,
         "es_mad": q_es_mad,
         "es_top_metrics": q_es_top_metrics,
         "es_geo_centroid": q_es_geo_centroid,
@@ -1872,6 +1952,29 @@ SELECT CAST(floor(sum(CAST(floor(value * 1e2) AS BIGINT) * user_id) * 1.0
             / sum(user_id) * 1e2) AS BIGINT) AS wavg_u
 FROM events
 """,
+        "count_api": """
+SELECT count(*) AS count FROM documents WHERE lang = 'en' AND n_chars >= 500
+""",
+        "mget": """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM (VALUES (0, 42), (1, 7), (2, 499), (3, 123456), (4, 0)) AS r(pos, id)
+JOIN documents d ON d.doc_id = r.id
+ORDER BY r.pos
+""",
+        "rank_feature": _rel.rank_feature_sql(
+            "documents", "n_chars", k=20, function="saturation",
+            pivot=500.0, boost=2.0),
+        "rank_feature_log": _rel.rank_feature_sql(
+            "documents", "n_chars", k=20, function="log", scaling_factor=0.01),
+        "function_decay": _rel.decay_score_sql(
+            "documents", ["merge", "table"], "n_chars",
+            origin=600.0, scale=300.0, decay=0.5, shape="gauss", k=20),
+        "random_score": _rel.random_score_sql("documents", seed=7, k=25),
+        "wrapper_query": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'en' AND n_chars >= 300 ORDER BY doc_id ASC
+""",
+        "unigram_logprob": _tq.unigram_logprob_sql("documents", _TOKS),
         "es_percentile_ranks": """
 SELECT CAST(floor(avg(CASE WHEN value <= 10.0 THEN 1.0 ELSE 0.0 END) * 1e6) AS BIGINT) AS pr_rank_10_u,
        CAST(floor(avg(CASE WHEN value <= 50.0 THEN 1.0 ELSE 0.0 END) * 1e6) AS BIGINT) AS pr_rank_50_u,

@@ -1138,3 +1138,171 @@ matched AS (
 ),
 {_span_idf_sql(terms, k1, b, k)}
 """
+
+
+def rank_feature_df(docs: DataFrame, field: str, k: int = 10,
+                    function: str = "saturation", pivot: float | None = None,
+                    scaling_factor: float = 1.0, exponent: float = 1.0,
+                    boost: float = 1.0, id_col: str = "doc_id") -> DataFrame:
+    """ES rank_feature query (standalone, no text clause): score a
+    numeric feature column through the bounded rank_feature shapes —
+
+      saturation: boost * x/(x + pivot)   (default pivot = the field's
+                  geometric... ES uses an index-time approximation; here
+                  the MEAN, computed in one agg and broadcast)
+      log:        boost * ln(scaling_factor * x + 1)
+      sigmoid:    boost * x^exp / (x^exp + pivot^exp)
+
+    One projection over the docs, quantized floor(score·1e6). Returns
+    (doc_id, score_u) top-k (score desc, doc_id asc)."""
+    x = F.col(field).cast("double")
+    if function == "saturation":
+        if pivot is None:
+            piv_df = docs.agg(F.avg(x).alias("__pivot"))
+            scored = docs.crossJoin(F.broadcast(piv_df)).select(
+                F.col(id_col).alias("doc_id"),
+                (F.lit(boost) * x / (x + F.col("__pivot"))).alias("__s"))
+        else:
+            scored = docs.select(
+                F.col(id_col).alias("doc_id"),
+                (F.lit(boost) * x / (x + F.lit(float(pivot)))).alias("__s"))
+    elif function == "log":
+        scored = docs.select(
+            F.col(id_col).alias("doc_id"),
+            (F.lit(boost) * F.log(F.lit(float(scaling_factor)) * x + F.lit(1.0))).alias("__s"))
+    elif function == "sigmoid":
+        if pivot is None:
+            raise ValueError("sigmoid needs an explicit pivot")
+        xp = F.pow(x, F.lit(float(exponent)))
+        pp = float(pivot) ** float(exponent)
+        scored = docs.select(
+            F.col(id_col).alias("doc_id"),
+            (F.lit(boost) * xp / (xp + F.lit(pp))).alias("__s"))
+    else:
+        raise ValueError(f"unsupported rank_feature function: {function}")
+    return (scored.select("doc_id",
+                          F.floor(F.col("__s") * 1e6).cast("long").alias("score_u"))
+            .orderBy(F.desc("score_u"), F.asc("doc_id")).limit(k))
+
+
+def rank_feature_sql(table: str, field: str, k: int = 10,
+                     function: str = "saturation", pivot: float | None = None,
+                     scaling_factor: float = 1.0, exponent: float = 1.0,
+                     boost: float = 1.0, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of rank_feature_df."""
+    x = f"CAST({field} AS DOUBLE)"
+    if function == "saturation":
+        if pivot is None:
+            piv = f"(SELECT avg({x}) FROM {table})"
+            s = f"{boost} * {x} / ({x} + {piv})"
+        else:
+            s = f"{boost} * {x} / ({x} + {float(pivot)})"
+    elif function == "log":
+        s = f"{boost} * ln({float(scaling_factor)} * {x} + 1.0)"
+    elif function == "sigmoid":
+        s = (f"{boost} * pow({x}, {float(exponent)})"
+             f" / (pow({x}, {float(exponent)}) + {float(pivot) ** float(exponent)})")
+    else:
+        raise ValueError(function)
+    return f"""
+SELECT {id_col} AS doc_id, CAST(floor(({s}) * 1e6) AS BIGINT) AS score_u
+FROM {table}
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def decay_score_df(docs: DataFrame, query_terms: list[str], field: str,
+                   origin: float, scale: float, offset: float = 0.0,
+                   decay: float = 0.5, shape: str = "gauss", k: int = 10,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES function_score decay functions (gauss/exp/linear) over a numeric
+    field, boost_mode=multiply: final = bm25 · decay(|x−origin|), with the
+    standard ES parameterization — decay(scale) = `decay`:
+
+      gauss:  exp(−d²/(2σ²)),  σ² = −scale²/(2·ln decay)
+      exp:    exp(λ·d),        λ = ln(decay)/scale
+      linear: max(0, (s−d)/s), s = scale/(1−decay)
+      where d = max(0, |x − origin| − offset)
+
+    Same FIXED op order in the SQL mirror. Returns (doc_id, score_u)."""
+    import math as _math
+
+    scores = bm25_scores_df(docs, query_terms, id_col, text_col, k1, b)
+    x = F.col(field).cast("double")
+    d = F.greatest(F.lit(0.0), F.abs(x - F.lit(float(origin))) - F.lit(float(offset)))
+    if shape == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * _math.log(float(decay)))
+        mult = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif shape == "exp":
+        lam = _math.log(float(decay)) / float(scale)
+        mult = F.exp(F.lit(lam) * d)
+    elif shape == "linear":
+        s = float(scale) / (1.0 - float(decay))
+        mult = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+    else:
+        raise ValueError(f"unsupported decay shape: {shape}")
+    vals = docs.select(F.col(id_col).alias("doc_id"), mult.alias("__m"))
+    return (scores.join(vals, "doc_id")
+            .select("doc_id",
+                    F.floor(F.col("score_u") * F.col("__m")).cast("long").alias("score_u"))
+            .orderBy(F.desc("score_u"), F.asc("doc_id")).limit(k))
+
+
+def decay_score_sql(table: str, query_terms: list[str], field: str,
+                    origin: float, scale: float, offset: float = 0.0,
+                    decay: float = 0.5, shape: str = "gauss", k: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of decay_score_df (identical fixed op order)."""
+    import math as _math
+
+    cte = _scores_cte(0, table, text_col, query_terms, id_col, k1, b)
+    d = (f"greatest(0.0, abs(CAST(v.{field} AS DOUBLE) - {float(origin)})"
+         f" - {float(offset)})")
+    if shape == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * _math.log(float(decay)))
+        mult = f"exp(-(({d}) * ({d})) / {2.0 * sigma2})"
+    elif shape == "exp":
+        lam = _math.log(float(decay)) / float(scale)
+        mult = f"exp({lam} * ({d}))"
+    elif shape == "linear":
+        s = float(scale) / (1.0 - float(decay))
+        mult = f"greatest(0.0, ({s} - ({d})) / {s})"
+    else:
+        raise ValueError(shape)
+    return f"""
+WITH {cte}
+SELECT s.doc_id, CAST(floor(s.s_0 * {mult}) AS BIGINT) AS score_u
+FROM q0_scores s JOIN {table} v ON s.doc_id = v.{id_col}
+ORDER BY score_u DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
+def random_score_df(docs: DataFrame, seed: int = 0, k: int = 10,
+                    id_col: str = "doc_id") -> DataFrame:
+    """ES function_score random_score with a seed+field: deterministic
+    per-document pseudo-random score. Contract here (documented — ES's own
+    hash is Lucene-internal): the first 8 hex digits of
+    md5(seed || ':' || doc_id) as a uint32, quantized to [0, 1e6). md5 is
+    available and bit-identical in both engines, so the oracle mirrors it
+    exactly. Returns (doc_id, score_u)."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    score = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(1_000_000))
+    return (docs.select(F.col(id_col).alias("doc_id"), score.alias("score_u"))
+            .orderBy(F.desc("score_u"), F.asc("doc_id")).limit(k))
+
+
+def random_score_sql(table: str, seed: int = 0, k: int = 10,
+                     id_col: str = "doc_id") -> str:
+    """DuckDB mirror of random_score_df."""
+    return f"""
+SELECT {id_col} AS doc_id,
+       CAST(CAST('0x' || substring(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT)
+            % 1000000 AS BIGINT) AS score_u
+FROM {table}
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -284,3 +284,54 @@ def stemmed_token_counts(docs: DataFrame, id_col: str = "doc_id",
         F.size(F.array_distinct(toks)).alias("n_raw_terms"),
         F.size(F.array_distinct(stemmed)).alias("n_stemmed_terms"),
     )
+
+
+def unigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean negative log-prob
+    under the corpus's own unigram LM — the KenLM-style fluency filter of
+    web-scale pipelines (high value = rare/garbled vocabulary), minus the
+    external model the image doesn't ship.
+
+    p(t) = count(t)/total_tokens over the WHOLE corpus; per-token surprisal
+    is quantized to integer micro-nats (floor(-ln p · 1e6)) BEFORE the
+    per-doc mean, so the cross-engine sums are exact integer sums — no
+    float-association drift between Spark's partial aggregation and the
+    oracle's sequential one. Plan: explode → term-count groupBy (shuffle
+    on term) → join back (shuffle on term) → per-doc groupBy (shuffle on
+    doc) — three key-partitioned passes, counts per shard, no driver
+    funnel; the vocabulary frame is corpus-vocabulary-sized, never
+    collected. Returns (doc_id, n_tokens, mean_nll_micro)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       simple_tokens_col(F.col(text_col)).alias("tokens"))
+    exploded = toks.select("doc_id", F.explode("tokens").alias("term"))
+    counts = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = exploded.agg(F.count(F.lit(1)).alias("total"))
+    surprisal = (
+        exploded.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id",
+                F.floor(-F.log(F.col("tc") / F.col("total")) * 1e6)
+                .cast("long").alias("nll_u")))
+    return (surprisal.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.floor(F.sum("nll_u") / F.count(F.lit(1))).cast("long")
+                 .alias("mean_nll_micro")))
+
+
+def unigram_logprob_sql(table: str, toks_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of unigram_logprob_scores. `toks_sql` is the shared
+    tokenizer expression over the table's text column."""
+    return f"""
+WITH ex AS (SELECT {id_col} AS doc_id, unnest({toks_sql}) AS term FROM {table}),
+counts AS (SELECT term, count(*) AS tc FROM ex GROUP BY term),
+total AS (SELECT count(*) AS total FROM ex),
+surp AS (
+  SELECT e.doc_id,
+         CAST(floor(-ln(c.tc * 1.0 / t.total) * 1e6) AS BIGINT) AS nll_u
+  FROM ex e JOIN counts c USING (term) CROSS JOIN total t
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(floor(sum(nll_u) * 1.0 / count(*)) AS BIGINT) AS mean_nll_micro
+FROM surp GROUP BY doc_id
+"""

@@ -62,6 +62,13 @@ def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
     if len(q) != 1:
         raise UnsupportedQuery(f"clause must have one key: {q}")
     kind, body = next(iter(q.items()))
+    if kind == "wrapper":
+        # ES wrapper query: the inner query as base64(JSON) — decode and
+        # recurse (used by clients that pre-serialize query fragments)
+        import base64
+        import json as _json
+
+        return _compile_clause(_json.loads(base64.b64decode(body["query"])), col)
     if kind == "ids":
         return col("doc_id").isin([int(v) for v in body["values"]])
     if kind == "term":

@@ -104,3 +104,45 @@ def index_pattern_filter(df: DataFrame, pattern: str,
             ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
             for ch in p))
     return df.filter(F.col(index_col).rlike(f"^(?:{'|'.join(regexes)})$"))
+
+
+def count_query(docs: DataFrame, body: dict | None = None) -> DataFrame:
+    """ES _count API: the hit count of a query body, no hits fetched.
+    Compiles the body's `query` through the same clause compiler and
+    returns a single-row (count) frame — a count-only aggregate plan, so
+    Catalyst prunes every column and parquet serves row-group counts
+    where the predicate allows."""
+    from pyspark.sql import functions as F
+
+    from ..plans.query_ast import _compile_clause
+
+    q = (body or {}).get("query")
+    if q:
+        docs = docs.filter(F.coalesce(_compile_clause(q), F.lit(False)))
+    return docs.agg(F.count(F.lit(1)).alias("count"))
+
+
+def mget(docs: DataFrame, ids: list, id_col: str = "doc_id") -> DataFrame:
+    """ES _mget API: fetch documents by id list, RESULT IN REQUEST ORDER
+    (the _mget contract; missing ids are simply absent — the envelope
+    layer's found:false is the caller's diff). The id list is
+    coordinator-sized: broadcast join against the table, never a scan per
+    id."""
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    order = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(ids)], f"__req_order long, {id_col} long")
+    return (docs.join(F.broadcast(order), id_col)
+            .orderBy("__req_order").drop("__req_order"))
+
+
+def msearch(docs: DataFrame, bodies: list[dict], index=None) -> list[DataFrame]:
+    """ES _msearch API: N search bodies in one call → N result frames.
+    Each body compiles independently (compile_query); the caller collects
+    them in whatever parallelism it wants — on a cluster, triggering the
+    actions concurrently shares the scan via Spark's cache/exchange
+    reuse."""
+    from ..plans.query_ast import compile_query
+
+    return [compile_query(docs, b, index=index) for b in bodies]

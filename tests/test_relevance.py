@@ -396,3 +396,84 @@ def test_hybrid_knn_query(spark):
         compile_query(d, {"query": {"term": {"text": "x"}},
                           "knn": {"field": "embedding",
                                   "query_vector": [1.0, 0, 0, 0], "k": 2}})
+
+
+def test_rank_feature_shapes(docs, duck):
+    _match(rel.rank_feature_df(docs, "n_chars", k=8, function="saturation", pivot=30.0),
+           duck, rel.rank_feature_sql("docs", "n_chars", k=8,
+                                      function="saturation", pivot=30.0))
+    _match(rel.rank_feature_df(docs, "n_chars", k=8, function="log", scaling_factor=0.1),
+           duck, rel.rank_feature_sql("docs", "n_chars", k=8,
+                                      function="log", scaling_factor=0.1))
+    _match(rel.rank_feature_df(docs, "n_chars", k=8, function="sigmoid",
+                               pivot=30.0, exponent=2.0),
+           duck, rel.rank_feature_sql("docs", "n_chars", k=8, function="sigmoid",
+                                      pivot=30.0, exponent=2.0))
+    # default pivot = mean of the field (broadcast single-row subplan)
+    rows = rel.rank_feature_df(docs, "n_chars", k=8).collect()
+    assert len(rows) == 8 and all(0 <= r["score_u"] <= 1_000_000 for r in rows)
+    # saturation is monotone in the feature: longer text scores higher
+    by_len = sorted(((r["doc_id"], r["score_u"]) for r in rows))
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    ranked = sorted(by_len, key=lambda p: -p[1])
+    assert chars[ranked[0][0]] == max(chars[d] for d, _ in by_len)
+
+
+def test_decay_score_shapes(docs, duck):
+    for shape in ("gauss", "exp", "linear"):
+        _match(rel.decay_score_df(docs, ["quick", "dog"], "n_chars",
+                                  origin=40.0, scale=20.0, decay=0.5,
+                                  shape=shape, k=8),
+               duck,
+               rel.decay_score_sql("docs", ["quick", "dog"], "n_chars",
+                                   origin=40.0, scale=20.0, decay=0.5,
+                                   shape=shape, k=8))
+    # decay(origin) == 1 (no penalty), decay at distance `scale` == decay param
+    base = {r["doc_id"]: r["score_u"]
+            for r in rel.bm25_scores_df(docs, ["quick", "dog"], "doc_id", "text").collect()}
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    for r in rel.decay_score_df(docs, ["quick", "dog"], "n_chars",
+                                origin=40.0, scale=20.0, decay=0.5,
+                                shape="gauss", k=8).collect():
+        d = abs(chars[r["doc_id"]] - 40.0)
+        import math
+        expect = math.floor(base[r["doc_id"]] * math.exp(-(d * d) / (2 * (20.0 ** 2) / (2 * math.log(2)))))
+        assert r["score_u"] == expect
+
+
+def test_random_score_deterministic(docs, duck):
+    a = [(r["doc_id"], r["score_u"]) for r in rel.random_score_df(docs, seed=3, k=8).collect()]
+    b = [(r["doc_id"], r["score_u"]) for r in rel.random_score_df(docs, seed=3, k=8).collect()]
+    assert a == b  # same seed → same order
+    c = [(r["doc_id"], r["score_u"]) for r in rel.random_score_df(docs, seed=4, k=8).collect()]
+    assert a != c  # different seed → different scores
+    _match(rel.random_score_df(docs, seed=3, k=8), duck,
+           rel.random_score_sql("docs", seed=3, k=8))
+
+
+def test_wrapper_query_decodes_and_recurses(docs):
+    import base64
+    import json
+
+    inner = {"bool": {"must": [{"term": {"lang": "en"}},
+                               {"range": {"n_chars": {"gte": 30}}}]}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    out = compile_query(docs, {"query": {"wrapper": {"query": b64}},
+                               "sort": [{"doc_id": "asc"}]})
+    direct = compile_query(docs, {"query": inner, "sort": [{"doc_id": "asc"}]})
+    assert [r["doc_id"] for r in out.collect()] == [r["doc_id"] for r in direct.collect()]
+
+
+def test_unigram_logprob(docs, duck):
+    from fluent_plugin_elasticsearch_spark.operators import textquality as tq
+
+    out = tq.unigram_logprob_scores(docs)
+    toks_sql = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(int(x) for x in r)
+                  for r in duck.sql(tq.unigram_logprob_sql("docs", toks_sql)).fetchall())
+    assert got == want
+    # the repeated-word doc ("quick quick quick...") has LOW surprisal only
+    # if its words are common; doc 6 (unique gardening words) scores HIGH
+    scores = {r["doc_id"]: r["mean_nll_micro"] for r in out.collect()}
+    assert scores[6] == max(scores.values())

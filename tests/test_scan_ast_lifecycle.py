@@ -505,3 +505,21 @@ def test_distance_feature_naive_date_origin_is_utc(spark):
     assert out[0]["doc_id"] == 2
     top = [r["doc_id"] for r in out[:3]]
     assert set(top) == {1, 2, 3}  # symmetric neighbors next
+
+
+def test_count_mget_msearch_apis(spark):
+    from fluent_plugin_elasticsearch_spark.sources.scan import (
+        count_query, mget, msearch)
+
+    rows = [Row(doc_id=i, lang=["en", "fr"][i % 2], n_chars=100 + i * 10)
+            for i in range(20)]
+    d = spark.createDataFrame(rows)
+    assert count_query(d, {"query": {"term": {"lang": "en"}}}).first()["count"] == 10
+    assert count_query(d).first()["count"] == 20
+    got = mget(d, [7, 3, 999, 0])
+    assert [r["doc_id"] for r in got.collect()] == [7, 3, 0]  # request order, missing absent
+    outs = msearch(d, [{"query": {"term": {"lang": "fr"}}},
+                       {"query": {"range": {"n_chars": {"gte": 250}}},
+                        "sort": [{"doc_id": "asc"}]}])
+    assert outs[0].count() == 10
+    assert [r["doc_id"] for r in outs[1].collect()] == list(range(15, 20))
