@@ -699,6 +699,39 @@ def q_es_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.floor(F.col("w") * 1e2).cast("long").alias("wavg_u"))
 
 
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic clustering: distributed Lloyd's k-means
+    over the embeddings table — ENTIRELY integer arithmetic, so the
+    assignment is bit-identical on any engine/partitioning
+    (operators/similarity.kmeans_clusters)."""
+    return _sim.kmeans_clusters(
+        _read(spark, sf_dir, "embeddings"), k=4, iters=2, init_ids=[0, 1, 2, 3])
+
+
+def q_es_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES categorize_text agg: log messages clustered by digit-masked
+    token-prefix pattern (documented contract in plans/aggs.py)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_read(spark, sf_dir, "documents"),
+                        {"aggs": {"cat": {"categorize_text": {
+                            "field": "text", "max_matched_tokens": 3,
+                            "size": 15}}}})["cat"]
+
+
+def q_es_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler agg (deterministic md5-keyed variant): metric sub-aggs
+    over a fixed-size uniform sample."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long"))
+    return compile_aggs(ev, {"aggs": {"s": {
+        "sampler": {"shard_size": 200, "id_field": "event_id"},
+        "aggs": {"v_sum": {"sum": {"field": "value_u"}},
+                 "v_max": {"max": {"field": "value_u"}}}}}})["s"]
+
+
 def q_count_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _count API: count-only aggregate of a compiled query body
     (sources/scan.count_query — column-pruned count plan)."""
@@ -1821,6 +1854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_percentile_ranks": q_es_percentile_ranks,
+        "semantic_clusters": q_semantic_clusters,
+        "es_categorize_text": q_es_categorize_text,
+        "es_sampler": q_es_sampler,
         "count_api": q_count_api,
         "mget": q_mget,
         "rank_feature": q_rank_feature,
@@ -1951,6 +1987,27 @@ def oracle_sql() -> dict[str, str]:
 SELECT CAST(floor(sum(CAST(floor(value * 1e2) AS BIGINT) * user_id) * 1.0
             / sum(user_id) * 1e2) AS BIGINT) AS wavg_u
 FROM events
+""",
+        "semantic_clusters": _sim.kmeans_sql(
+            "embeddings", k=4, iters=2, init_ids=[0, 1, 2, 3]),
+        "es_categorize_text": f"""
+WITH keyed AS (
+  SELECT array_to_string(
+    list_transform({_TOKS}, t -> CASE WHEN regexp_matches(t, '^[0-9]+$') THEN '*' ELSE t END)[1:3],
+    ' ') AS key
+  FROM documents
+)
+SELECT key, count(*) AS doc_count FROM keyed GROUP BY key
+ORDER BY doc_count DESC, key ASC LIMIT 15
+""",
+        "es_sampler": """
+WITH sample AS (
+  SELECT CAST(floor(value * 1e2) AS BIGINT) AS value_u FROM events
+  ORDER BY md5(CAST(event_id AS VARCHAR)) ASC LIMIT 200
+)
+SELECT count(*) AS doc_count, CAST(sum(value_u) AS BIGINT) AS v_sum,
+       max(value_u) AS v_max
+FROM sample
 """,
         "count_api": """
 SELECT count(*) AS count FROM documents WHERE lang = 'en' AND n_chars >= 500

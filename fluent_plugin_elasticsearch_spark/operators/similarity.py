@@ -522,3 +522,113 @@ def cosine_topk_batch(embeddings: DataFrame, query_df: DataFrame, k: int = 10,
                              F.col(vec_col).alias("vec"))
     cands = base.mapInPandas(score, "query_id long, vec_id long, cosine double")
     return per_query_topk(cands, k, n_queries=len(qids))
+
+
+def kmeans_clusters(embeddings: DataFrame, k: int = 4, iters: int = 2,
+                    init_ids: list[int] | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    semantic-clustering primitive of training-data pipelines (cluster
+    then balance/dedup/filter per cluster, SemDeDup-style).
+
+    ENTIRELY INTEGER arithmetic so the result is bit-identical on any
+    engine/cluster/partitioning: coordinates quantize to milli-units
+    (floor(x·1000) as long), centroid update is exact integer
+    sum·1000 div count (micro-units), distances are exact integer
+    sums of squares, argmin tie-breaks (distance, cluster) ascending.
+
+    Plan per iteration: broadcast the k-row centroid frame, crossJoin +
+    one JVM zip_with/aggregate distance per (vec, centroid), window
+    argmin partitioned BY VECTOR id, groupBy cluster for the update —
+    every shuffle keys on vec or cluster, the only small frame is the
+    k×d centroid table (ES-reduce-phase sized). Fixed `iters`, no
+    driver-side convergence loop over data. Returns (vec_id, cluster),
+    clusters 0..k-1 relabeled by init order."""
+    from pyspark.sql import Window
+
+    vec_u = F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000).cast("long"))
+    base = embeddings.select(F.col(id_col).alias("vec_id"), vec_u.alias("v"))
+    if init_ids is None:
+        init_ids = list(range(k))
+    # initial centroids: the chosen vectors, promoted to micro-units
+    cent = (base.filter(F.col("vec_id").isin([int(i) for i in init_ids]))
+            .select(F.col("vec_id").alias("cluster"),
+                    F.transform("v", lambda x: x * 1000).alias("c")))
+    # relabel clusters 0..k-1 in init_ids order (stable, engine-free)
+    order = {int(v): i for i, v in enumerate(init_ids)}
+    lab = F.create_map(*[F.lit(x) for kv in order.items() for x in kv])
+    cent = cent.select(lab[F.col("cluster")].alias("cluster"), "c")
+
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    assign = None
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x * 1000 - y) * (x * 1000 - y)),
+            F.lit(0).cast("long"), lambda acc, d: acc + d)
+        assign = (base.crossJoin(F.broadcast(cent))
+                  .withColumn("dist", dist)
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select("vec_id", "cluster", "v"))
+        cent = (assign
+                .select("cluster", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                # floor, not cast-truncate: DuckDB CAST(double AS BIGINT)
+                # rounds while Spark's truncates — floor is identical in
+                # both engines, including on negative coordinates
+                .agg(F.floor((F.sum("x") * 1000) /
+                             F.count(F.lit(1))).cast("long").alias("cx"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("p"))
+                .select("cluster", F.transform("p", lambda s: s.getField("cx")).alias("c")))
+    return assign.select("vec_id", "cluster").orderBy("vec_id")
+
+
+def kmeans_sql(table: str, k: int = 4, iters: int = 2,
+               init_ids: list[int] | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """DuckDB mirror of kmeans_clusters (same integer arithmetic,
+    chained CTEs per iteration)."""
+    if init_ids is None:
+        init_ids = list(range(k))
+    ids = ", ".join(str(int(i)) for i in init_ids)
+    relabel = " ".join(
+        f"WHEN {int(v)} THEN {i}" for i, v in enumerate(init_ids))
+    ctes = [f"""
+base AS (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM {table}
+),
+cent0 AS (
+  SELECT CASE vec_id {relabel} END AS cluster,
+         list_transform(v, x -> x * 1000) AS c
+  FROM base WHERE vec_id IN ({ids})
+)"""]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""
+d{it} AS (
+  SELECT b.vec_id, ct.cluster, b.v,
+         CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+              i -> (b.v[i] * 1000 - ct.c[i]) * (b.v[i] * 1000 - ct.c[i]))) AS BIGINT) AS dist
+  FROM base b CROSS JOIN {prev} ct
+),
+a{it} AS (
+  SELECT vec_id, cluster, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+),
+cent{it} AS (
+  SELECT cluster, list(cx ORDER BY dim) AS c FROM (
+    SELECT cluster, dim, CAST(floor((sum(x) * 1000) * 1.0 / count(*)) AS BIGINT) AS cx
+    FROM (
+      SELECT cluster, i AS dim, v[i + 1] AS x
+      FROM a{it}, unnest(range(0, len(v))) AS t(i)
+    ) GROUP BY cluster, dim
+  ) GROUP BY cluster
+)""")
+        prev = f"cent{it}"
+    return ("WITH " + ",".join(ctes)
+            + f"\nSELECT vec_id, cluster FROM a{iters} ORDER BY vec_id")

@@ -491,6 +491,37 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             for p in parts[1:]:
                 df = df.unionByName(p)
             out[name] = df.orderBy(F.asc("key"))
+        elif kind == "categorize_text":
+            # ES categorize_text: cluster semi-structured log messages by
+            # token pattern. Documented contract (ES's own algorithm is a
+            # drain-tree heuristic): lowercase tokens, each all-digit token
+            # replaced by '*', first `similarity_threshold`-independent K
+            # tokens (`max_matched_tokens`, default 5) joined as the
+            # category key — one projection + one groupBy, ES bucket order.
+            fld = inner["field"]
+            kk = int(inner.get("max_matched_tokens", 5))
+            sz = int(inner.get("size", 10))
+            toks = F.split(F.lower(F.col(fld)), r"[^a-z0-9]+")
+            toks = F.filter(toks, lambda t: t != F.lit(""))
+            patt = F.transform(
+                toks, lambda t: F.when(t.rlike("^[0-9]+$"), F.lit("*")).otherwise(t))
+            key = F.concat_ws(" ", F.slice(patt, 1, kk))
+            out[name] = (
+                base.groupBy(key.alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
+                .orderBy(F.desc("doc_count"), F.asc("key")).limit(sz))
+        elif kind == "sampler":
+            # ES sampler agg (deterministic variant): the `shard_size` docs
+            # with the smallest md5(doc_id) — an engine-independent uniform
+            # sample (same stratified_sample trick), then the sub-aggs over
+            # just the sample. ES samples per-shard by score; a hash-keyed
+            # global cut is the deterministic, cluster-invariant analogue.
+            n = int(inner.get("shard_size", 100))
+            id_c = inner.get("id_field", "doc_id")
+            sampled = (base.withColumn("__smp", F.md5(F.col(id_c).cast("string")))
+                       .orderBy(F.asc("__smp")).limit(n).drop("__smp"))
+            out[name] = sampled.agg(
+                F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
         elif kind in ("range", "date_range"):
             out[name] = _range_agg(base, kind, inner, sub)
         elif kind == "geo_distance":

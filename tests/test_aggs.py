@@ -685,3 +685,25 @@ def test_script_expr_math_functions(events, spark):
         _script_expr("open('x')", {})
     with pytest.raises(UnsupportedQuery):
         _script_expr("x.foo(1)", {"x": "x"})
+
+
+def test_categorize_text_and_sampler(spark, events):
+    logs = spark.createDataFrame(
+        [Row(doc_id=i,
+             msg=f"error {1000 + i} connection refused host {i}" if i % 2
+             else f"user {i} logged in from {i * 7}")
+         for i in range(40)])
+    out = compile_aggs(logs, {"aggs": {"c": {"categorize_text": {
+        "field": "msg", "max_matched_tokens": 4}}}})["c"].collect()
+    keys = {r["key"]: r["doc_count"] for r in out}
+    # digits masked → two stable categories
+    assert keys == {"error * connection refused": 20, "user * logged in": 20}
+    smp = compile_aggs(events, {"aggs": {"s": {
+        "sampler": {"shard_size": 50, "id_field": "event_id"},
+        "aggs": {"m": {"max": {"field": "value"}}}}}})["s"].first()
+    assert smp["doc_count"] == 50 and 0 < smp["m"] <= 49.0
+    # deterministic: same sample every run
+    smp2 = compile_aggs(events, {"aggs": {"s": {
+        "sampler": {"shard_size": 50, "id_field": "event_id"},
+        "aggs": {"m": {"max": {"field": "value"}}}}}})["s"].first()
+    assert smp["m"] == smp2["m"]

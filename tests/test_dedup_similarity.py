@@ -323,3 +323,26 @@ def test_cosine_topk_batch_matches_jvm(spark):
     b = {(r["query_id"], r["rank"]): r["vec_id"]
          for r in cosine_topk_batch(emb, qdf, k=10).collect()}
     assert a == b  # rank-identical (random doubles: no exact float ties)
+
+
+def test_kmeans_integer_exact_and_partition_invariant(spark):
+    import numpy as np
+    from fluent_plugin_elasticsearch_spark.operators.similarity import kmeans_clusters
+
+    rng = np.random.RandomState(11)
+    # three well-separated blobs + their seeds as init ids
+    blobs = np.concatenate([rng.randn(30, 8) * 0.1 + c
+                            for c in (np.zeros(8), np.ones(8) * 3, -np.ones(8) * 3)])
+    rows = [(i, [float(x) for x in blobs[i]]) for i in range(90)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cluster"]
+           for r in kmeans_clusters(emb, k=3, iters=2, init_ids=[0, 30, 60]).collect()}
+    # blob membership fully recovered
+    assert all(out[i] == 0 for i in range(30))
+    assert all(out[i] == 1 for i in range(30, 60))
+    assert all(out[i] == 2 for i in range(60, 90))
+    # partition invariance: same assignment at a different parallelism
+    out2 = {r["vec_id"]: r["cluster"]
+            for r in kmeans_clusters(emb.repartition(13), k=3, iters=2,
+                                     init_ids=[0, 30, 60]).collect()}
+    assert out == out2
