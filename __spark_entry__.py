@@ -699,6 +699,39 @@ def q_es_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.floor(F.col("w") * 1e2).cast("long").alias("wavg_u"))
 
 
+def q_es_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot agg: min/max + exact q1/q2/q3 (quantized)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_read(spark, sf_dir, "events"),
+                        {"aggs": {"b": {"boxplot": {"field": "value"}}}})["b"]
+
+
+def q_es_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats agg: lengths + Shannon entropy over the character
+    distribution (integer micro-nat quantization — exact cross-engine)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_read(spark, sf_dir, "documents"),
+                        {"aggs": {"ss": {"string_stats": {"field": "text"}}}})["ss"]
+
+
+def q_es_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds agg: bounding box of the synthetic geo_point."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_geo_customers(spark, sf_dir),
+                        {"aggs": {"gb": {"geo_bounds": {"field": "loc"}}}})["gb"]
+
+
+def q_es_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rate agg (doc-count form): events per span unit."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_read(spark, sf_dir, "events"),
+                        {"aggs": {"r": {"rate": {"bucket_span_units": 7.0}}}})["r"]
+
+
 def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic clustering: distributed Lloyd's k-means
     over the embeddings table — ENTIRELY integer arithmetic, so the
@@ -1854,6 +1887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_percentile_ranks": q_es_percentile_ranks,
+        "es_boxplot": q_es_boxplot,
+        "es_string_stats": q_es_string_stats,
+        "es_geo_bounds": q_es_geo_bounds,
+        "es_rate": q_es_rate,
         "semantic_clusters": q_semantic_clusters,
         "es_categorize_text": q_es_categorize_text,
         "es_sampler": q_es_sampler,
@@ -1987,6 +2024,38 @@ def oracle_sql() -> dict[str, str]:
 SELECT CAST(floor(sum(CAST(floor(value * 1e2) AS BIGINT) * user_id) * 1.0
             / sum(user_id) * 1e2) AS BIGINT) AS wavg_u
 FROM events
+""",
+        "es_boxplot": """
+SELECT min(value) AS b_min, max(value) AS b_max,
+       CAST(floor(quantile_cont(value, 0.25) * 1e6) AS BIGINT) AS b_q1_u,
+       CAST(floor(quantile_cont(value, 0.50) * 1e6) AS BIGINT) AS b_q2_u,
+       CAST(floor(quantile_cont(value, 0.75) * 1e6) AS BIGINT) AS b_q3_u
+FROM events
+""",
+        "es_string_stats": """
+WITH chars AS (SELECT unnest(string_split_regex(text, '')) AS ch FROM documents),
+cc AS (SELECT ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY ch),
+ent AS (
+  SELECT CAST(floor((ln(CAST(sum(c) AS DOUBLE))
+         - CAST(sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS DOUBLE)
+           / 1e6 / sum(c)) * 1e6) AS BIGINT) AS ss_entropy_u
+  FROM cc
+)
+SELECT count(text) AS ss_count, min(length(text)) AS ss_min_length,
+       max(length(text)) AS ss_max_length,
+       CAST(floor(avg(length(text)) * 1e2) AS BIGINT) AS ss_avg_length_u,
+       (SELECT ss_entropy_u FROM ent) AS ss_entropy_u
+FROM documents
+""",
+        "es_geo_bounds": """
+SELECT max((c_custkey * 7 % 140) - 70 + 0.25) AS gb_top,
+       min((c_custkey * 7 % 140) - 70 + 0.25) AS gb_bottom,
+       min((c_custkey * 13 % 360) - 180 + 0.25) AS gb_left,
+       max((c_custkey * 13 % 360) - 180 + 0.25) AS gb_right
+FROM customer
+""",
+        "es_rate": """
+SELECT CAST(floor(count(*) / 7.0 * 1e2) AS BIGINT) AS r_u FROM events
 """,
         "semantic_clusters": _sim.kmeans_sql(
             "embeddings", k=4, iters=2, init_ids=[0, 1, 2, 3]),

@@ -92,7 +92,7 @@ def _metric_cols(aggs: dict[str, Any]) -> list[Column]:
                 (F.sum(F.col(v) * F.col(w)) / F.sum(F.col(w))).alias(name)
             )
             continue
-        field = body["field"]
+        field = body.get("field")  # optional for `rate` (doc-count form)
         if kind == "percentiles":
             # exact linear-interpolation percentiles (identical to DuckDB's
             # quantile_cont — cross-engine-verified). ES itself serves
@@ -134,6 +134,44 @@ def _metric_cols(aggs: dict[str, Any]) -> list[Column]:
                 F.var_pop(field).alias(f"{name}_variance"),
                 F.stddev_pop(field).alias(f"{name}_std_deviation"),
             ]
+        elif kind == "boxplot":
+            # ES boxplot: min/q1/q2/q3/max (exact linear-interpolation
+            # quantiles, like the percentiles agg; quantized for the oracle)
+            cols += [F.min(field).alias(f"{name}_min"),
+                     F.max(field).alias(f"{name}_max")]
+            for q, lbl in ((0.25, "q1"), (0.5, "q2"), (0.75, "q3")):
+                cols.append(
+                    F.floor(F.expr(f"percentile({field}, {q})") * 1e6)
+                    .cast("long").alias(f"{name}_{lbl}_u"))
+        elif kind == "string_stats":
+            # ES string_stats: count / min_length / max_length / avg_length.
+            # (The entropy member needs a character-distribution pass — a
+            # different plan shape than a groupBy column — and is served by
+            # the TOP-LEVEL string_stats dispatch in compile_aggs.)
+            ln = F.length(field)
+            cols += [F.count(field).alias(f"{name}_count"),
+                     F.min(ln).alias(f"{name}_min_length"),
+                     F.max(ln).alias(f"{name}_max_length"),
+                     F.floor(F.avg(ln) * 1e2).cast("long")
+                     .alias(f"{name}_avg_length_u")]
+        elif kind == "geo_bounds":
+            # ES geo_bounds: the bounding box of a geo_point column
+            cols += [F.max(F.col(field).getField("lat")).alias(f"{name}_top"),
+                     F.min(F.col(field).getField("lat")).alias(f"{name}_bottom"),
+                     F.min(F.col(field).getField("lon")).alias(f"{name}_left"),
+                     F.max(F.col(field).getField("lon")).alias(f"{name}_right")]
+        elif kind == "rate":
+            # ES rate (inside a date_histogram): doc_count or field sum per
+            # `unit` — here as events-per-unit using a fixed caller-supplied
+            # bucket span (the histogram's own interval), one more column in
+            # the same groupBy: rate = sum(field)/span_units (or count/span)
+            span = float(body.get("bucket_span_units", 1.0))
+            if body.get("field"):
+                cols.append(F.floor(F.sum(body["field"]) / span * 1e2)
+                            .cast("long").alias(f"{name}_u"))
+            else:
+                cols.append(F.floor(F.count(F.lit(1)) / span * 1e2)
+                            .cast("long").alias(f"{name}_u"))
         elif kind == "percentile_ranks":
             # ES percentile_ranks: for each given value v, the percentage
             # of field values <= v. Exact (count ratio), quantized to
@@ -573,8 +611,29 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                             *[F.col(m) for m in metrics])
                 .orderBy(lead, *[F.asc(m) for m in metrics])
                 .limit(sz))
+        elif kind == "string_stats":
+            # top-level form adds the Shannon entropy over the CHARACTER
+            # distribution: entropy = ln(N) − (Σ cᵢ·ln cᵢ)/N, each
+            # cᵢ·ln cᵢ term quantized to integer micro-nats BEFORE the sum
+            # (exact cross-engine integer total — the unigram_logprob trick).
+            # One explode+groupBy over chars for the distribution, one agg
+            # for the lengths; both corpus-keyed, no driver funnel.
+            f = inner["field"]
+            lens = base.agg(*_metric_cols({name: {kind: inner}}))
+            chars = (base.select(F.explode(F.split(F.col(f), "")).alias("ch"))
+                     .filter(F.col("ch") != "")
+                     .groupBy("ch").agg(F.count(F.lit(1)).alias("c")))
+            ent = (chars.agg(
+                F.sum("c").alias("n"),
+                F.sum(F.floor(F.col("c") * F.log(F.col("c").cast("double")) * 1e6)
+                      .cast("long")).alias("clnc_u"))
+                .select(F.floor((F.log(F.col("n").cast("double"))
+                                 - F.col("clnc_u") / 1e6 / F.col("n")) * 1e6)
+                        .cast("long").alias(f"{name}_entropy_u")))
+            out[name] = lens.crossJoin(F.broadcast(ent))
         elif (kind in ("stats", "extended_stats", "percentiles", "cardinality",
-                       "weighted_avg", "percentile_ranks", "geo_centroid")
+                       "weighted_avg", "percentile_ranks", "geo_centroid",
+                       "boxplot", "geo_bounds", "rate")
               or kind in _METRICS):
             out[name] = base.agg(*_metric_cols({name: {kind: inner}}))
         else:

@@ -707,3 +707,21 @@ def test_categorize_text_and_sampler(spark, events):
         "sampler": {"shard_size": 50, "id_field": "event_id"},
         "aggs": {"m": {"max": {"field": "value"}}}}}})["s"].first()
     assert smp["m"] == smp2["m"]
+
+
+def test_boxplot_geo_bounds_rate_string_stats(events, spark):
+    b = compile_aggs(events, {"aggs": {"b": {"boxplot": {"field": "value"}}}})["b"].first()
+    assert b["b_min"] == 0.0 and b["b_max"] == 49.0
+    assert b["b_q1_u"] <= b["b_q2_u"] <= b["b_q3_u"]
+    r = compile_aggs(events, {"aggs": {"r": {"rate": {"bucket_span_units": 4.0}}}})["r"].first()
+    assert r["r_u"] == 7500  # 300 docs / 4 units = 75.00
+    geo = spark.createDataFrame(
+        [Row(loc=Row(lat=float(i), lon=float(-i))) for i in range(5)],
+        "loc struct<lat:double, lon:double>")
+    gb = compile_aggs(geo, {"aggs": {"g": {"geo_bounds": {"field": "loc"}}}})["g"].first()
+    assert (gb["g_top"], gb["g_bottom"], gb["g_left"], gb["g_right"]) == (4.0, 0.0, -4.0, 0.0)
+    txt = spark.createDataFrame([Row(t="aab"), Row(t="b")])
+    ss = compile_aggs(txt, {"aggs": {"s": {"string_stats": {"field": "t"}}}})["s"].first()
+    assert ss["s_count"] == 2 and ss["s_min_length"] == 1 and ss["s_max_length"] == 3
+    # chars: a=2, b=2, N=4 → entropy = ln 2 ≈ 0.693147
+    assert abs(ss["s_entropy_u"] - 693146) <= 2
