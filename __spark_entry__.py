@@ -699,6 +699,28 @@ def q_es_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.floor(F.col("w") * 1e2).cast("long").alias("wavg_u"))
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture by TOKEN BUDGET per source, incl. upsampling
+    epochs (operators/packing.mixture_by_token_budget — md5-deterministic
+    selection, identical rows on any engine/partitioning)."""
+    from fluent_plugin_elasticsearch_spark.operators.packing import (
+        mixture_by_token_budget)
+
+    out = mixture_by_token_budget(
+        _read(spark, sf_dir, "documents"),
+        {"src1": 120000.0, "src2": 20000.0})
+    return out.select("doc_id", "source", "epoch")
+
+
+def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum quality binning without a global NTILE window: exact
+    percentile thresholds from one broadcast agg, bin = thresholds below
+    (operators/packing.quality_bins)."""
+    from fluent_plugin_elasticsearch_spark.operators.packing import quality_bins
+
+    return quality_bins(_read(spark, sf_dir, "documents"), "n_chars", n_bins=5)
+
+
 def q_es_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES boxplot agg: min/max + exact q1/q2/q3 (quantized)."""
     from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
@@ -1887,6 +1909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_percentile_ranks": q_es_percentile_ranks,
+        "mixture_sample": q_mixture_sample,
+        "quality_bins": q_quality_bins,
         "es_boxplot": q_es_boxplot,
         "es_string_stats": q_es_string_stats,
         "es_geo_bounds": q_es_geo_bounds,
@@ -1981,6 +2005,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
 
+def _mixture_sql_entry() -> str:
+    from fluent_plugin_elasticsearch_spark.operators.packing import mixture_sql
+
+    return mixture_sql("documents", {"src1": 120000.0, "src2": 20000.0})
+
+
+def _quality_bins_sql_entry() -> str:
+    from fluent_plugin_elasticsearch_spark.operators.packing import quality_bins_sql
+
+    return quality_bins_sql("documents", "n_chars", n_bins=5)
+
+
 def oracle_sql() -> dict[str, str]:
     from fluent_plugin_elasticsearch_spark.operators.bm25 import (
         bm25_topk_sql,
@@ -2025,6 +2061,8 @@ SELECT CAST(floor(sum(CAST(floor(value * 1e2) AS BIGINT) * user_id) * 1.0
             / sum(user_id) * 1e2) AS BIGINT) AS wavg_u
 FROM events
 """,
+        "mixture_sample": _mixture_sql_entry(),
+        "quality_bins": _quality_bins_sql_entry(),
         "es_boxplot": """
 SELECT min(value) AS b_min, max(value) AS b_max,
        CAST(floor(quantile_cont(value, 0.25) * 1e6) AS BIGINT) AS b_q1_u,

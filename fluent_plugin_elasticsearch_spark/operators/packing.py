@@ -127,3 +127,108 @@ def chunk_documents(docs: DataFrame, chunk_len: int, overlap: int = 0,
         F.least(F.lit(chunk_len), F.col("__n") - F.col("start_pos") + 1).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk"),
     )
+
+
+def mixture_by_token_budget(docs: DataFrame, budgets: dict,
+                            strata_col: str = "source",
+                            token_col: str = "n_chars",
+                            id_col: str = "doc_id",
+                            salt: str = "mix") -> DataFrame:
+    """Training-data mixture sampling by TOKEN BUDGET per source — the
+    actual knob of pretraining recipes (give me 100M tokens of src1, 30M
+    of src2), including UPSAMPLING (multiple epochs) when a budget
+    exceeds the source's inventory.
+
+    ratio_s = budget_s / available_s. Every doc of source s is emitted
+    floor(ratio_s) times (whole epochs), plus once more iff its md5
+    60-bit uniform < frac(ratio_s) — the stratified_sample selection, so
+    the chosen rows are identical on any engine/cluster/partitioning.
+
+    Plan: one groupBy(source) for the inventory (source-count-sized,
+    broadcast back), one filter+explode projection for the emission — no
+    driver loop, no global window. Returns the sampled rows plus an
+    `epoch` column (0-based copy index)."""
+    spark = docs.sparkSession
+    inv = docs.groupBy(strata_col).agg(F.sum(token_col).alias("__avail"))
+    bud = spark.createDataFrame(
+        [(k, float(v)) for k, v in budgets.items()],
+        f"`{strata_col}` string, __budget double")
+    ratios = (inv.join(bud, strata_col)
+              .select(strata_col,
+                      (F.col("__budget") / F.col("__avail")).alias("__ratio")))
+    u = F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                          F.col(id_col).cast("string"))), 1, 15),
+               16, 10).cast("decimal(20,0)")
+    whole = F.floor("__ratio").cast("int")
+    frac = F.col("__ratio") - F.floor("__ratio")
+    extra = (u < (frac * F.lit(float(1 << 60))).cast("decimal(20,0)")).cast("int")
+    out = (docs.join(F.broadcast(ratios), strata_col)
+           .withColumn("__copies", whole + extra)
+           .filter(F.col("__copies") > 0)
+           .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)))
+           .drop("__ratio", "__copies"))
+    return out
+
+
+def mixture_sql(table: str, budgets: dict, strata_col: str = "source",
+                token_col: str = "n_chars", id_col: str = "doc_id",
+                salt: str = "mix", columns: str = "doc_id, source") -> str:
+    """DuckDB mirror of mixture_by_token_budget."""
+    vals = ", ".join(f"('{k}', {float(v)})" for k, v in budgets.items())
+    return f"""
+WITH inv AS (SELECT {strata_col}, sum({token_col}) AS avail FROM {table} GROUP BY {strata_col}),
+bud AS (SELECT * FROM (VALUES {vals}) AS b({strata_col}, budget)),
+ratios AS (SELECT i.{strata_col}, b.budget / i.avail AS ratio FROM inv i JOIN bud b USING ({strata_col})),
+tagged AS (
+  SELECT d.*, r.ratio,
+         CAST('0x' || substring(md5('{salt}|' || CAST(d.{id_col} AS VARCHAR)), 1, 15) AS UBIGINT) AS u
+  FROM {table} d JOIN ratios r USING ({strata_col})
+),
+copies AS (
+  SELECT *, CAST(floor(ratio) AS INT)
+         + CASE WHEN u < CAST((ratio - floor(ratio)) * 1152921504606846976 AS UBIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM tagged
+)
+SELECT {columns}, CAST(e.epoch AS INT) AS epoch
+FROM copies, unnest(range(0, n_copies)) AS e(epoch)
+WHERE n_copies > 0
+"""
+
+
+def quality_bins(docs: DataFrame, score_col: str, n_bins: int = 10,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Curriculum/quality binning WITHOUT a global-sort window: the bin
+    thresholds are n_bins−1 exact percentiles from ONE aggregate
+    (coordinator-sized, broadcast), and each row's bin is the count of
+    thresholds strictly below its score — a pure projection. An NTILE
+    window would funnel the corpus through one partition; this is the
+    100 TB-safe shape, and the exact-percentile thresholds make it
+    engine-reproducible. Returns (id, score, bin) with bin 0 = lowest."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    th = docs.agg(*[
+        F.expr(f"percentile({score_col}, {q})").alias(f"__t{i}")
+        for i, q in enumerate(qs)])
+    binc = None
+    for i in range(len(qs)):
+        c = (F.col(score_col) > F.col(f"__t{i}")).cast("int")
+        binc = c if binc is None else binc + c
+    return (docs.crossJoin(F.broadcast(th))
+            .select(F.col(id_col).alias("doc_id"), F.col(score_col),
+                    binc.alias("bin")))
+
+
+def quality_bins_sql(table: str, score_col: str, n_bins: int = 10,
+                     id_col: str = "doc_id") -> str:
+    """DuckDB mirror of quality_bins."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    ths = ", ".join(f"quantile_cont({score_col}, {q}) AS t{i}"
+                    for i, q in enumerate(qs))
+    binc = " + ".join(
+        f"CASE WHEN d.{score_col} > t.t{i} THEN 1 ELSE 0 END"
+        for i in range(len(qs)))
+    return f"""
+WITH t AS (SELECT {ths} FROM {table})
+SELECT d.{id_col} AS doc_id, d.{score_col}, CAST({binc} AS INT) AS bin
+FROM {table} d CROSS JOIN t
+"""
