@@ -699,6 +699,22 @@ def q_es_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.floor(F.col("w") * 1e2).cast("long").alias("wavg_u"))
 
 
+def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix (search-as-you-type): BM25 full terms +
+    constant-score prefix clause on the last term
+    (operators/bm25.match_bool_prefix_df)."""
+    return _bm25.match_bool_prefix_df(
+        _read(spark, sf_dir, "documents"), ["merge", "ta"], k=15)
+
+
+def q_explain_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _explain API: per-term BM25 breakdown (tf/df/idf/contrib) for
+    one document, faithful to the corpus statistics the scorer used
+    (operators/bm25.explain_df)."""
+    return _bm25.explain_df(
+        _read(spark, sf_dir, "documents"), ["merge", "table", "window"], doc_id=42)
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining mixture by TOKEN BUDGET per source, incl. upsampling
     epochs (operators/packing.mixture_by_token_budget — md5-deterministic
@@ -1909,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_percentile_ranks": q_es_percentile_ranks,
+        "match_bool_prefix": q_match_bool_prefix,
+        "explain_api": q_explain_api,
         "mixture_sample": q_mixture_sample,
         "quality_bins": q_quality_bins,
         "es_boxplot": q_es_boxplot,
@@ -2020,6 +2038,8 @@ def _quality_bins_sql_entry() -> str:
 def oracle_sql() -> dict[str, str]:
     from fluent_plugin_elasticsearch_spark.operators.bm25 import (
         bm25_topk_sql,
+        explain_sql,
+        match_bool_prefix_sql,
         match_phrase_sql,
         multi_match_sql,
         query_string_sql,
@@ -2061,6 +2081,8 @@ SELECT CAST(floor(sum(CAST(floor(value * 1e2) AS BIGINT) * user_id) * 1.0
             / sum(user_id) * 1e2) AS BIGINT) AS wavg_u
 FROM events
 """,
+        "match_bool_prefix": match_bool_prefix_sql("documents", ["merge", "ta"], k=15),
+        "explain_api": explain_sql("documents", ["merge", "table", "window"], doc_id=42),
         "mixture_sample": _mixture_sql_entry(),
         "quality_bins": _quality_bins_sql_entry(),
         "es_boxplot": """

@@ -530,3 +530,120 @@ SELECT doc_id, s_0 AS score_u FROM q0_scores
 ORDER BY score_u DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def match_bool_prefix_df(docs: DataFrame, query_terms: list[str], k: int = 10,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES match_bool_prefix (the search-as-you-type query): every term but
+    the last is a scored BM25 term clause, the LAST term is a prefix
+    clause — constant-score 1.0 like Lucene's PrefixQuery inside a bool
+    should. A doc matches if ANY clause matches (bool-should semantics);
+    score_u = BM25 sum of the full terms + 1e6 iff any token starts with
+    the prefix. One tokens projection feeds both sides. Returns
+    (doc_id, score_u) top-k."""
+    *full, pref = query_terms
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       simple_tokens_col(F.col(text_col)).alias("tokens"))
+    has_pref = F.exists("tokens", lambda t: t.startswith(pref))
+    pside = (toks.filter(has_pref)
+             .select("doc_id", F.lit(int(1e6)).alias("p_u")))
+    if full:
+        scores = bm25_scores_df(docs, full, id_col, text_col, k1, b)
+        combined = (scores.withColumnRenamed("score_u", "b_u")
+                    .join(pside, "doc_id", "full_outer")
+                    .select("doc_id",
+                            (F.coalesce(F.col("b_u"), F.lit(0))
+                             + F.coalesce(F.col("p_u"), F.lit(0))).alias("score_u")))
+    else:
+        combined = pside.select("doc_id", F.col("p_u").alias("score_u"))
+    return combined.orderBy(F.desc("score_u"), F.asc("doc_id")).limit(k)
+
+
+def match_bool_prefix_sql(table: str, query_terms: list[str], k: int = 10,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of match_bool_prefix_df."""
+    from .relevance import _TOKS_SQL, _scores_cte  # lazy: relevance imports bm25
+
+    *full, pref = query_terms
+    plit = "'" + pref.replace("'", "''") + "'"
+    toks = _TOKS_SQL.format(col=text_col)
+    pside = f"""
+pside AS (
+  SELECT {id_col} AS doc_id, CAST(1000000 AS BIGINT) AS p_u FROM {table}
+  WHERE len(list_filter({toks}, t -> starts_with(t, {plit}))) > 0
+)"""
+    if full:
+        cte = _scores_cte(0, table, text_col, full, id_col, k1, b)
+        return f"""
+WITH {cte},{pside}
+SELECT coalesce(s.doc_id, p.doc_id) AS doc_id,
+       CAST(coalesce(s.s_0, 0) + coalesce(p.p_u, 0) AS BIGINT) AS score_u
+FROM q0_scores s FULL OUTER JOIN pside p ON s.doc_id = p.doc_id
+ORDER BY score_u DESC, doc_id ASC LIMIT {k}
+"""
+    return f"""
+WITH {pside.lstrip(chr(10))}
+SELECT doc_id, p_u AS score_u FROM pside
+ORDER BY score_u DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def explain_df(docs: DataFrame, query_terms: list[str], doc_id: int,
+               id_col: str = "doc_id", text_col: str = "text",
+               k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES _explain API: the per-term BM25 score breakdown for ONE document
+    — (term, tf, df, n, dl, contrib_u) rows, term asc, quantized like the
+    scorer so Σ contrib matches the search score to the micro-unit.
+    The corpus statistics (df per query term, N, avgdl) come from the
+    same corpus-wide pass the scorer uses — filtering to the one doc
+    happens AFTER tf extraction, so the explanation is faithful to what
+    the search actually computed."""
+    terms = sorted(set(query_terms))
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       simple_tokens_col(F.col(text_col)).alias("tokens"))
+    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    base = toks.select("doc_id", F.size("tokens").alias("dl"),
+                       F.explode("tokens").alias("term"))
+    tfq = (base.filter(F.col("term").isin(terms))
+           .groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")))
+    dfq = tfq.groupBy("term").agg(F.count("*").alias("df"))
+    one = (tfq.filter(F.col("doc_id") == int(doc_id))
+           .join(F.broadcast(dfq), "term")
+           .crossJoin(F.broadcast(stats)))
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (idf * (k1 + 1.0) * F.col("tf")
+               / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+    return (one.select("term", "tf", "df", "n", "dl",
+                       F.floor(idf * 1e6).cast("long").alias("idf_u"),
+                       F.floor(contrib * 1e6).cast("long").alias("contrib_u"))
+            .orderBy(F.asc("term")))
+
+
+def explain_sql(table: str, query_terms: list[str], doc_id: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of explain_df."""
+    from .relevance import _TOKS_SQL  # lazy: relevance imports bm25
+
+    terms = sorted(set(query_terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    toks = _TOKS_SQL.format(col=text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+base AS (SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM toks),
+tfq AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM base
+  WHERE term IN ({in_list}) GROUP BY doc_id, dl, term
+),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term)
+SELECT t.term, t.tf, d.df, s.n, t.dl,
+       CAST(floor(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 1e6) AS BIGINT) AS idf_u,
+       CAST(floor(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * {k1 + 1.0} * t.tf
+            / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl)) * 1e6) AS BIGINT) AS contrib_u
+FROM tfq t JOIN dfq d USING (term) CROSS JOIN stats s
+WHERE t.doc_id = {int(doc_id)}
+ORDER BY t.term ASC
+"""

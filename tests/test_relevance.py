@@ -477,3 +477,40 @@ def test_unigram_logprob(docs, duck):
     # if its words are common; doc 6 (unique gardening words) scores HIGH
     scores = {r["doc_id"]: r["mean_nll_micro"] for r in out.collect()}
     assert scores[6] == max(scores.values())
+
+
+def test_match_bool_prefix(docs, duck):
+    from fluent_plugin_elasticsearch_spark.operators import bm25 as B
+
+    # "quick bro" → full term 'quick' scored, prefix 'bro' constant
+    df = B.match_bool_prefix_df(docs, ["quick", "bro"], k=8)
+    _match(df, duck, B.match_bool_prefix_sql("docs", ["quick", "bro"], k=8))
+    rows = {r["doc_id"]: r["score_u"] for r in df.collect()}
+    base = {r["doc_id"]: r["score_u"]
+            for r in B.bm25_scores_df(docs, ["quick"]).collect()}
+    # docs 0/1 have quick AND brown → BM25 + the 1e6 prefix constant;
+    # doc 4 has only 'quick' → exactly its BM25, no prefix bonus
+    assert rows[0] == base[0] + 1_000_000 and rows[1] == base[1] + 1_000_000
+    assert rows[4] == base[4]
+    # bool-should: prefix-only docs still match (brown without quick: none
+    # here, but 'fo' matches doc 7's fox without any full term)
+    only_pref = {r["doc_id"]: r["score_u"]
+                 for r in B.match_bool_prefix_df(docs, ["merge", "fo"], k=8).collect()}
+    assert only_pref[7] == 1_000_000  # fox prefix, no 'merge'
+
+
+def test_explain_api_matches_score(docs, duck):
+    from fluent_plugin_elasticsearch_spark.operators import bm25 as B
+
+    exp = B.explain_df(docs, ["quick", "dog"], doc_id=0).collect()
+    assert [r["term"] for r in exp] == ["dog", "quick"]
+    got = [tuple(r) for r in exp]
+    want = [tuple(r) for r in duck.sql(
+        B.explain_sql("docs", ["quick", "dog"], doc_id=0)).fetchall()]
+    assert got == want
+    # faithful: Σ contrib equals the scorer's quantized score within 2 ulp
+    # of the micro-unit floors (each side floors independently)
+    total = sum(r["contrib_u"] for r in exp)
+    score = {r["doc_id"]: r["score_u"]
+             for r in B.bm25_scores_df(docs, ["quick", "dog"]).collect()}[0]
+    assert abs(total - score) <= 2
