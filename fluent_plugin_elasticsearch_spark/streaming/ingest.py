@@ -131,3 +131,17 @@ def incremental_index_update(spark, docs_batch: DataFrame, index_dir: str, **bui
     gen = int(time.time() * 1000)
     out = os.path.join(index_dir, f"gen={gen}")
     return build_index(spark, docs_batch, out, **build_kw)
+
+
+def dedup_stream(stream: DataFrame, id_cols: list[str], ts_col: str,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup — the live twin of the batch md5/groupBy
+    dedup and the reference's create-op effectively-once semantics
+    (out_elasticsearch.rb `write_operation create` drops id duplicates):
+    the FIRST record per id is emitted, later duplicates are dropped for
+    as long as their event time is inside the watermark. State is keyed
+    by the id columns (hash-partitioned, scales with executors) and
+    expired by the watermark — bounded memory at any throughput."""
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(id_cols))

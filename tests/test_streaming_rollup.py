@@ -159,3 +159,34 @@ def test_eql_sequence_stream_matches_batch(spark, tmp_path):
                 ev, [{"term": {"event_type": "view"}},
                      {"term": {"event_type": "purchase"}}], 60).collect()}
     assert got == want and len(want) == 2  # odd users (u=1,3) within 60s
+
+
+def test_dedup_stream_effectively_once(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.streaming.ingest import dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    t0 = dt.datetime(2024, 1, 1, 12)
+    b1 = spark.createDataFrame(
+        [Row(doc_id=i, ts=t0 + dt.timedelta(seconds=i), v=f"a{i}") for i in range(5)])
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    out = dedup_stream(stream, ["doc_id"], "ts", watermark="1 hour")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    # redelivery batch: same ids (duplicates) + one new id
+    b2 = spark.createDataFrame(
+        [Row(doc_id=1, ts=t0 + dt.timedelta(seconds=70), v="DUP"),
+         Row(doc_id=9, ts=t0 + dt.timedelta(seconds=80), v="fresh")])
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    rows = {r["doc_id"]: r["v"] for r in spark.sql("select * from dedup_out").collect()}
+    q.stop()
+    assert len(rows) == 6           # 5 originals + the one new id
+    assert rows[1] == "a1"          # first record won; redelivery dropped
+    assert rows[9] == "fresh"
