@@ -225,3 +225,41 @@ def test_gap_filled_histogram_no_global_window(spark, sf_dir):
     # against the already-aggregated buckets (no corpus re-shuffle)
     assert "HashAggregate" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_hybrid_knn_plan_broadcasts_combined_topk(spark, sf_dir):
+    """The hybrid knn+query join back onto the docs must broadcast the
+    bounded combined top-k frame — the corpus side must never shuffle."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .join(spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                  .withColumnRenamed("vec_id", "doc_id"), "doc_id"))
+    body = {"query": {"multi_match": {"query": "fast table", "fields": ["text"]}},
+            "knn": {"field": "embedding", "query_vector": [1.0] * 64, "k": 5},
+            "size": 5}
+    plan = plan_of(compile_query(docs, body))
+    assert "BroadcastExchange" in plan
+
+
+def test_kmeans_plan_broadcasts_centroids_no_corpus_shuffle_per_distance(spark, sf_dir):
+    """Each k-means iteration joins the corpus against the k-row centroid
+    frame — that side must arrive by broadcast, and the argmin must be a
+    vec_id-keyed window (hash partition), not a global one."""
+    from fluent_plugin_elasticsearch_spark.operators.similarity import kmeans_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(kmeans_clusters(emb, k=4, iters=1, init_ids=[0, 1, 2, 3]))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partitionBy" not in plan or "No Partition Defined" not in plan
+
+
+def test_mixture_plan_broadcasts_ratio_frame(spark, sf_dir):
+    """mixture_by_token_budget joins the corpus to the per-source ratio
+    frame (source-cardinality-sized): broadcast side, corpus unshuffled."""
+    from fluent_plugin_elasticsearch_spark.operators.packing import (
+        mixture_by_token_budget)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(mixture_by_token_budget(docs, {"src1": 1000.0, "src2": 500.0}))
+    assert "BroadcastExchange" in plan

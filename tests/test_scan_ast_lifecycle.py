@@ -523,3 +523,19 @@ def test_count_mget_msearch_apis(spark):
                         "sort": [{"doc_id": "asc"}]}])
     assert outs[0].count() == 10
     assert [r["doc_id"] for r in outs[1].collect()] == list(range(15, 20))
+
+
+def test_field_caps(spark):
+    from fluent_plugin_elasticsearch_spark.sources.scan import field_caps
+
+    d = spark.createDataFrame(
+        [], "doc_id long, text string, emb array<float>, ok boolean,"
+            " ts timestamp, raw binary, loc struct<lat:double, lon:double>")
+    caps = {r["field"]: (r["type"], r["aggregatable"])
+            for r in field_caps(d).collect()}
+    assert caps["doc_id"] == ("long", True)
+    assert caps["text"] == ("keyword", True)
+    assert caps["emb"] == ("double", True)
+    assert caps["ts"] == ("date", True)
+    assert caps["raw"] == ("binary", False)
+    assert caps["loc.lat"] == ("double", True)  # dotted nested path
