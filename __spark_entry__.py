@@ -699,6 +699,29 @@ def q_es_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.floor(F.col("w") * 1e2).cast("long").alias("wavg_u"))
 
 
+def q_analyze_edge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _analyze with an edge_ngram(2,4) analyzer over documents.text
+    (operators/analyze.analyze_api — sorted-distinct gram contract)."""
+    from fluent_plugin_elasticsearch_spark.operators.analyze import analyze_api
+
+    out = analyze_api(_read(spark, sf_dir, "documents"), "text",
+                      "edge_ngram", min_gram=2, max_gram=4)
+    # tokens joined to one string: the driver's value hash is scalar-typed
+    return out.select("doc_id", F.concat_ws(" ", "tokens").alias("tokens"),
+                      "n_tokens")
+
+
+def q_analyze_stop_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _analyze: standard analyzer + stopword filter + S-stemmer."""
+    from fluent_plugin_elasticsearch_spark.operators.analyze import analyze_api
+
+    out = analyze_api(_read(spark, sf_dir, "documents"), "text",
+                      "standard", stopwords=["the", "a", "of", "and"],
+                      stem=True)
+    return out.select("doc_id", F.concat_ws(" ", "tokens").alias("tokens"),
+                      "n_tokens")
+
+
 def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_bool_prefix (search-as-you-type): BM25 full terms +
     constant-score prefix clause on the last term
@@ -1925,6 +1948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": q_rescore,
         "es_weighted_avg": q_es_weighted_avg,
         "es_percentile_ranks": q_es_percentile_ranks,
+        "analyze_edge_ngram": q_analyze_edge_ngram,
+        "analyze_stop_stem": q_analyze_stop_stem,
         "match_bool_prefix": q_match_bool_prefix,
         "explain_api": q_explain_api,
         "mixture_sample": q_mixture_sample,
@@ -2023,6 +2048,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
 
+def _analyze_sql_entry(analyzer: str, **kw) -> str:
+    from fluent_plugin_elasticsearch_spark.operators.analyze import analyze_sql
+
+    toks = analyze_sql("text", analyzer, **kw)
+    return (f"SELECT doc_id, array_to_string({toks}, ' ') AS tokens,"
+            f" len({toks}) AS n_tokens FROM documents")
+
+
 def _mixture_sql_entry() -> str:
     from fluent_plugin_elasticsearch_spark.operators.packing import mixture_sql
 
@@ -2081,6 +2114,9 @@ SELECT CAST(floor(sum(CAST(floor(value * 1e2) AS BIGINT) * user_id) * 1.0
             / sum(user_id) * 1e2) AS BIGINT) AS wavg_u
 FROM events
 """,
+        "analyze_edge_ngram": _analyze_sql_entry("edge_ngram", min_gram=2, max_gram=4),
+        "analyze_stop_stem": _analyze_sql_entry(
+            "standard", stopwords=["the", "a", "of", "and"], stem=True),
         "match_bool_prefix": match_bool_prefix_sql("documents", ["merge", "ta"], k=15),
         "explain_api": explain_sql("documents", ["merge", "table", "window"], doc_id=42),
         "mixture_sample": _mixture_sql_entry(),

@@ -148,3 +148,36 @@ def test_s_stemmer_rules(spark):
     d = spark.createDataFrame([Row(w=w) for w in cases])
     got = {r["w"]: r["s"] for r in d.select("w", stem_token_col(F.col("w")).alias("s")).collect()}
     assert got == cases
+
+
+def test_analyze_api_analyzers(spark):
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.analyze import (
+        analyze_api, analyze_col)
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame([Row(doc_id=0, text="The Cafe cats"),
+                               Row(doc_id=1, text="a-b c")])
+    std = {r["doc_id"]: r["tokens"] for r in analyze_api(d, "text").collect()}
+    assert std[0] == ["the", "cafe", "cats"] and std[1] == ["a", "b", "c"]
+    ws = {r["doc_id"]: r["tokens"]
+          for r in analyze_api(d, "text", "whitespace").collect()}
+    assert ws[1] == ["a-b", "c"]  # no lowercasing, whitespace only
+    kw = analyze_api(d, "text", "keyword").collect()[0]["tokens"]
+    assert kw == ["The Cafe cats"]
+    eg = {r["doc_id"]: r["tokens"]
+          for r in analyze_api(d, "text", "edge_ngram", min_gram=2, max_gram=3).collect()}
+    assert eg[0] == sorted({"th", "the", "ca", "caf", "cat"})
+    ng = {r["doc_id"]: r["tokens"]
+          for r in analyze_api(d, "text", "ngram", min_gram=2, max_gram=2).collect()}
+    assert ng[0] == sorted({"th", "he", "ca", "af", "fe", "at", "ts"})
+    ss = {r["doc_id"]: r["tokens"]
+          for r in analyze_api(d, "text", "standard",
+                               stopwords=["the"], stem=True).collect()}
+    assert ss[0] == ["cafe", "cat"]  # stopword gone, plural stemmed
+    folded = d.select(analyze_col(F.lit("Café Ñandú"), folding=True).alias("t")).first()["t"]
+    assert folded == ["cafe", "nandu"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        analyze_api(d, "text", "snowball_klingon").collect()
