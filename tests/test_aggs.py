@@ -84,7 +84,7 @@ def test_percentiles_agg(events):
 
 def test_unsupported_agg_raises(events):
     with pytest.raises(UnsupportedQuery):
-        compile_aggs(events, {"aggs": {"x": {"boxplot": {"field": "value"}}}})
+        compile_aggs(events, {"aggs": {"x": {"t_test": {"field": "value"}}}})
     with pytest.raises(UnsupportedQuery):
         compile_aggs(events, {"aggs": {"x": {"date_histogram": {"field": "ts", "calendar_interval": "fortnight"}}}})
 
