@@ -19,9 +19,10 @@ from ..extraction import simple_tokens_col
 
 
 def analyze(spark, text: str, tokenizer: str = "simple") -> DataFrame:
-    """ES _analyze: show how a string tokenizes — (token, position).
-    Runs the SAME tokenizer the engine indexes with, so what you see is
-    what the index contains."""
+    """ES _analyze, one-string debug form: show how a string tokenizes
+    — (token, position), with the SAME tokenizer the engine indexes
+    with. For analyzer CONFIGS (edge_ngram, stopwords, folding, stemming)
+    over a corpus column, use operators/analyze.analyze_api."""
     from ..textproc import tokenize_simple, tokenize_unicode
 
     toks = {"simple": tokenize_simple, "unicode": tokenize_unicode}[tokenizer](text)
@@ -56,35 +57,14 @@ def explain(docs: DataFrame, doc_id: int, query_terms: list[str],
     """ES _explain: the per-term BM25 score breakdown for one (doc,
     query) pair — (term, tf, df, idf_u, contrib_u) with the same formula
     and quantization as the scoring pipeline, so a contribution sum
-    reproduces the doc's score_u exactly. The why-did-this-doc-rank tool."""
-    terms = sorted(set(query_terms))
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
-    )
-    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
-    base = toks.select("doc_id", F.size("tokens").alias("dl"),
-                       F.explode("tokens").alias("term"))
-    tfq = (
-        base.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfq = tfq.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    contrib = (
-        idf * (k1 + 1.0) * F.col("tf")
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
-    )
-    return (
-        tfq.filter(F.col("doc_id") == doc_id)
-        .join(F.broadcast(dfq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "term", "tf", "df",
-            F.floor(idf * 1e6).cast("long").alias("idf_u"),
-            F.floor(contrib * 1e6).cast("long").alias("contrib_u"),
-        )
-        .orderBy("term")
-    )
+    reproduces the doc's score_u exactly. The why-did-this-doc-rank tool.
+    Delegates to bm25.explain_df (the oracle-mirrored implementation) and
+    keeps this API's historical column shape."""
+    from .bm25 import explain_df
+
+    return explain_df(docs, query_terms, doc_id, id_col=id_col,
+                      text_col=text_col, k1=k1, b=b).select(
+        "term", "tf", "df", "idf_u", "contrib_u")
 
 
 def count(docs: DataFrame, body: dict | None = None) -> int:

@@ -107,7 +107,9 @@ def index_pattern_filter(df: DataFrame, pattern: str,
 
 
 def count_query(docs: DataFrame, body: dict | None = None) -> DataFrame:
-    """ES _count API: the hit count of a query body, no hits fetched.
+    """ES _count API, DataFrame form (single `count` row — the
+    oracle-able shape; operators/apis.count is the scalar convenience).
+    The hit count of a query body, no hits fetched.
     Compiles the body's `query` through the same clause compiler and
     returns a single-row (count) frame — a count-only aggregate plan, so
     Catalyst prunes every column and parquet serves row-group counts
@@ -135,62 +137,3 @@ def mget(docs: DataFrame, ids: list, id_col: str = "doc_id") -> DataFrame:
         [(i, v) for i, v in enumerate(ids)], f"__req_order long, {id_col} long")
     return (docs.join(F.broadcast(order), id_col)
             .orderBy("__req_order").drop("__req_order"))
-
-
-def msearch(docs: DataFrame, bodies: list[dict], index=None) -> list[DataFrame]:
-    """ES _msearch API: N search bodies in one call → N result frames.
-    Each body compiles independently (compile_query); the caller collects
-    them in whatever parallelism it wants — on a cluster, triggering the
-    actions concurrently shares the scan via Spark's cache/exchange
-    reuse."""
-    from ..plans.query_ast import compile_query
-
-    return [compile_query(docs, b, index=index) for b in bodies]
-
-
-def field_caps(docs: DataFrame) -> DataFrame:
-    """ES _field_caps API: per-field capabilities derived from the schema
-    — (field, type, searchable, aggregatable). Driver-side schema walk
-    (no data touched), ES type names mapped from Spark types; nested
-    struct fields are flattened with dotted paths like ES."""
-    from pyspark.sql import types as T
-
-    def es_type(dt) -> str:
-        if isinstance(dt, T.StringType):
-            return "keyword"
-        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-            return "long"
-        if isinstance(dt, (T.DoubleType, T.FloatType)):
-            return "double"
-        if isinstance(dt, T.BooleanType):
-            return "boolean"
-        if isinstance(dt, T.TimestampType):
-            return "date"
-        if isinstance(dt, T.BinaryType):
-            return "binary"
-        if isinstance(dt, T.ArrayType):
-            return es_type(dt.elementType)
-        if isinstance(dt, T.DecimalType):
-            return "double"
-        return "object"
-
-    rows = []
-
-    def walk(prefix: str, dt) -> None:
-        if isinstance(dt, T.StructType):
-            for f in dt.fields:
-                walk(f"{prefix}{f.name}.", f.dataType) if isinstance(f.dataType, T.StructType) \
-                    else rows.append((f"{prefix}{f.name}", es_type(f.dataType)))
-        else:
-            rows.append((prefix.rstrip("."), es_type(dt)))
-
-    for f in docs.schema.fields:
-        if isinstance(f.dataType, T.StructType):
-            walk(f"{f.name}.", f.dataType)
-        else:
-            rows.append((f.name, es_type(f.dataType)))
-    spark = docs.sparkSession
-    out = [(name, t, True, t not in ("binary", "object")) for name, t in rows]
-    return spark.createDataFrame(
-        out, "field string, type string, searchable boolean, aggregatable boolean"
-    ).orderBy("field")

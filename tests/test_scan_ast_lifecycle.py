@@ -508,8 +508,8 @@ def test_distance_feature_naive_date_origin_is_utc(spark):
 
 
 def test_count_mget_msearch_apis(spark):
-    from fluent_plugin_elasticsearch_spark.sources.scan import (
-        count_query, mget, msearch)
+    from fluent_plugin_elasticsearch_spark.operators.apis import msearch
+    from fluent_plugin_elasticsearch_spark.sources.scan import count_query, mget
 
     rows = [Row(doc_id=i, lang=["en", "fr"][i % 2], n_chars=100 + i * 10)
             for i in range(20)]
