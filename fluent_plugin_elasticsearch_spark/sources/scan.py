@@ -137,3 +137,53 @@ def mget(docs: DataFrame, ids: list, id_col: str = "doc_id") -> DataFrame:
         [(i, v) for i, v in enumerate(ids)], f"__req_order long, {id_col} long")
     return (docs.join(F.broadcast(order), id_col)
             .orderBy("__req_order").drop("__req_order"))
+
+
+def field_caps(docs: DataFrame) -> DataFrame:
+    """ES _field_caps API: per-field capabilities derived from the schema
+    — (field, type, searchable, aggregatable). Driver-side schema walk
+    (no data touched), ES type names mapped from Spark types; nested
+    struct fields are flattened with dotted paths like ES."""
+    from pyspark.sql import types as T
+
+    def es_type(dt) -> str:
+        if isinstance(dt, T.StringType):
+            return "keyword"
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return "long"
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return "double"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.TimestampType):
+            return "date"
+        if isinstance(dt, T.BinaryType):
+            return "binary"
+        if isinstance(dt, T.ArrayType):
+            return es_type(dt.elementType)
+        if isinstance(dt, T.DecimalType):
+            return "double"
+        return "object"
+
+    rows = []
+
+    def walk(prefix: str, dt) -> None:
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                if isinstance(f.dataType, T.StructType):
+                    walk(f"{prefix}{f.name}.", f.dataType)
+                else:
+                    rows.append((f"{prefix}{f.name}", es_type(f.dataType)))
+        else:
+            rows.append((prefix.rstrip("."), es_type(dt)))
+
+    for f in docs.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            walk(f"{f.name}.", f.dataType)
+        else:
+            rows.append((f.name, es_type(f.dataType)))
+    spark = docs.sparkSession
+    out = [(name, t, True, t not in ("binary", "object")) for name, t in rows]
+    return spark.createDataFrame(
+        out, "field string, type string, searchable boolean, aggregatable boolean"
+    ).orderBy("field")
