@@ -760,6 +760,19 @@ def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_bins(_read(spark, sf_dir, "documents"), "n_chars", n_bins=5)
 
 
+def q_es_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test agg (Welch's): two filtered populations, moments from
+    exact integer aggregates (plans/aggs.py — never Welford var_samp)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long"))
+    return compile_aggs(ev, {"aggs": {"tt": {"t_test": {
+        "field": "value_u",
+        "a": {"filter": {"term": {"event_type": "click"}}},
+        "b": {"filter": {"term": {"event_type": "view"}}}}}}})["tt"]
+
+
 def q_es_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES boxplot agg: min/max + exact q1/q2/q3 (quantized)."""
     from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
@@ -1954,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_api": q_explain_api,
         "mixture_sample": q_mixture_sample,
         "quality_bins": q_quality_bins,
+        "es_t_test": q_es_t_test,
         "es_boxplot": q_es_boxplot,
         "es_string_stats": q_es_string_stats,
         "es_geo_bounds": q_es_geo_bounds,
@@ -2121,6 +2135,23 @@ FROM events
         "explain_api": explain_sql("documents", ["merge", "table", "window"], doc_id=42),
         "mixture_sample": _mixture_sql_entry(),
         "quality_bins": _quality_bins_sql_entry(),
+        "es_t_test": """
+WITH q AS (SELECT event_type, CAST(floor(value * 1e2) AS BIGINT) AS x FROM events),
+m AS (
+  SELECT count(CASE WHEN event_type = 'click' THEN x END) AS n1,
+         CAST(sum(CASE WHEN event_type = 'click' THEN x END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN event_type = 'click' THEN x * x END) AS BIGINT) AS q1,
+         count(CASE WHEN event_type = 'view' THEN x END) AS n2,
+         CAST(sum(CASE WHEN event_type = 'view' THEN x END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN event_type = 'view' THEN x * x END) AS BIGINT) AS q2
+  FROM q
+)
+SELECT n1, n2,
+  CAST(floor((s1 / n1 - s2 / n2)
+       / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+            + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) * 1e6) AS BIGINT) AS tt_t_u
+FROM m
+""",
         "es_boxplot": """
 SELECT min(value) AS b_min, max(value) AS b_max,
        CAST(floor(quantile_cont(value, 0.25) * 1e6) AS BIGINT) AS b_q1_u,

@@ -581,6 +581,34 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = _significant_text(docs, base, inner)
         elif kind == "composite":
             out[name] = _composite(base, inner, sub)
+        elif kind == "t_test":
+            # ES t_test (Welch's / heteroscedastic): two filtered
+            # populations of `field`, t = (m1−m2)/√(v1/n1 + v2/n2).
+            # Moments come from EXACT integer aggregates (n, Σx, Σx²) in
+            # one conditional-aggregation pass — never var_samp, whose
+            # Welford accumulation is partitioning-order-sensitive; the
+            # final float formula is a fixed op order both engines share.
+            # Works on integer-quantized fields (quantize upstream).
+            f = inner["field"]
+            ca = _compile_clause(inner["a"]["filter"])
+            cb = _compile_clause(inner["b"]["filter"])
+            x = F.col(f).cast("long")
+
+            def side(c, tag):
+                w = F.when(c, x)
+                return [F.count(w).alias(f"n{tag}"),
+                        F.sum(w).cast("long").alias(f"s{tag}"),
+                        F.sum(F.when(c, x * x)).cast("long").alias(f"q{tag}")]
+
+            mom = base.agg(*side(ca, "1"), *side(cb, "2"))
+            m1 = F.col("s1") / F.col("n1")
+            m2 = F.col("s2") / F.col("n2")
+            v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+            v2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)
+            t = (m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+            out[name] = mom.select(
+                F.col("n1"), F.col("n2"),
+                F.floor(t * 1e6).cast("long").alias(f"{name}_t_u"))
         elif kind == "median_absolute_deviation":
             # ES MAD: median(|x - median(x)|). Two chained exact medians —
             # the inner one is a broadcast single-row subplan, the outer a

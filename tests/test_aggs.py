@@ -84,7 +84,7 @@ def test_percentiles_agg(events):
 
 def test_unsupported_agg_raises(events):
     with pytest.raises(UnsupportedQuery):
-        compile_aggs(events, {"aggs": {"x": {"t_test": {"field": "value"}}}})
+        compile_aggs(events, {"aggs": {"x": {"variable_width_histogram": {"field": "value"}}}})
     with pytest.raises(UnsupportedQuery):
         compile_aggs(events, {"aggs": {"x": {"date_histogram": {"field": "ts", "calendar_interval": "fortnight"}}}})
 
@@ -725,3 +725,23 @@ def test_boxplot_geo_bounds_rate_string_stats(events, spark):
     assert ss["s_count"] == 2 and ss["s_min_length"] == 1 and ss["s_max_length"] == 3
     # chars: a=2, b=2, N=4 → entropy = ln 2 ≈ 0.693147
     assert abs(ss["s_entropy_u"] - 693146) <= 2
+
+
+def test_t_test_welch(events):
+    import math
+
+    out = compile_aggs(events, {"aggs": {"tt": {"t_test": {
+        "field": "value",
+        "a": {"filter": {"term": {"event_type": "click"}}},
+        "b": {"filter": {"range": {"value": {"gte": 25}}}}}}}})["tt"].first()
+    # brute-force Welch over the fixture
+    a = [float(i % 50) for i in range(300) if i % 3 == 0]
+    b = [float(i % 50) for i in range(300) if (i % 50) >= 25]
+    def mv(xs):
+        m = sum(xs) / len(xs)
+        v = sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+        return m, v
+    (m1, v1), (m2, v2) = mv(a), mv(b)
+    t = (m1 - m2) / math.sqrt(v1 / len(a) + v2 / len(b))
+    assert out["n1"] == len(a) and out["n2"] == len(b)
+    assert abs(out["tt_t_u"] - math.floor(t * 1e6)) <= 2
