@@ -122,3 +122,58 @@ def test_percolate_matches_brute_force_random(spark, seed):
             if len(set(terms) & toks) >= msm:
                 want.add((r.doc_id, qid))
     assert got == want
+
+
+def _brute_intervals_ordered(tokens, terms, max_gaps):
+    """Reference count of anchor positions completing an ordered chain
+    q1<...<qn with (qn-q1+1)-n <= max_gaps (mirror of the operator
+    contract)."""
+    import itertools
+
+    pos = [[i + 1 for i, t in enumerate(tokens) if t == q] for q in terms]
+    n = len(terms)
+    sf = 0
+    for anchor in pos[-1]:
+        ok = False
+        for combo in itertools.product(*pos[:-1]):
+            seq = list(combo) + [anchor]
+            if all(a < b for a, b in zip(seq, seq[1:])) and (
+                    max_gaps < 0 or (anchor - seq[0] + 1 - n) <= max_gaps):
+                ok = True
+                break
+        if ok:
+            sf += 1
+    return sf
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_intervals_matches_brute_force(spark, seed):
+    docs, rows = random_docs(spark, seed, n=60)
+    rng = np.random.default_rng(seed + 1)
+    # frequent terms so chains actually occur
+    terms = [VOCAB[int(j)] for j in rng.integers(0, 6, 3)]
+    if len(set(terms)) < 3:  # operator assumes distinct clause terms
+        terms = ["w0", "w1", "w2"]
+    for mg in (-1, 0, 3):
+        got = {r["doc_id"] for r in rel.intervals_match_df(
+            docs, terms, max_gaps=mg, ordered=True, k=100).collect()}
+        want = {r.doc_id for r in rows
+                if _brute_intervals_ordered(r.text.split(), terms, mg) > 0}
+        assert got == want, f"max_gaps={mg}"
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_span_not_matches_brute_force(spark, seed):
+    docs, rows = random_docs(spark, seed, n=60)
+    inc, exc, pre, post = "w0", "w1", 1, 2
+    got = {r["doc_id"] for r in rel.span_not_df(
+        docs, inc, exc, pre=pre, post=post, k=100).collect()}
+    want = set()
+    for r in rows:
+        toks = r.text.split()
+        pi = [i + 1 for i, t in enumerate(toks) if t == inc]
+        px = [i + 1 for i, t in enumerate(toks) if t == exc]
+        sf = sum(1 for p in pi if not any(p - pre <= q <= p + post for q in px))
+        if sf > 0:
+            want.add(r.doc_id)
+    assert got == want
