@@ -760,6 +760,16 @@ def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_bins(_read(spark, sf_dir, "documents"), "n_chars", n_bins=5)
 
 
+def q_es_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES variable_width_histogram: deterministic 1-D integer k-means
+    contract (plans/aggs._variable_width_histogram)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_read(spark, sf_dir, "events"),
+                        {"aggs": {"v": {"variable_width_histogram": {
+                            "field": "value", "buckets": 6}}}})["v"]
+
+
 def q_es_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES t_test agg (Welch's): two filtered populations, moments from
     exact integer aggregates (plans/aggs.py — never Welford var_samp)."""
@@ -1967,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_api": q_explain_api,
         "mixture_sample": q_mixture_sample,
         "quality_bins": q_quality_bins,
+        "es_variable_width_histogram": q_es_variable_width_histogram,
         "es_t_test": q_es_t_test,
         "es_boxplot": q_es_boxplot,
         "es_string_stats": q_es_string_stats,
@@ -2062,6 +2073,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
 
+def _vwh_sql_entry() -> str:
+    from fluent_plugin_elasticsearch_spark.plans.aggs import (
+        variable_width_histogram_sql)
+
+    return variable_width_histogram_sql("events", "value", buckets=6)
+
+
 def _analyze_sql_entry(analyzer: str, **kw) -> str:
     from fluent_plugin_elasticsearch_spark.operators.analyze import analyze_sql
 
@@ -2135,6 +2153,7 @@ FROM events
         "explain_api": explain_sql("documents", ["merge", "table", "window"], doc_id=42),
         "mixture_sample": _mixture_sql_entry(),
         "quality_bins": _quality_bins_sql_entry(),
+        "es_variable_width_histogram": _vwh_sql_entry(),
         "es_t_test": """
 WITH q AS (SELECT event_type, CAST(floor(value * 1e2) AS BIGINT) AS x FROM events),
 m AS (

@@ -581,6 +581,8 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = _significant_text(docs, base, inner)
         elif kind == "composite":
             out[name] = _composite(base, inner, sub)
+        elif kind == "variable_width_histogram":
+            out[name] = _variable_width_histogram(base, inner)
         elif kind == "t_test":
             # ES t_test (Welch's / heteroscedastic): two filtered
             # populations of `field`, t = (m1−m2)/√(v1/n1 + v2/n2).
@@ -667,6 +669,94 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         else:
             raise UnsupportedQuery(f"unsupported agg kind: {kind}")
     return out
+
+
+_VWH_ITERS = 2
+
+
+def _variable_width_histogram(base: DataFrame, inner: dict[str, Any]) -> DataFrame:
+    """ES variable_width_histogram: cluster a numeric field into at most
+    `buckets` variable-width buckets. ES uses a shard-local streaming
+    clusterer (order-dependent); the deterministic contract here is 1-D
+    Lloyd's k-means — init = the k evenly-spaced exact percentiles
+    ((2j+1)/2k), `_VWH_ITERS` fixed iterations — in the same ENTIRELY
+    integer arithmetic as similarity.kmeans_clusters (milli-unit values,
+    micro-unit centroids, exact integer updates), so the bucketing is
+    identical on any engine/partitioning. Returns
+    (min, key_u, max, doc_count) per non-empty bucket in key order;
+    `key_u` is the centroid in micro-units."""
+    from pyspark.sql import Window
+
+    f = inner["field"]
+    k = int(inner.get("buckets", 10))
+    vals = base.select(F.floor(F.col(f).cast("double") * 1000)
+                       .cast("long").alias("v"))
+    qs = [(2 * j + 1) / (2.0 * k) for j in range(k)]
+    cent = vals.agg(*[
+        F.floor(F.expr(f"percentile(v, {q})") * 1000).cast("long").alias(f"c{j}")
+        for j, q in enumerate(qs)])
+    cent = cent.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("cluster"), F.col(f"c{j}").alias("c"))
+        for j in range(k)])).alias("s")).select("s.cluster", "s.c")
+    w = Window.partitionBy("v_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    tagged = vals.withColumn("v_id", F.monotonically_increasing_id())
+    assign = None
+    for _ in range(_VWH_ITERS):
+        assign = (tagged.crossJoin(F.broadcast(cent))
+                  .withColumn("dist", F.abs(F.col("v") * 1000 - F.col("c")))
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select("v_id", "v", "cluster"))
+        cent = (assign.groupBy("cluster")
+                .agg(F.floor((F.sum("v") * 1000) / F.count(F.lit(1)))
+                     .cast("long").alias("c")))
+    stats = (assign.join(cent, "cluster")
+             .groupBy("cluster", "c")
+             .agg(F.min(F.col("v") / 1000.0).alias("min"),
+                  F.max(F.col("v") / 1000.0).alias("max"),
+                  F.count(F.lit(1)).alias("doc_count")))
+    return (stats.select(F.col("min"), F.col("c").alias("key_u"),
+                         F.col("max"), F.col("doc_count"))
+            .orderBy(F.asc("key_u"), F.asc("min")))
+
+
+def variable_width_histogram_sql(table: str, field: str, buckets: int = 10,
+                                 iters: int = _VWH_ITERS) -> str:
+    """DuckDB mirror of _variable_width_histogram (chained CTEs)."""
+    k = int(buckets)
+    qs = [(2 * j + 1) / (2.0 * k) for j in range(k)]
+    init = " UNION ALL ".join(
+        f"SELECT {j} AS cluster, CAST(floor(quantile_cont(v, {q}) * 1000) AS BIGINT) AS c FROM vals"
+        for j, q in enumerate(qs))
+    ctes = [f"""
+vals AS (
+  SELECT row_number() OVER () AS v_id,
+         CAST(floor(CAST({field} AS DOUBLE) * 1000) AS BIGINT) AS v
+  FROM {table}
+),
+cent0 AS ({init})"""]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""
+a{it} AS (
+  SELECT v_id, v, cluster FROM (
+    SELECT t.v_id, t.v, ct.cluster,
+           row_number() OVER (PARTITION BY t.v_id
+             ORDER BY abs(t.v * 1000 - ct.c) ASC, ct.cluster ASC) AS rn
+    FROM vals t CROSS JOIN {prev} ct
+  ) WHERE rn = 1
+),
+cent{it} AS (
+  SELECT cluster, CAST(floor((sum(v) * 1000) * 1.0 / count(*)) AS BIGINT) AS c
+  FROM a{it} GROUP BY cluster
+)""")
+        prev = f"cent{it}"
+    return ("WITH " + ",".join(ctes) + f"""
+SELECT min(a.v / 1000.0) AS min, c.c AS key_u, max(a.v / 1000.0) AS max,
+       count(*) AS doc_count
+FROM a{iters} a JOIN cent{iters} c USING (cluster)
+GROUP BY c.c
+ORDER BY key_u ASC, min ASC""")
 
 
 _PIPELINE_KINDS = ("derivative", "cumulative_sum", "moving_fn", "serial_diff",

@@ -84,7 +84,7 @@ def test_percentiles_agg(events):
 
 def test_unsupported_agg_raises(events):
     with pytest.raises(UnsupportedQuery):
-        compile_aggs(events, {"aggs": {"x": {"variable_width_histogram": {"field": "value"}}}})
+        compile_aggs(events, {"aggs": {"x": {"geo_line": {"field": "value"}}}})
     with pytest.raises(UnsupportedQuery):
         compile_aggs(events, {"aggs": {"x": {"date_histogram": {"field": "ts", "calendar_interval": "fortnight"}}}})
 
@@ -745,3 +745,22 @@ def test_t_test_welch(events):
     t = (m1 - m2) / math.sqrt(v1 / len(a) + v2 / len(b))
     assert out["n1"] == len(a) and out["n2"] == len(b)
     assert abs(out["tt_t_u"] - math.floor(t * 1e6)) <= 2
+
+
+def test_variable_width_histogram(events):
+    out = compile_aggs(events, {"aggs": {"v": {"variable_width_histogram": {
+        "field": "value", "buckets": 5}}}})["v"].collect()
+    assert 1 <= len(out) <= 5
+    assert sum(r["doc_count"] for r in out) == 300
+    keys = [r["key_u"] for r in out]
+    assert keys == sorted(keys)
+    for r in out:
+        assert r["min"] <= r["key_u"] / 1e6 + 1 and r["max"] >= r["key_u"] / 1e6 - 1
+    # buckets partition the value range without overlap
+    for a, b in zip(out, out[1:]):
+        assert a["max"] <= b["min"]
+    # deterministic across reruns/partitioning
+    again = compile_aggs(events.repartition(7),
+                         {"aggs": {"v": {"variable_width_histogram": {
+                             "field": "value", "buckets": 5}}}})["v"].collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
