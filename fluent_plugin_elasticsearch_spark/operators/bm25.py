@@ -31,6 +31,26 @@ from .. import BM25_B, BM25_K1
 from ..extraction import simple_tokens_col
 
 
+def corpus_stats_with_dfs(toks: DataFrame, df_conds) -> DataFrame:
+    """ONE corpus aggregate producing the single broadcastable stats row
+    ``(n, avgdl, df0..df{k-1})``.
+
+    Replaces the per-term single-row-aggregate + crossJoin chain the
+    phrase/span scorers used to build: an n-term query paid n+1 full
+    corpus scans (one per df plus one for n/avgdl); this pays exactly
+    ONE scan with n conditional sums riding the same partial aggregate.
+    ``df_conds[i]`` is a per-document boolean Column over ``tokens``
+    (e.g. ``array_contains(tokens, t)``); ``dfi`` = docs where it holds.
+    The downstream idf expressions are unchanged, so scores are
+    bit-identical to the old chain."""
+    aggs = [F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl")]
+    aggs += [
+        F.sum(F.when(c, 1).otherwise(0)).alias(f"df{i}")
+        for i, c in enumerate(df_conds)
+    ]
+    return toks.agg(*aggs)
+
+
 def bm25_topk_df(docs: DataFrame, query_terms: list[str], k: int = 10,
                  id_col: str = "doc_id", text_col: str = "text",
                  k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
@@ -97,7 +117,9 @@ def match_phrase_df(docs: DataFrame, phrase_terms: list[str], k: int = 10,
     toks = docs.select(
         F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
     )
-    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    # ONE corpus pass for n/avgdl AND every per-term df (was n+1 scans)
+    stats = corpus_stats_with_dfs(
+        toks, [F.array_contains("tokens", t) for t in phrase_terms])
     base = toks.select("doc_id", F.size("tokens").alias("dl"), "tokens")
     if candidates is not None:
         base = base.join(F.broadcast(candidates.select("doc_id")), "doc_id", "left_semi")
@@ -120,17 +142,7 @@ def match_phrase_df(docs: DataFrame, phrase_terms: list[str], k: int = 10,
         ),
     ).otherwise(F.lit(0))
     matched = base.withColumn("pf", pf).filter(F.col("pf") > 0)
-    # per-term global df (docs containing the term anywhere)
-    dfs = [
-        toks.select(
-            F.sum(F.when(F.array_contains("tokens", t), 1).otherwise(0)).alias(f"df{i}")
-        )
-        for i, t in enumerate(phrase_terms)
-    ]
-    df_all = dfs[0]
-    for d in dfs[1:]:
-        df_all = df_all.crossJoin(d)
-    scored = matched.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(df_all))
+    scored = matched.crossJoin(F.broadcast(stats))
     # idf sum in FIXED phrase order — identical expression order in the SQL
     idf_sum = None
     for i in range(n_terms):

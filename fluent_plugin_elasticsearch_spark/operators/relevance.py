@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1
 from ..extraction import simple_tokens_col
-from .bm25 import bm25_scores_df
+from .bm25 import bm25_scores_df, corpus_stats_with_dfs
 from .caching import pin
 
 _TOKS_SQL = (
@@ -287,7 +287,12 @@ def match_phrase_prefix_df(docs: DataFrame, phrase_terms: list[str],
     toks = docs.select(
         F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
     )
-    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    # ONE corpus pass for n/avgdl + exact-term dfs + prefix df (was n+1 scans)
+    stats = corpus_stats_with_dfs(
+        toks,
+        [F.array_contains("tokens", t) for t in exact]
+        + [F.exists("tokens", lambda x: x.startswith(prefix))],
+    )
     base = toks.select("doc_id", F.size("tokens").alias("dl"), "tokens")
 
     def occurs_at(i):
@@ -306,21 +311,7 @@ def match_phrase_prefix_df(docs: DataFrame, phrase_terms: list[str],
         ),
     ).otherwise(F.lit(0))
     matched = base.withColumn("pf", pf).filter(F.col("pf") > 0)
-    dfs = [
-        toks.select(
-            F.sum(F.when(F.array_contains("tokens", t), 1).otherwise(0)).alias(f"df{i}")
-        )
-        for i, t in enumerate(exact)
-    ]
-    dfs.append(toks.select(
-        F.sum(F.when(
-            F.exists("tokens", lambda x: x.startswith(prefix)), 1).otherwise(0)
-        ).alias(f"df{n_terms - 1}")
-    ))
-    df_all = dfs[0]
-    for d in dfs[1:]:
-        df_all = df_all.crossJoin(d)
-    scored = matched.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(df_all))
+    scored = matched.crossJoin(F.broadcast(stats))
     idf_sum = None
     for i in range(n_terms):
         idf_i = F.log(1.0 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5))
@@ -653,7 +644,9 @@ def span_near_df(docs: DataFrame, first: str, second: str, slop: int = 0,
     toks = docs.select(
         F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
     )
-    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    # ONE corpus pass for n/avgdl + both clause dfs (was 3 scans)
+    stats = corpus_stats_with_dfs(
+        toks, [F.array_contains("tokens", t) for t in (first, second)])
     # guard: sequence(1, 0) on an empty token array yields the DESCENDING
     # [1, 0] (step -1) and element_at(tokens, 1) then throws
     # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a single punctuation-only doc
@@ -675,13 +668,7 @@ def span_near_df(docs: DataFrame, first: str, second: str, slop: int = 0,
         .filter(F.col("sf") > 0)
         .select("doc_id", F.size("tokens").alias("dl"), "sf")
     )
-    dfs = [
-        toks.select(F.sum(F.when(F.array_contains("tokens", t), 1).otherwise(0))
-                    .alias(f"df{i}"))
-        for i, t in enumerate((first, second))
-    ]
-    df_all = dfs[0].crossJoin(dfs[1])
-    scored = matched.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(df_all))
+    scored = matched.crossJoin(F.broadcast(stats))
     idf_sum = None
     for i in range(2):
         idf_i = F.log(1.0 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5))
@@ -749,7 +736,8 @@ def span_first_df(docs: DataFrame, term: str, end: int, k: int = 10,
     toks = docs.select(
         F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
     )
-    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    # ONE corpus pass for n/avgdl + the term df (was 2 scans)
+    stats = corpus_stats_with_dfs(toks, [F.array_contains("tokens", term)])
     # occurrences within the first `end` positions only: slice + filter
     head = F.slice(F.col("tokens"), 1, end)
     sf = F.size(F.filter(head, lambda t: t == F.lit(term)))
@@ -758,9 +746,7 @@ def span_first_df(docs: DataFrame, term: str, end: int, k: int = 10,
         .filter(F.col("sf") > 0)
         .select("doc_id", F.size("tokens").alias("dl"), "sf")
     )
-    dfc = toks.select(
-        F.sum(F.when(F.array_contains("tokens", term), 1).otherwise(0)).alias("df0"))
-    scored = matched.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfc))
+    scored = matched.crossJoin(F.broadcast(stats))
     idf = F.log(1.0 + (F.col("n") - F.col("df0") + 0.5) / (F.col("df0") + 0.5))
     score = (
         idf * (k1 + 1.0) * F.col("sf")
@@ -878,13 +864,10 @@ def _span_score(matched: DataFrame, toks: DataFrame, terms: list[str],
     """Shared span scorer: BM25 with tf = span freq and idf summed over
     the clause terms (the span_near/match_phrase contract). `matched` is
     (doc_id, dl, sf) with sf > 0."""
-    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
-    df_all = None
-    for i, t in enumerate(terms):
-        d = toks.select(F.sum(F.when(F.array_contains("tokens", t), 1).otherwise(0))
-                        .alias(f"df{i}"))
-        df_all = d if df_all is None else df_all.crossJoin(d)
-    scored = matched.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(df_all))
+    # ONE corpus pass for n/avgdl + every clause-term df (was n+1 scans)
+    stats = corpus_stats_with_dfs(
+        toks, [F.array_contains("tokens", t) for t in terms])
+    scored = matched.crossJoin(F.broadcast(stats))
     idf_sum = None
     for i in range(len(terms)):
         idf_i = F.log(1.0 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5))

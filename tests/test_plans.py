@@ -263,3 +263,25 @@ def test_mixture_plan_broadcasts_ratio_frame(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = plan_of(mixture_by_token_budget(docs, {"src1": 1000.0, "src2": 500.0}))
     assert "BroadcastExchange" in plan
+
+
+def test_phrase_span_scorers_single_corpus_stats_pass(spark, sf_dir):
+    """The phrase/span family must compute n/avgdl AND every per-term df
+    in ONE corpus aggregate (corpus_stats_with_dfs), not a per-term
+    single-row-aggregate + crossJoin chain: an n-term query must scan the
+    parquet source exactly twice (once for the match side, once for the
+    combined stats row), independent of n."""
+    from fluent_plugin_elasticsearch_spark.operators.bm25 import match_phrase_df
+    from fluent_plugin_elasticsearch_spark.operators.relevance import (
+        match_phrase_prefix_df, span_near_df, span_first_df)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cases = [
+        match_phrase_df(docs, ["the", "data", "model"], 10),
+        match_phrase_prefix_df(docs, ["the", "dat"], 10),
+        span_near_df(docs, "the", "data", slop=2, k=10),
+        span_first_df(docs, "the", 5, k=10),
+    ]
+    for q in cases:
+        plan = plan_of(q)
+        assert plan.count("Scan parquet") == 2, plan
