@@ -596,3 +596,48 @@ def reindex(spark, docs, dest_dir: str, query: dict | None = None,
         # when routing through an index — strip to the source schema
         src = src.select(*[c for c in docs.columns])
     return build_index(spark, src, dest_dir, **build_kwargs)
+
+
+def build_field_indexes(spark, docs, out_dir: str, fields: list[str],
+                        **build_kwargs) -> dict:
+    """One index per text field under ``out_dir/<field>`` — the per-field
+    Lucene-index shape ES's multi_match scores against. Returns
+    {field: index_path}; open each with InvertedIndex and serve via
+    search.multi_match_topk. Each field build is the standard resumable
+    build (own manifest/meta), so a crashed multi-field build resumes
+    per field."""
+    paths = {}
+    for f in fields:
+        p = os.path.join(out_dir, f)
+        build_index(spark, docs, p, text_col=f, **build_kwargs)
+        paths[f] = p
+    return paths
+
+
+def combined_index_key(fields: list[str], weights: dict[str, int] | None = None) -> str:
+    """Canonical registry key for a combined_fields index: the serving
+    router must only use an index built with the SAME fields+weights."""
+    return "combined::" + ",".join(
+        f"{f}^{int((weights or {}).get(f, 1))}" for f in fields)
+
+
+def build_combined_field_index(spark, docs, out_dir: str, fields: list[str],
+                               weights: dict[str, int] | None = None,
+                               **build_kwargs) -> dict:
+    """Index over the WEIGHTED FIELD CONCATENATION — the exact reduction
+    bm25.combined_fields_df uses (tf sums across weighted copies, dl is
+    the weighted length, df/avgdl from the combined text), so serving
+    this index via search.combined_fields_topk reproduces the DataFrame
+    scorer bit-for-bit. ES restricts combined_fields weights to >= 1;
+    same rule here."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for f in fields:
+        w = int((weights or {}).get(f, 1))
+        if w < 1:
+            raise ValueError("combined_fields weights must be >= 1 (ES rule)")
+        parts += [F.coalesce(F.col(f).cast("string"), F.lit(""))] * w
+    combined = docs.withColumn("__combined", F.concat_ws(" ", *parts))
+    return build_index(spark, combined, out_dir, text_col="__combined",
+                       **build_kwargs)

@@ -156,6 +156,42 @@ class InvertedIndex:
         local = blocks.groupBy("shard").applyInPandas(shard_topk, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def match_scores(self, query_terms: list[str],
+                     groups: list[list[str]] | None = None) -> DataFrame:
+        """All-matched scoring (no top-k cut): every doc containing >= 1
+        query term, with its full BM25 sum over the terms it contains.
+        Work is bounded by the query terms' POSTING data — never a corpus
+        scan — which is what makes the multi_match / combined_fields /
+        query_string serving paths index-backed (ES serves every match
+        kind from the inverted index; out_elasticsearch.rb:957).
+        ``groups`` forwards the query_string OR-of-AND membership gate to
+        the shard kernel. Returns (doc_id, score) float; callers quantize
+        in Spark and cut the global top-k on the quantized value so the
+        tie-break is identical to the DataFrame scorers."""
+        terms = sorted(set(query_terms))
+        if groups is not None and len(terms) > 64:
+            # the shard kernel's membership gate is a per-doc uint64 term
+            # bitmask — raise here (driver-side, eagerly) rather than
+            # mid-job inside the kernel
+            raise ValueError(
+                f"query_string gate supports <= 64 distinct terms, got {len(terms)}")
+        spark = self.spark
+        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        if not terms:
+            return empty
+        dfs = self._lookup_dfs(terms)
+        if not dfs:
+            return empty
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        idfs = {t: bm25_idf(df, n_docs) for t, df in dfs.items()}
+
+        def shard_all(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _wand.score_shard_matched(pdf, idfs, avgdl, k1, b, groups)
+
+        blocks = self.postings().filter(F.col("term").isin(list(dfs)))
+        return blocks.groupBy("shard").applyInPandas(shard_all, TOPK_SCHEMA)
+
     def search_dismax(self, queries: list[str], tie_breaker: float = 0.0,
                       k: int = 10) -> DataFrame:
         """ES dis_max served FROM THE INDEX: one job decodes the union of
@@ -325,6 +361,82 @@ class InvertedIndex:
             .orderBy("doc_id")
             .limit(page_size)
         )
+
+
+def _quantized_topk(scores: DataFrame, k: int) -> DataFrame:
+    """floor(score * 1e6) → global top-k on the QUANTIZED value with the
+    (score_u desc, doc_id asc) tie-break — must happen after quantization
+    or float-distinct-but-floor-equal docs tie-break differently than the
+    DataFrame scorers."""
+    return (
+        scores.select("doc_id",
+                      F.floor(F.col("score") * 1e6).cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def multi_match_topk(field_indexes: dict[str, "InvertedIndex"],
+                     query_terms: list[str], k: int = 10,
+                     match_type: str = "best_fields") -> DataFrame:
+    """Index-backed ES `multi_match`: each field's OWN index serves
+    all-matched scores from its query-term postings (no corpus scan);
+    per-field quantized integers are combined exactly like
+    bm25.multi_match_df — best_fields = greatest, most_fields = sum —
+    then the global top-k is cut on the combined integer. Rank- and
+    score-identical to the DataFrame scorer when each index was built
+    over that field with the same tokenizer.
+
+    Plan shape: one single-stage postings job per field (k fields), a
+    full outer join of the (matched docs only) score tables on doc_id,
+    TakeOrderedAndProject for the top-k."""
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"unsupported multi_match type: {match_type}")
+    items = list(field_indexes.items())
+    per = []
+    for i, (_field, idx) in enumerate(items):
+        s = idx.match_scores(query_terms)
+        per.append(s.select(
+            "doc_id", F.floor(F.col("score") * 1e6).cast("long").alias(f"s_{i}")))
+    joined = per[0]
+    for p in per[1:]:
+        joined = joined.join(p, "doc_id", "full_outer")
+    parts = [F.coalesce(F.col(f"s_{i}"), F.lit(0)) for i in range(len(items))]
+    if match_type == "best_fields":
+        comb = F.greatest(*parts) if len(parts) > 1 else parts[0]
+    else:
+        comb = parts[0]
+        for p in parts[1:]:
+            comb = comb + p
+    return (
+        joined.select("doc_id", comb.cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def query_string_topk(index: "InvertedIndex", query: str, k: int = 10) -> DataFrame:
+    """Index-backed ES `query_string`-lite: the OR-of-AND boolean
+    structure gates membership inside the shard kernel (per-doc term
+    bitmask over the query terms' postings), scoring stays the BM25 sum
+    over every query term the doc contains — identical semantics and
+    quantization to bm25.query_string_df, served from postings only."""
+    from .bm25 import parse_query_string
+
+    groups = parse_query_string(query)
+    if not groups:
+        raise ValueError("empty query_string")
+    uniq = sorted({t for g in groups for t in g})
+    return _quantized_topk(index.match_scores(uniq, groups=groups), k)
+
+
+def combined_fields_topk(index: "InvertedIndex", query_terms: list[str],
+                         k: int = 10) -> DataFrame:
+    """Index-backed ES `combined_fields`: serve from an index built over
+    the weighted field concatenation (index_build.build_combined_field_index)
+    — the same exact reduction bm25.combined_fields_df uses, so scores
+    match it bit-for-bit. Quantize-then-top-k like every serving path."""
+    return _quantized_topk(index.match_scores(query_terms), k)
 
 
 def to_es_response(topk: DataFrame, index_name: str = "docs",

@@ -72,6 +72,66 @@ def score_shard_exhaustive(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
     return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})
 
 
+def score_shard_matched(pdf: pd.DataFrame, idfs: dict[str, float],
+                        avgdl: float, k1: float, b: float,
+                        groups: list[list[str]] | None = None) -> pd.DataFrame:
+    """Score EVERY doc in this shard matching >= 1 query term — no top-k
+    cut. This is the postings-bounded serving primitive behind the
+    index-backed multi_match / combined_fields / query_string paths:
+    work is proportional to the QUERY TERMS' posting data, never the
+    corpus, and the caller combines/gates/quantizes and takes the global
+    top-k in Spark (where the quantized tie-break must happen).
+
+    ``groups``: optional OR-of-AND boolean gate over term membership
+    (ES query_string compiles to exactly this shape) — a doc qualifies
+    iff some group's terms are ALL present in it. Scoring still sums
+    over every query term the doc contains (ES bool-should scoring).
+    Membership rides a per-doc uint64 term bitmask accumulated with the
+    same reduceat pass as the scores, so the gate is O(postings) with no
+    Python loop over docs; > 64 distinct terms raises (loudly) rather
+    than silently truncating."""
+    from .codec import segmented_cumsum
+
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    n_per_blk = pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_per_blk.sum())
+    blk_starts = np.concatenate([[0], np.cumsum(n_per_blk)[:-1]])
+    gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+    ids = segmented_cumsum(gaps, blk_starts, n_per_blk).astype(np.int64)
+    tfs = varint_decode(b"".join(pdf["tfs_enc"]), total)
+    dls = varint_decode(b"".join(pdf["dls_enc"]), total)
+    idf_per_blk = pdf["term"].map(idfs).to_numpy(dtype=np.float64)
+    contrib = np.repeat(idf_per_blk, n_per_blk) * _tfn(tfs, dls, avgdl, k1, b)
+    order_ = np.argsort(ids, kind="stable")
+    sids = ids[order_]
+    starts_ = np.concatenate([[0], np.nonzero(np.diff(sids))[0] + 1])
+    uniq = sids[starts_]
+    scores = np.add.reduceat(contrib[order_], starts_)
+    if groups is not None:
+        bit = {t: i for i, t in enumerate(sorted(idfs))}
+        if len(bit) > 64:
+            raise ValueError(
+                f"query_string gate supports <= 64 distinct terms, got {len(bit)}")
+        code_per_blk = pdf["term"].map(bit).to_numpy(dtype=np.uint64)
+        masks = np.repeat(np.uint64(1) << code_per_blk, n_per_blk)
+        docmask = np.bitwise_or.reduceat(masks[order_], starts_)
+        keep = np.zeros(uniq.size, dtype=bool)
+        for g in groups:
+            # a group term absent from the query-term df map (df = 0 in
+            # this corpus) makes the whole AND group unsatisfiable
+            if any(t not in bit for t in g):
+                continue
+            gm = np.uint64(0)
+            for t in g:
+                gm |= np.uint64(1) << np.uint64(bit[t])
+            keep |= (docmask & gm) == gm
+        uniq, scores = uniq[keep], scores[keep]
+    return pd.DataFrame({"doc_id": uniq, "score": scores})
+
+
 def _topk_ties(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Candidate set for an exact (score desc, doc_id asc) top-k: argpartition
     for the k-th score threshold, then include EVERY doc at or above it —

@@ -30,6 +30,19 @@ class UnsupportedQuery(ValueError):
     pass
 
 
+def _resolve_index(index, field: str):
+    """`index` may be a single InvertedIndex (legacy: serves whatever
+    field it was built on) or a dict registry {field: InvertedIndex,
+    "combined::<sig>": InvertedIndex} — the multi-field shape ES has
+    natively (one Lucene index per field). Returns the index for `field`
+    or None."""
+    if index is None:
+        return None
+    if isinstance(index, dict):
+        return index.get(field)
+    return index
+
+
 def render_search_template(source: Any, params: dict[str, Any]) -> Any:
     """ES _search/template (mustache-lite): substitute {{var}} through a
     query-body tree. A string that is EXACTLY one placeholder takes the
@@ -442,9 +455,11 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
     min_score = body.get("min_score")
 
     if query and "match" in query:
-        if index is None:
-            raise UnsupportedQuery("match query needs an InvertedIndex")
         ((_field, text),) = query["match"].items()
+        f_index = _resolve_index(index, _field)
+        if f_index is None:
+            raise UnsupportedQuery("match query needs an InvertedIndex")
+        index = f_index
         k = size or 10
         if isinstance(text, dict):
             # ES match options: {"query": ..., "operator": "and"|"or",
@@ -462,15 +477,26 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         )
 
     if query and "multi_match" in query:
-        # self-contained DataFrame scorer (per-field BM25 statistics) — no
-        # inverted index needed; see operators/bm25.multi_match_df
         from ..operators.bm25 import multi_match_df
         from ..textproc import tokenize_simple
 
         spec = query["multi_match"]
         terms = tokenize_simple(spec["query"])
-        topk = multi_match_df(docs, terms, list(spec["fields"]), k=size or 10,
-                              match_type=spec.get("type", "best_fields"))
+        fields = list(spec["fields"])
+        per_field = {f: _resolve_index(index if isinstance(index, dict) else None, f)
+                     for f in fields}
+        if all(per_field.values()):
+            # every requested field has its own index → serve from
+            # postings only (ES shape: one Lucene index per field);
+            # rank/score-identical to multi_match_df
+            from ..operators.search import multi_match_topk
+
+            topk = multi_match_topk(per_field, terms, k=size or 10,
+                                    match_type=spec.get("type", "best_fields"))
+        else:
+            # DataFrame fallback (per-field BM25 statistics, full scan)
+            topk = multi_match_df(docs, terms, fields, k=size or 10,
+                                  match_type=spec.get("type", "best_fields"))
         if min_score is not None:  # quantized contract: floor(x * 1e6)
             topk = topk.filter(F.col("score_u") >= int(float(min_score) * 1e6))
         return docs.join(F.broadcast(topk), "doc_id").orderBy(
@@ -493,8 +519,20 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
                 weights[name] = int(float(w))
             else:
                 fields.append(f)
-        topk = combined_fields_df(docs, tokenize_simple(spec["query"]),
-                                  fields, k=size or 10, weights=weights)
+        from ..operators.index_build import combined_index_key
+
+        ck = combined_index_key(fields, weights)
+        c_idx = index.get(ck) if isinstance(index, dict) else None
+        if c_idx is not None:
+            # an index over this exact weighted concatenation exists →
+            # postings-only serving, bit-identical to the DF scorer
+            from ..operators.search import combined_fields_topk
+
+            topk = combined_fields_topk(
+                c_idx, tokenize_simple(spec["query"]), k=size or 10)
+        else:
+            topk = combined_fields_df(docs, tokenize_simple(spec["query"]),
+                                      fields, k=size or 10, weights=weights)
         if min_score is not None:
             topk = topk.filter(F.col("score_u") >= int(float(min_score) * 1e6))
         return docs.join(F.broadcast(topk), "doc_id").orderBy(
@@ -506,17 +544,26 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
 
         spec = query["query_string"]
         field = spec.get("default_field", "text")
-        topk = query_string_df(docs, spec["query"], k=size or 10, text_col=field)
+        qs_idx = index.get(field) if isinstance(index, dict) else None
+        if qs_idx is not None:
+            # boolean gate + scoring inside the shard kernel over the
+            # query terms' postings only — no corpus scan
+            from ..operators.search import query_string_topk
+
+            topk = query_string_topk(qs_idx, spec["query"], k=size or 10)
+        else:
+            topk = query_string_df(docs, spec["query"], k=size or 10, text_col=field)
         return docs.join(F.broadcast(topk), "doc_id").orderBy(
             F.desc("score_u"), F.asc("doc_id")
         )
 
     if query and "match_phrase" in query:
-        if index is None:
-            raise UnsupportedQuery("match_phrase query needs an InvertedIndex")
         ((_field, text),) = query["match_phrase"].items()
+        p_index = _resolve_index(index, _field)
+        if p_index is None:
+            raise UnsupportedQuery("match_phrase query needs an InvertedIndex")
         k = size or 10
-        topk = index.match_phrase(text if isinstance(text, str) else text["query"], k=k)
+        topk = p_index.match_phrase(text if isinstance(text, str) else text["query"], k=k)
         return docs.join(F.broadcast(topk), "doc_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )

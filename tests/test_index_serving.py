@@ -1,0 +1,136 @@
+"""Index-backed serving for multi_match / combined_fields / query_string:
+rank- AND score-identity vs the self-contained DataFrame scorers
+(operators/bm25), which are themselves DuckDB-oracle-green. ES serves every
+match kind from the inverted index (reference: the plugin forwards search
+bodies verbatim to client.search, out_elasticsearch.rb:957); these tests pin
+that the postings-only serving paths reproduce the DataFrame scorers
+bit-for-bit on the quantized integers.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_elasticsearch_spark.operators import bm25 as _bm25
+from fluent_plugin_elasticsearch_spark.operators.index_build import (
+    build_combined_field_index,
+    build_field_indexes,
+    combined_index_key,
+)
+from fluent_plugin_elasticsearch_spark.operators.search import (
+    InvertedIndex,
+    combined_fields_topk,
+    multi_match_topk,
+    query_string_topk,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+TERMS = ["fast", "table", "src1"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df.persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def field_registry(spark, docs, tmp_path_factory):
+    """{field: InvertedIndex} over (text, source) + the combined index —
+    the dict registry shape plans.query_ast._resolve_index understands."""
+    root = str(tmp_path_factory.mktemp("fieldidx"))
+    paths = build_field_indexes(
+        spark, docs, root, ["text", "source"],
+        id_col="doc_id", tokenizer="simple", n_shards=4, n_salts=2,
+    )
+    reg = {f: InvertedIndex(spark, p) for f, p in paths.items()}
+    ck = combined_index_key(["text", "source"], {"source": 2})
+    cpath = os.path.join(root, "combined")
+    build_combined_field_index(
+        spark, docs, cpath, ["text", "source"], weights={"source": 2},
+        id_col="doc_id", tokenizer="simple", n_shards=4, n_salts=2,
+    )
+    reg[ck] = InvertedIndex(spark, cpath)
+    return reg
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score_u"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("mtype", ["best_fields", "most_fields"])
+def test_multi_match_index_identity(spark, docs, field_registry, mtype):
+    want = _rows(_bm25.multi_match_df(docs, TERMS, ["text", "source"],
+                                      k=10, match_type=mtype))
+    got = _rows(multi_match_topk(
+        {f: field_registry[f] for f in ("text", "source")},
+        TERMS, k=10, match_type=mtype))
+    assert got == want
+
+
+def test_query_string_index_identity(spark, docs, field_registry):
+    q = "fast AND table OR window"
+    want = _rows(_bm25.query_string_df(docs, q, k=10))
+    got = _rows(query_string_topk(field_registry["text"], q, k=10))
+    assert got == want
+
+
+def test_combined_fields_index_identity(spark, docs, field_registry):
+    ck = combined_index_key(["text", "source"], {"source": 2})
+    want = _rows(_bm25.combined_fields_df(
+        docs, TERMS, ["text", "source"], k=10, weights={"source": 2}))
+    got = _rows(combined_fields_topk(field_registry[ck], TERMS, k=10))
+    assert got == want
+
+
+def test_ast_routes_registry(spark, docs, field_registry, monkeypatch):
+    """compile_query with a dict registry serves multi_match /
+    query_string / combined_fields from postings (the DF scorers must NOT
+    run) and returns the same rows as the DF fallback."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    bodies = [
+        {"query": {"multi_match": {"query": "fast table src1",
+                                   "fields": ["text", "source"]}}, "size": 5},
+        {"query": {"query_string": {"query": "fast AND table OR window",
+                                    "default_field": "text"}}, "size": 5},
+        {"query": {"combined_fields": {"query": "fast table src1",
+                                       "fields": ["text", "source^2"]}},
+         "size": 5},
+    ]
+    fallback = [
+        [r["doc_id"] for r in compile_query(docs, b, index=None).collect()]
+        for b in bodies
+    ]
+
+    def _boom(*a, **kw):  # any DF-scorer call under the registry is a bug
+        raise AssertionError("DataFrame scorer ran despite index registry")
+
+    monkeypatch.setattr(_bm25, "multi_match_df", _boom)
+    monkeypatch.setattr(_bm25, "query_string_df", _boom)
+    monkeypatch.setattr(_bm25, "combined_fields_df", _boom)
+    served = [
+        [r["doc_id"] for r in
+         compile_query(docs, b, index=field_registry).collect()]
+        for b in bodies
+    ]
+    assert served == fallback
+
+
+def test_match_scores_bounded_by_postings(spark, field_registry):
+    """The serving primitive reads ONLY the query terms' posting blocks:
+    the physical plan filters postings on term before the shard kernel —
+    no scan of the corpus parquet appears in the plan."""
+    idx = field_registry["text"]
+    plan = idx.match_scores(["fast", "table"])._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    assert "postings" in plan
+
+
+def test_query_string_gate_over_64_terms_raises(spark, field_registry):
+    terms = [f"t{i}" for i in range(70)]
+    with pytest.raises(ValueError, match="64"):
+        field_registry["text"].match_scores(terms, groups=[terms])
