@@ -28,6 +28,7 @@ environment provides it).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -40,6 +41,14 @@ from pyspark.sql import functions as F
 from .write_ops import dedup_latest
 
 _MANIFEST = "manifest.json"
+_LOCK = "_commit.lock"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed a touched bucket between this writer's
+    snapshot read and its manifest swap.  The mutation methods catch this
+    internally and retry from the new snapshot (up to ``max_retries``);
+    it escapes only when retries are exhausted."""
 
 
 class CowTable:
@@ -72,6 +81,68 @@ class CowTable:
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path())
+
+    # --- concurrent-writer commit protocol --------------------------------
+
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout: float = 60.0, stale_secs: float = 300.0):
+        """Advisory commit lock: O_CREAT|O_EXCL is atomic on POSIX (and on
+        HDFS/many object stores via create-if-absent).  Held only for the
+        manifest validate+swap — never across a Spark job — so contention
+        is microseconds even under heavy writers.  A lock file older than
+        ``stale_secs`` is a crashed committer's and is broken."""
+        lockp = os.path.join(self.path, _LOCK)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lockp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lockp) > stale_secs:
+                        os.unlink(lockp)
+                        continue
+                except FileNotFoundError:
+                    continue  # holder just released — retry immediately
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock at {lockp} not released in {timeout}s")
+                time.sleep(0.02)
+        try:
+            os.write(fd, f"pid={os.getpid()}\n".encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lockp)
+
+    def _commit_buckets(self, base_dirs: dict[str, str],
+                        gen_rel: str) -> dict:
+        """Optimistic commit (Iceberg's validate-from-snapshot): under the
+        advisory lock, verify every touched bucket still points at the
+        directory this writer's merge READ; if so, swap those entries to
+        the new generation dir.  Writers touching DISJOINT buckets commit
+        concurrently with no conflict; an overlap raises
+        :class:`CommitConflict` and the caller re-merges from the new
+        snapshot (the loser's staging dir becomes a vacuum-swept orphan)."""
+        with self._commit_lock():
+            m = self._load_manifest()
+            moved = [b for b, d in base_dirs.items() if m["buckets"][b] != d]
+            if moved:
+                raise CommitConflict(
+                    f"buckets {sorted(moved)} were committed by another "
+                    f"writer since this merge's snapshot")
+            gen = m["generation"] + 1
+            retired = [m["buckets"][b] for b in base_dirs]
+            for b in base_dirs:
+                m["buckets"][b] = f"{gen_rel}/__bucket={b}"
+            m["generation"] = gen
+            m["retired"] = m.get("retired", []) + retired
+            m["updated_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                             time.gmtime())
+            self._swap_manifest(m)
+            return {"generation": gen,
+                    "touched_buckets": sorted(int(b) for b in base_dirs)}
 
     def exists(self) -> bool:
         return os.path.exists(self._manifest_path())
@@ -119,14 +190,20 @@ class CowTable:
             "retired": [],
             "updated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        self._swap_manifest(m)
+        with self._commit_lock():
+            if self.exists():  # lost the create race — data dir is an orphan
+                raise ValueError(f"table already exists at {self.path}")
+            self._swap_manifest(m)
         return m
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(self, buckets: list[int] | None = None,
+             manifest: dict | None = None) -> DataFrame:
         """Current snapshot (or a pruned subset of buckets). The plan binds
         to the directories named by the manifest AT CALL TIME — later
-        swaps don't affect it (snapshot isolation)."""
-        m = self._load_manifest()
+        swaps don't affect it (snapshot isolation).  ``manifest`` pins an
+        already-loaded snapshot (the CAS merge path must read exactly the
+        dirs it validates at commit)."""
+        m = manifest if manifest is not None else self._load_manifest()
         sel = range(self.n_buckets) if buckets is None else buckets
         dirs = [os.path.join(self.path, m["buckets"][str(b)]) for b in sel]
         dirs = [d for d in dirs if os.path.exists(d)]
@@ -140,109 +217,152 @@ class CowTable:
                 .distinct().collect())  # bounded: ≤ n_buckets ints
         return sorted(r["__b"] for r in rows)
 
-    def upsert(self, batch: DataFrame, insert_missing: bool = True) -> dict:
+    def upsert(self, batch: DataFrame, insert_missing: bool = True,
+               max_retries: int = 3) -> dict:
         """MERGE the batch by id, rewriting ONLY the touched buckets.
         insert_missing=False gives ES `update` (existing docs only);
-        True gives `index`/`upsert` (replace-or-insert)."""
-        m = self._load_manifest()
-        batch = dedup_latest(batch.select(*m["columns"]), self.id_col)
-        touched = self._touched_buckets(batch)
-        if not touched:
-            # stable return shape for stats.update() callers (ADVICE r4)
-            return {"generation": m["generation"], "touched_buckets": []}
-        gen = m["generation"] + 1
-        gen_rel = self._new_gen_rel(gen)
-        current = self.read(buckets=touched)
-        keep = current.join(batch.select(self.id_col), self.id_col, "left_anti")
-        merged = keep.unionByName(batch) if insert_missing else keep.unionByName(
-            batch.join(current.select(self.id_col), self.id_col, "left_semi"))
-        self._write_buckets(
-            merged.withColumn("__bucket", self._bucket_col()), gen_rel)
-        retired = [m["buckets"][str(b)] for b in touched]
-        for b in touched:
-            m["buckets"][str(b)] = f"{gen_rel}/__bucket={b}"
-        m["generation"] = gen
-        m["retired"] = m.get("retired", []) + retired
-        m["updated_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        self._swap_manifest(m)
-        return {"generation": gen, "touched_buckets": touched}
+        True gives `index`/`upsert` (replace-or-insert).
+
+        Concurrent-writer safe: the merge is computed against a pinned
+        snapshot, staged to a fresh uuid dir, and committed via
+        :meth:`_commit_buckets` (validate-then-swap under the advisory
+        lock).  A conflicting commit on an overlapping bucket triggers a
+        re-merge from the NEW snapshot — both batches land exactly once,
+        like Iceberg optimistic concurrency / ES per-doc versioned
+        upserts (out_elasticsearch.rb:761-784)."""
+        for attempt in range(max_retries + 1):
+            m = self._load_manifest()
+            b = dedup_latest(batch.select(*m["columns"]), self.id_col)
+            touched = self._touched_buckets(b)
+            if not touched:
+                # stable return shape for stats.update() callers (ADVICE r4)
+                return {"generation": m["generation"], "touched_buckets": []}
+            gen_rel = self._new_gen_rel(m["generation"] + 1)
+            current = self.read(buckets=touched, manifest=m)
+            keep = current.join(b.select(self.id_col), self.id_col, "left_anti")
+            merged = keep.unionByName(b) if insert_missing else keep.unionByName(
+                b.join(current.select(self.id_col), self.id_col, "left_semi"))
+            self._write_buckets(
+                merged.withColumn("__bucket", self._bucket_col()), gen_rel)
+            base_dirs = {str(t): m["buckets"][str(t)] for t in touched}
+            try:
+                return self._commit_buckets(base_dirs, gen_rel)
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+                # loser's staging dir is an orphan → swept by vacuum()
 
     def _rewrite_touched(self, m: dict, touched: list[int],
                          survivors: DataFrame) -> dict:
-        gen = m["generation"] + 1
-        gen_rel = self._new_gen_rel(gen)
+        """Stage survivors for ``touched`` and CAS-commit against the
+        snapshot ``m`` they were computed from."""
+        gen_rel = self._new_gen_rel(m["generation"] + 1)
         self._write_buckets(
             survivors.withColumn("__bucket", self._bucket_col()), gen_rel)
-        retired = [m["buckets"][str(b)] for b in touched]
-        for b in touched:
-            m["buckets"][str(b)] = f"{gen_rel}/__bucket={b}"
-        m["generation"] = gen
-        m["retired"] = m.get("retired", []) + retired
-        m["updated_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        self._swap_manifest(m)
-        return {"generation": gen, "touched_buckets": touched}
+        base_dirs = {str(b): m["buckets"][str(b)] for b in touched}
+        return self._commit_buckets(base_dirs, gen_rel)
 
-    def delete_where(self, predicate) -> dict:
+    def delete_where(self, predicate, max_retries: int = 3) -> dict:
         """DELETE FROM … WHERE predicate — rewrites only buckets that
         contain at least one matching row.  The find-hits scan reads all
         buckets (an arbitrary predicate can match anywhere); when deleting
         by id, use :meth:`delete_ids`, which prunes the scan itself."""
-        m = self._load_manifest()
-        hit_rows = (self.read().filter(predicate)
-                    .select(self._bucket_col().alias("__b")).distinct().collect())
-        touched = sorted(r["__b"] for r in hit_rows)
-        if not touched:
-            return {"generation": m["generation"], "touched_buckets": []}
-        survivors = self.read(buckets=touched).filter(~F.coalesce(predicate, F.lit(False)))
-        return self._rewrite_touched(m, touched, survivors)
+        for attempt in range(max_retries + 1):
+            m = self._load_manifest()
+            hit_rows = (self.read(manifest=m).filter(predicate)
+                        .select(self._bucket_col().alias("__b")).distinct().collect())
+            touched = sorted(r["__b"] for r in hit_rows)
+            if not touched:
+                return {"generation": m["generation"], "touched_buckets": []}
+            survivors = self.read(buckets=touched, manifest=m).filter(
+                ~F.coalesce(predicate, F.lit(False)))
+            try:
+                return self._rewrite_touched(m, touched, survivors)
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
 
-    def delete_ids(self, ids: list) -> dict:
+    def delete_ids(self, ids: list, max_retries: int = 3) -> dict:
         """DELETE by id list.  The bucket of every id is known from the
         hash alone, so ONLY touched buckets are scanned — no full-table
         find-hits pass (closes the delete_where scan seam for the common
         ES delete-by-_id case, ``out_elasticsearch.rb`` op ``delete``)."""
-        m = self._load_manifest()
         if not ids:
+            m = self._load_manifest()
             return {"generation": m["generation"], "touched_buckets": []}
+        # the id frame is string-typed; joining it straight onto a bigint
+        # id column would coerce BOTH sides to double (ids >= 2^53 silently
+        # stop matching — ADVICE r5).  Join on an explicit cast(id as
+        # string) instead, the same representation _bucket_col hashes.
         id_df = self.spark.createDataFrame(
-            [(str(i),) for i in ids], f"`{self.id_col}` string")
-        touched = self._touched_buckets(id_df)
-        survivors = self.read(buckets=touched).join(
-            F.broadcast(id_df), self.id_col, "left_anti")
-        return self._rewrite_touched(m, touched, survivors)
+            [(str(i),) for i in ids], "`__del_id` string")
+        for attempt in range(max_retries + 1):
+            m = self._load_manifest()
+            touched = self._touched_buckets(
+                id_df.withColumnRenamed("__del_id", self.id_col))
+            survivors = self.read(buckets=touched, manifest=m).join(
+                F.broadcast(id_df),
+                F.col(self.id_col).cast("string") == F.col("__del_id"),
+                "left_anti")
+            try:
+                return self._rewrite_touched(m, touched, survivors)
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
 
-    def compact(self, target_buckets: int | None = None) -> dict:
+    def compact(self, target_buckets: int | None = None,
+                max_retries: int = 3) -> dict:
         """Rewrite EVERY bucket into one fresh generation — coalesces the
         per-generation file fragments that accrue under many small
         upserts (Iceberg's rewrite_data_files).  ``target_buckets``
-        re-buckets the table (e.g. widen 16 → 512 as it grows)."""
-        m = self._load_manifest()
-        all_rows = self.read()
-        retired = list(m["buckets"].values())  # every old dir is replaced
-        if target_buckets is not None:
-            self.n_buckets = target_buckets
-            m["n_buckets"] = target_buckets
-        gen = m["generation"] + 1
-        gen_rel = self._new_gen_rel(gen)
-        self._write_buckets(
-            all_rows.withColumn("__bucket", self._bucket_col()), gen_rel)
-        m["buckets"] = {str(b): f"{gen_rel}/__bucket={b}"
-                        for b in range(self.n_buckets)}
-        m["generation"] = gen
-        m["retired"] = m.get("retired", []) + retired
-        m["updated_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        self._swap_manifest(m)
-        return {"generation": gen, "touched_buckets": list(range(self.n_buckets))}
+        re-buckets the table (e.g. widen 16 → 512 as it grows).  Commits
+        via the same validate-then-swap protocol as upsert: a concurrent
+        writer landing ANY bucket mid-compaction conflicts (compaction
+        touches every bucket) and the compaction re-reads and retries."""
+        for attempt in range(max_retries + 1):
+            m = self._load_manifest()
+            base = dict(m["buckets"])
+            all_rows = self.read(manifest=m)
+            n_new = target_buckets if target_buckets is not None else m["n_buckets"]
+            self.n_buckets = n_new
+            gen_rel = self._new_gen_rel(m["generation"] + 1)
+            self._write_buckets(
+                all_rows.withColumn("__bucket", self._bucket_col()), gen_rel)
+            try:
+                with self._commit_lock():
+                    cur = self._load_manifest()
+                    if cur["buckets"] != base:
+                        raise CommitConflict("table changed during compact")
+                    cur["n_buckets"] = n_new
+                    cur["buckets"] = {str(b): f"{gen_rel}/__bucket={b}"
+                                      for b in range(n_new)}
+                    cur["generation"] = m["generation"] + 1
+                    cur["retired"] = cur.get("retired", []) + list(base.values())
+                    cur["updated_utc"] = time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+                    self._swap_manifest(cur)
+                    return {"generation": cur["generation"],
+                            "touched_buckets": list(range(n_new))}
+            except CommitConflict:
+                self.n_buckets = m["n_buckets"]  # restore until a retry wins
+                if attempt == max_retries:
+                    raise
 
     def vacuum(self) -> int:
         """Drop retired generation directories AND orphan staging dirs
         (crashed write attempts whose manifest swap never happened).
         Breaks snapshot isolation for still-running readers of OLD
-        snapshots — call when quiesced, like Iceberg's expire_snapshots."""
-        m = self._load_manifest()
+        snapshots AND would sweep a concurrent writer's not-yet-committed
+        staging dir as an orphan — call when quiesced, like Iceberg's
+        expire_snapshots.  The manifest update itself is lock-protected so
+        it can never clobber a commit that lands mid-vacuum."""
+        with self._commit_lock():
+            m = self._load_manifest()
+            retired, m["retired"] = m.get("retired", []), []
+            self._swap_manifest(m)
         n = 0
         live = set(m["buckets"].values())
-        for rel in m.get("retired", []):
+        for rel in retired:
             if rel in live:
                 continue
             p = os.path.join(self.path, rel)
@@ -258,6 +378,4 @@ class CowTable:
                 if rel not in live_gen_dirs:
                     shutil.rmtree(os.path.join(data_root, name))
                     n += 1
-        m["retired"] = []
-        self._swap_manifest(m)
         return n

@@ -174,3 +174,133 @@ def test_compact_coalesces_and_rebuckets(spark, tmp_path):
     # post-compact upserts still land in the right (new) buckets
     t2.upsert(spark.createDataFrame([Row(doc_id=0, v="after", n=0)]))
     assert {r["v"] for r in t2.read().filter(F.col("doc_id") == 0).collect()} == {"after"}
+
+
+# --- concurrent-writer CAS (VERDICT r5 item #3) ----------------------------
+
+def _bucket_of(spark, t, doc_id):
+    return (spark.createDataFrame([Row(doc_id=doc_id)])
+            .select(t._bucket_col().alias("b")).collect()[0]["b"])
+
+
+def test_interleaved_overlapping_upserts_both_land_exactly_once(
+        spark, tmp_path, monkeypatch):
+    """Writer A stages its merge, writer B commits an OVERLAPPING-bucket
+    upsert before A's commit → A's first commit attempt conflicts, A
+    re-merges from B's snapshot, and both batches land exactly once."""
+    t, _ = _mk(spark, tmp_path, n=100, n_buckets=4)
+    t2 = CowTable(spark, t.path)  # independent writer handle
+
+    # find an insert id in the SAME bucket as doc 5 (buckets are
+    # xxhash64-based, so probe)
+    b5 = _bucket_of(spark, t, 5)
+    overlap_id = next(i for i in range(2000, 2200)
+                      if _bucket_of(spark, t, i) == b5)
+    batch_a = spark.createDataFrame([Row(doc_id=5, v="A5", n=-5),
+                                     Row(doc_id=1005, v="A1005", n=-1)])
+    batch_b = spark.createDataFrame([Row(doc_id=overlap_id, v="B", n=-9)])
+
+    attempts = []
+    orig = t._commit_buckets
+
+    def interleaved(base_dirs, gen_rel):
+        if not attempts:
+            attempts.append(1)
+            t2.upsert(batch_b)  # lands first, moves shared buckets
+        return orig(base_dirs, gen_rel)
+
+    monkeypatch.setattr(t, "_commit_buckets", interleaved)
+    res = t.upsert(batch_a)
+    rows = {r["doc_id"]: (r["v"], r["n"]) for r in t.read().collect()}
+    assert rows[5] == ("A5", -5) and rows[1005] == ("A1005", -1)
+    assert rows[overlap_id] == ("B", -9)
+    assert len(rows) == 102  # 100 original + 2 inserts, no duplicates
+    # create=gen0, B=gen1, A's retry commit=gen2
+    assert res["generation"] == 2
+
+
+def test_disjoint_bucket_writers_commit_without_conflict(
+        spark, tmp_path, monkeypatch):
+    """Two writers on DISJOINT buckets: B commits mid-flight, A's commit
+    validates only ITS buckets and succeeds on the first attempt."""
+    t, _ = _mk(spark, tmp_path, n=100, n_buckets=4)
+    t2 = CowTable(spark, t.path)
+    # find two doc ids hashing to different buckets
+    ids = {}
+    for i in range(1000, 1040):
+        ids.setdefault(_bucket_of(spark, t, i), i)
+        if len(ids) >= 2:
+            break
+    (b1, id1), (b2, id2) = sorted(ids.items())[:2]
+    assert b1 != b2
+    batch_a = spark.createDataFrame([Row(doc_id=id1, v="A", n=1)])
+    batch_b = spark.createDataFrame([Row(doc_id=id2, v="B", n=2)])
+
+    commits = []
+    orig = t._commit_buckets
+
+    def interleaved(base_dirs, gen_rel):
+        if not commits:
+            commits.append(1)
+            t2.upsert(batch_b)
+        return orig(base_dirs, gen_rel)
+
+    monkeypatch.setattr(t, "_commit_buckets", interleaved)
+    t.upsert(batch_a)
+    assert len(commits) == 1  # single attempt — no conflict retry
+    rows = {r["doc_id"]: r["v"] for r in t.read().collect()}
+    assert rows[id1] == "A" and rows[id2] == "B" and len(rows) == 102
+
+
+def test_conflict_retries_exhausted_raises(spark, tmp_path, monkeypatch):
+    from fluent_plugin_elasticsearch_spark.sinks.cow_table import CommitConflict
+
+    t, _ = _mk(spark, tmp_path, n=50, n_buckets=2)
+    t2 = CowTable(spark, t.path)
+    batch_a = spark.createDataFrame([Row(doc_id=3, v="A", n=0)])
+
+    orig = t._commit_buckets
+    b3 = _bucket_of(spark, t, 3)
+    same_bucket = [i for i in range(1000, 1400)
+                   if _bucket_of(spark, t, i) == b3]
+
+    def always_conflicting(base_dirs, gen_rel):
+        t2.upsert(spark.createDataFrame(
+            [Row(doc_id=same_bucket.pop(), v="B", n=0)]))
+        return orig(base_dirs, gen_rel)
+
+    monkeypatch.setattr(t, "_commit_buckets", always_conflicting)
+    with pytest.raises(CommitConflict):
+        t.upsert(batch_a, max_retries=1)
+
+
+def test_stale_lock_is_broken(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, n=20, n_buckets=2)
+    lockp = os.path.join(t.path, "_commit.lock")
+    open(lockp, "w").write("pid=dead\n")
+    old = os.path.getmtime(lockp) - 10_000
+    os.utime(lockp, (old, old))
+    t.upsert(spark.createDataFrame([Row(doc_id=3, v="X", n=0)]))
+    assert {r["v"] for r in t.read().filter(F.col("doc_id") == 3).collect()} == {"X"}
+    assert not os.path.exists(lockp)
+
+
+def test_fresh_lock_times_out(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, n=10, n_buckets=2)
+    lockp = os.path.join(t.path, "_commit.lock")
+    open(lockp, "w").write("pid=alive\n")
+    with pytest.raises(TimeoutError):
+        with t._commit_lock(timeout=0.2):
+            pass
+    os.unlink(lockp)
+
+
+def test_delete_ids_large_int64_ids_match(spark, tmp_path):
+    """ADVICE r5: ids >= 2^53 must still delete (no double coercion)."""
+    t = CowTable(spark, str(tmp_path / "big"), id_col="doc_id", n_buckets=4)
+    big = 2**62 + 12345
+    t.create(spark.createDataFrame([Row(doc_id=big, v="big", n=1),
+                                    Row(doc_id=7, v="small", n=2)]))
+    t.delete_ids([big])
+    rows = [r["doc_id"] for r in t.read().collect()]
+    assert rows == [7]
