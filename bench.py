@@ -199,11 +199,17 @@ def _drain_progress(q, min_batches: int, timeout_s: float = 60.0) -> list[float]
 
 
 def _lat_summary(walls: list[float]) -> dict:
+    """walls arrive in batch order; *_steady drops the FIRST batch (plan
+    compile + codegen + broadcast build — ES pays the same on percolator
+    registration, not per search)."""
     s = sorted(walls)
+    steady = sorted(walls[1:])
     return {
         "batches": len(s),
         "p50_sec": round(statistics.median(s), 3) if s else None,
         "p99_sec": round(s[min(len(s) - 1, int(0.99 * len(s)))], 3) if s else None,
+        "p99_steady_sec": round(
+            steady[min(len(steady) - 1, int(0.99 * len(steady)))], 3) if steady else None,
     }
 
 
