@@ -164,8 +164,20 @@ def _metric_cols(aggs: dict[str, Any]) -> list[Column]:
             # ES rate (inside a date_histogram): doc_count or field sum per
             # `unit` — here as events-per-unit using a fixed caller-supplied
             # bucket span (the histogram's own interval), one more column in
-            # the same groupBy: rate = sum(field)/span_units (or count/span)
-            span = float(body.get("bucket_span_units", 1.0))
+            # the same groupBy: rate = sum(field)/span_units (or count/span).
+            # A real ES body carries {"unit": "day"} and derives the span
+            # from the ENCLOSING date_histogram — this engine doesn't, so
+            # accepting it and silently computing span 1 would be wrong
+            # (ADVICE r5): raise loudly instead.
+            if "unit" in body:
+                raise UnsupportedQuery(
+                    "rate: ES-style 'unit' is not derived from the enclosing "
+                    "date_histogram here — pass 'bucket_span_units' (the "
+                    "histogram interval expressed in the target unit)")
+            if "bucket_span_units" not in body:
+                raise UnsupportedQuery(
+                    "rate requires explicit 'bucket_span_units'")
+            span = float(body["bucket_span_units"])
             if body.get("field"):
                 cols.append(F.floor(F.sum(body["field"]) / span * 1e2)
                             .cast("long").alias(f"{name}_u"))
@@ -594,19 +606,30 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             f = inner["field"]
             ca = _compile_clause(inner["a"]["filter"])
             cb = _compile_clause(inner["b"]["filter"])
-            x = F.col(f).cast("long")
+            # Σx and Σx² accumulate as decimal(38,0): a long Σx² silently
+            # wraps (non-ANSI Spark) once |x|·√rows nears 2⁶³ (ADVICE r5);
+            # decimal either holds 38 digits or raises loudly.
+            xd = F.col(f).cast("decimal(19,0)")
 
             def side(c, tag):
-                w = F.when(c, x)
-                return [F.count(w).alias(f"n{tag}"),
-                        F.sum(w).cast("long").alias(f"s{tag}"),
-                        F.sum(F.when(c, x * x)).cast("long").alias(f"q{tag}")]
+                return [F.count(F.when(c, F.lit(1))).alias(f"n{tag}"),
+                        F.sum(F.when(c, xd)).alias(f"s{tag}"),
+                        F.sum(F.when(c, xd * xd)).alias(f"q{tag}")]
 
             mom = base.agg(*side(ca, "1"), *side(cb, "2"))
-            m1 = F.col("s1") / F.col("n1")
-            m2 = F.col("s2") / F.col("n2")
-            v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
-            v2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)
+            # exact integer moments → fixed-op-order FLOAT formula (both
+            # engines share it from here).  s·s multiplies in decimal
+            # (exact to 38 digits, past the mirror's int64 raise bound)
+            # and converts to double ONCE — the same exact-product-then-
+            # one-rounding the DuckDB mirror performs.
+            sq1 = (F.col("s1") * F.col("s1")).cast("double")
+            sq2 = (F.col("s2") * F.col("s2")).cast("double")
+            s1, q1 = F.col("s1").cast("double"), F.col("q1").cast("double")
+            s2, q2 = F.col("s2").cast("double"), F.col("q2").cast("double")
+            m1 = s1 / F.col("n1")
+            m2 = s2 / F.col("n2")
+            v1 = (q1 - sq1 / F.col("n1")) / (F.col("n1") - 1)
+            v2 = (q2 - sq2 / F.col("n2")) / (F.col("n2") - 1)
             t = (m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
             out[name] = mom.select(
                 F.col("n1"), F.col("n2"),
@@ -689,32 +712,41 @@ def _variable_width_histogram(base: DataFrame, inner: dict[str, Any]) -> DataFra
 
     f = inner["field"]
     k = int(inner.get("buckets", 10))
-    vals = base.select(F.floor(F.col(f).cast("double") * 1000)
-                       .cast("long").alias("v"))
+    # collapse to weighted (value, count) pairs: the cluster assignment of
+    # a row depends ONLY on its value, so equal values need not be carried
+    # separately.  This (a) removes the monotonically_increasing_id row
+    # tag — non-deterministic under stage retry/recompute (ADVICE r5) —
+    # in favor of the value itself as the argmin key, and (b) shrinks
+    # every Lloyd iteration's k×n crossJoin+window to k×distinct(v).
+    vw = (base.select(F.floor(F.col(f).cast("double") * 1000)
+                      .cast("long").alias("v"))
+          .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")))
     qs = [(2 * j + 1) / (2.0 * k) for j in range(k)]
-    cent = vals.agg(*[
-        F.floor(F.expr(f"percentile(v, {q})") * 1000).cast("long").alias(f"c{j}")
+    cent = vw.agg(*[
+        F.floor(F.expr(f"percentile(v, {q}, cnt)") * 1000).cast("long").alias(f"c{j}")
         for j, q in enumerate(qs)])
     cent = cent.select(F.explode(F.array(*[
         F.struct(F.lit(j).alias("cluster"), F.col(f"c{j}").alias("c"))
         for j in range(k)])).alias("s")).select("s.cluster", "s.c")
-    w = Window.partitionBy("v_id").orderBy(F.asc("dist"), F.asc("cluster"))
-    tagged = vals.withColumn("v_id", F.monotonically_increasing_id())
+    w = Window.partitionBy("v").orderBy(F.asc("dist"), F.asc("cluster"))
     assign = None
     for _ in range(_VWH_ITERS):
-        assign = (tagged.crossJoin(F.broadcast(cent))
+        assign = (vw.crossJoin(F.broadcast(cent))
                   .withColumn("dist", F.abs(F.col("v") * 1000 - F.col("c")))
                   .withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") == 1)
-                  .select("v_id", "v", "cluster"))
+                  .select("v", "cnt", "cluster"))
+        # exact weighted integer centroid update — same multiset, same
+        # floor arithmetic as the per-row form
         cent = (assign.groupBy("cluster")
-                .agg(F.floor((F.sum("v") * 1000) / F.count(F.lit(1)))
+                .agg(F.floor((F.sum(F.col("v") * F.col("cnt")) * 1000)
+                             / F.sum("cnt"))
                      .cast("long").alias("c")))
     stats = (assign.join(cent, "cluster")
              .groupBy("cluster", "c")
              .agg(F.min(F.col("v") / 1000.0).alias("min"),
                   F.max(F.col("v") / 1000.0).alias("max"),
-                  F.count(F.lit(1)).alias("doc_count")))
+                  F.sum("cnt").alias("doc_count")))
     return (stats.select(F.col("min"), F.col("c").alias("key_u"),
                          F.col("max"), F.col("doc_count"))
             .orderBy(F.asc("key_u"), F.asc("min")))

@@ -30,6 +30,13 @@ class UnsupportedQuery(ValueError):
     pass
 
 
+# the complete `now`-anchored date-math grammar resolve_date_math accepts:
+# ±N unit operations and /unit truncations in any order after the anchor
+import re as _re_dm
+
+_DATE_MATH_RE = _re_dm.compile(r"^now([+-]\d+[yMwdhHms]|/[yMwdhHms])*$")
+
+
 def _resolve_index(index, field: str):
     """`index` may be a single InvertedIndex (legacy: serves whatever
     field it was built on) or a dict registry {field: InvertedIndex,
@@ -101,10 +108,10 @@ def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
         for op, v in conds.items():
             if op not in ops:  # format/time_zone/boost/_now — not bounds
                 continue
-            # date-math only when the string matches resolve_date_math's own
-            # anchor grammar — a bare substring test would misroute plain
-            # string bounds like {"gte": "knowledge"} (ADVICE r4)
-            if isinstance(v, str) and (v.startswith("now") or "||" in v):
+            # date-math only when the string matches the FULL date-math
+            # grammar — a prefix test would misroute plain string bounds
+            # like {"gte": "nowhere"} into the date-math parser (ADVICE r5)
+            if isinstance(v, str) and (_DATE_MATH_RE.match(v.strip()) or "||" in v):
                 v = resolve_date_math(v, now=now)
             c = c & getattr(col(field), ops[op])(F.lit(v))
         return c

@@ -385,6 +385,23 @@ def test_range_date_math_clause(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [6, 7, 8]
 
 
+def test_range_string_bound_starting_with_now_is_not_date_math(spark):
+    """ADVICE r5: {"gte": "nowhere"} is a plain string bound — only the
+    FULL date-math grammar routes to resolve_date_math."""
+    rows = [Row(doc_id=0, word="alpha"), Row(doc_id=1, word="nowhere"),
+            Row(doc_id=2, word="zulu"), Row(doc_id=3, word="now")]
+    d = spark.createDataFrame(rows)
+    out = compile_query(d, {"query": {"range": {"word": {"gte": "nowhere"}}}})
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+    # bare "now" (no ops) IS date math and must still resolve
+    ts_rows = [Row(doc_id=0, ts=dt.datetime(2000, 1, 1)),
+               Row(doc_id=1, ts=dt.datetime(2100, 1, 1))]
+    d2 = spark.createDataFrame(ts_rows)
+    out2 = compile_query(d2, {"query": {"range": {"ts": {
+        "gte": "now", "_now": dt.datetime(2050, 1, 1)}}}})
+    assert [r["doc_id"] for r in out2.collect()] == [1]
+
+
 def test_min_score_filters_hits(spark, index_dir):
     from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
 
@@ -484,10 +501,9 @@ def test_range_string_bound_containing_now_is_not_date_math(spark):
     d = spark.createDataFrame(rows)
     out = compile_query(d, {"query": {"range": {"title": {"gte": "knowledge"}}}})
     assert sorted(r["title"] for r in out.collect()) == ["knowledge", "snow", "zebra"]
-    # and a bound STARTING with 'now' still resolves as date math
-    from fluent_plugin_elasticsearch_spark.plans.query_ast import UnsupportedQuery
-    with pytest.raises(UnsupportedQuery):
-        compile_query(d, {"query": {"range": {"title": {"gte": "nowhere"}}}}).collect()
+    # r5: a 'now'-PREFIXED string that is not full date-math grammar is
+    # ALSO a plain string bound now (see
+    # test_range_string_bound_starting_with_now_is_not_date_math)
 
 
 def test_distance_feature_naive_date_origin_is_utc(spark):
