@@ -114,6 +114,32 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
         lat_auto.append(time.time() - t0)
     res["query_auto_p50_sec"] = round(statistics.median(sorted(lat_auto)), 4)
 
+    # --- index-backed multi_match serving (VERDICT r5 #2): per-field
+    # indexes, postings-only scoring. The main index serves the body-text
+    # field; a second (cheap) index over the url field completes the
+    # two-field registry. Contract: latency in the same band as
+    # single-match WAND — both are one postings job per field.
+    from fluent_plugin_elasticsearch_spark.operators.index_build import build_index
+    from fluent_plugin_elasticsearch_spark.operators.search import multi_match_topk
+
+    url_idx_dir = tempfile.mkdtemp(prefix="bench_urlidx_") + "/idx"
+    build_index(spark, docs, url_idx_dir, id_col="doc_id", text_col="url",
+                tokenizer="unicode", n_shards=n_shards, n_salts=8)
+    field_idx = {"text": idx,
+                 "url": InvertedIndex(spark, url_idx_dir,
+                                      cache_term_stats=True).warm()}
+    mm_lat = []
+    for _pass in range(2):
+        for q in BENCH_QUERIES:
+            from fluent_plugin_elasticsearch_spark.textproc import tokenize_unicode
+            t0 = time.time()
+            multi_match_topk(field_idx, tokenize_unicode(q), k=10).collect()
+            mm_lat.append(time.time() - t0)
+    mm_s = sorted(mm_lat)
+    res["multi_match_p50_sec"] = round(statistics.median(mm_s), 4)
+    res["multi_match_p99_sec"] = round(
+        mm_s[min(len(mm_s) - 1, int(0.99 * len(mm_s)))], 4)
+
     # --- sf-dir analytical queries (documents/events/lineitem)
     import __spark_entry__ as entry_mod
 
@@ -294,6 +320,8 @@ def main() -> None:
             "wand_p99": res["query_p99_sec"],
             "wand_p99_steady": res["query_p99_steady_sec"],
             "auto_p50": res["query_auto_p50_sec"],
+            "multi_match_p50": res["multi_match_p50_sec"],
+            "multi_match_p99": res["multi_match_p99_sec"],
         },
         "sf": sf,
         "docs_per_sec": res["index_build_docs_per_sec"],
