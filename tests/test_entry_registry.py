@@ -10,8 +10,16 @@ def _literal_dict_keys(path: str, func_name: str) -> list[str]:
     for node in ast.walk(tree):
         if isinstance(node, ast.FunctionDef) and node.name == func_name:
             for sub in ast.walk(node):
-                if isinstance(sub, ast.Return) and isinstance(sub.value, ast.Dict):
-                    return [k.value for k in sub.value.keys
+                if not isinstance(sub, ast.Return):
+                    continue
+                val = sub.value
+                # `return {...}` or `return _wrapper({...})` (the sample-
+                # priority reorder wraps the literal in a call)
+                if isinstance(val, ast.Call) and val.args \
+                        and isinstance(val.args[0], ast.Dict):
+                    val = val.args[0]
+                if isinstance(val, ast.Dict):
+                    return [k.value for k in val.keys
                             if isinstance(k, ast.Constant)]
     raise AssertionError(f"no dict-literal return found in {func_name}")
 
