@@ -274,28 +274,40 @@ def run_streaming_bench(spark) -> dict:
         for i in range(1000)
     ])
     arr = F.array(*[F.lit(w) for w in vocab])
-    docs = (
-        spark.readStream.format("rate").option("rowsPerSecond", 20000).load()
-        .select(
-            F.col("value").alias("doc_id"),
-            F.concat_ws(
-                " ",
-                F.element_at(arr, (F.col("value") % 50 + 1).cast("int")),
-                F.element_at(arr, ((F.col("value") * 3 + 7) % 50 + 1).cast("int")),
-                F.element_at(arr, ((F.col("value") * 11 + 1) % 50 + 1).cast("int")),
-                F.element_at(arr, ((F.col("value") * 13 + 5) % 50 + 1).cast("int")),
-            ).alias("text"),
+
+    def run_percolate(rows_per_sec: int) -> dict:
+        docs = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_sec).load()
+            .select(
+                F.col("value").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.element_at(arr, (F.col("value") % 50 + 1).cast("int")),
+                    F.element_at(arr, ((F.col("value") * 3 + 7) % 50 + 1).cast("int")),
+                    F.element_at(arr, ((F.col("value") * 11 + 1) % 50 + 1).cast("int")),
+                    F.element_at(arr, ((F.col("value") * 13 + 5) % 50 + 1).cast("int")),
+                ).alias("text"),
+            )
         )
-    )
-    hits = {"n": 0}
+        hits = {"n": 0}
 
-    def sink(matches, batch_id):
-        hits["n"] += matches.count()
+        def sink(matches, batch_id):
+            hits["n"] += matches.count()
 
-    q = percolate_stream(docs, registry, sink,
-                         tempfile.mkdtemp(prefix="bench_perc_ck_"))
-    out["percolate"] = _lat_summary(_drain_progress(q, min_batches=8))
-    out["percolate"]["total_matches"] = hits["n"]
+        q = percolate_stream(docs, registry, sink,
+                             tempfile.mkdtemp(prefix="bench_perc_ck_"))
+        res = _lat_summary(_drain_progress(q, min_batches=8))
+        res["rows_per_sec"] = rows_per_sec
+        res["total_matches"] = hits["n"]
+        return res
+
+    # two operating points: saturated (~75% utilization at 1 s triggers —
+    # queueing inflates the tail, reported for throughput context) and a
+    # ~40%-utilization serving point where the tail reflects the plan, not
+    # the queue
+    out["percolate"] = run_percolate(20000)
+    out["percolate_40pct"] = run_percolate(8000)
     return out
 
 
