@@ -192,6 +192,28 @@ class InvertedIndex:
         blocks = self.postings().filter(F.col("term").isin(list(dfs)))
         return blocks.groupBy("shard").applyInPandas(shard_all, TOPK_SCHEMA)
 
+    def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
+        """Dictionary expansion for a prefix clause: every index term
+        starting with ``prefix``, from the term_stats table (a dictionary
+        scan, never the corpus). More than ``max_expansions`` raises
+        loudly (the repo's raise-rather-than-silently-wrong rule) —
+        quietly truncating would change which docs match, unlike ES's
+        bitset rewrite which is exhaustive."""
+        rows = (self.term_stats()
+                .filter(F.col("term").startswith(prefix))
+                .select("term").limit(max_expansions + 1).collect())
+        if len(rows) > max_expansions:
+            raise ValueError(
+                f"prefix '{prefix}' expands to > {max_expansions} index "
+                f"terms; raise max_expansions or use a longer prefix")
+        return sorted(r["term"] for r in rows)
+
+    def matched_doc_ids(self, terms: list[str]) -> DataFrame:
+        """(doc_id) of every doc containing >= 1 of ``terms`` — postings
+        membership only (one row per doc: a doc lives in exactly one
+        shard). The constant-score primitive behind prefix clauses."""
+        return self.match_scores(terms).select("doc_id")
+
     def search_dismax(self, queries: list[str], tie_breaker: float = 0.0,
                       k: int = 10) -> DataFrame:
         """ES dis_max served FROM THE INDEX: one job decodes the union of
@@ -437,6 +459,32 @@ def combined_fields_topk(index: "InvertedIndex", query_terms: list[str],
     — the same exact reduction bm25.combined_fields_df uses, so scores
     match it bit-for-bit. Quantize-then-top-k like every serving path."""
     return _quantized_topk(index.match_scores(query_terms), k)
+
+
+def match_bool_prefix_topk(index: "InvertedIndex", query_terms: list[str],
+                           k: int = 10, max_expansions: int = 1024) -> DataFrame:
+    """Index-backed ES `match_bool_prefix` (search-as-you-type): full
+    terms are scored BM25 clauses served from their postings; the LAST
+    term is a constant-score prefix clause — term-dictionary expansion
+    (`expand_prefix`) then postings membership, worth a flat 1e6 on the
+    quantized scale exactly like bm25.match_bool_prefix_df, so results
+    are rank- and score-identical to the DataFrame scorer when the index
+    shares the field's tokenizer. Work is dictionary scan + the matched
+    terms' postings — never the corpus."""
+    *full, pref = query_terms
+    pside = (index.matched_doc_ids(index.expand_prefix(pref, max_expansions))
+             .withColumn("p_u", F.lit(int(1e6))))
+    if full:
+        b_side = index.match_scores(full).select(
+            "doc_id", F.floor(F.col("score") * 1e6).cast("long").alias("b_u"))
+        combined = (b_side.join(pside, "doc_id", "full_outer")
+                    .select("doc_id",
+                            (F.coalesce(F.col("b_u"), F.lit(0))
+                             + F.coalesce(F.col("p_u"), F.lit(0)))
+                            .cast("long").alias("score_u")))
+    else:
+        combined = pside.select("doc_id", F.col("p_u").cast("long").alias("score_u"))
+    return combined.orderBy(F.desc("score_u"), F.asc("doc_id")).limit(k)
 
 
 def to_es_response(topk: DataFrame, index_name: str = "docs",

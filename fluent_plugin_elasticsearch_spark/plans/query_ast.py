@@ -575,6 +575,27 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score"), F.asc("doc_id")
         )
 
+    if query and "match_bool_prefix" in query:
+        # ES match_bool_prefix (search-as-you-type): served from the
+        # field's index when one is registered (dictionary expansion +
+        # postings), else the DataFrame scorer
+        from ..operators.bm25 import match_bool_prefix_df
+        from ..textproc import tokenize_simple
+
+        ((_field, text),) = query["match_bool_prefix"].items()
+        terms = tokenize_simple(text if isinstance(text, str) else text["query"])
+        bp_index = _resolve_index(index, _field)
+        if bp_index is not None:
+            from ..operators.search import match_bool_prefix_topk
+
+            topk = match_bool_prefix_topk(bp_index, terms, k=size or 10)
+        else:
+            topk = match_bool_prefix_df(docs, terms, k=size or 10,
+                                        text_col=_field)
+        return docs.join(F.broadcast(topk), "doc_id").orderBy(
+            F.desc("score_u"), F.asc("doc_id")
+        )
+
     if query and "script_score" in query:
         # ES script_score: filter by the inner query, score = script over
         # the row's fields — the SAFE ast-parsed arithmetic grammar (same

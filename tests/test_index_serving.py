@@ -21,6 +21,7 @@ from fluent_plugin_elasticsearch_spark.operators.index_build import (
 from fluent_plugin_elasticsearch_spark.operators.search import (
     InvertedIndex,
     combined_fields_topk,
+    match_bool_prefix_topk,
     multi_match_topk,
     query_string_topk,
 )
@@ -86,6 +87,25 @@ def test_combined_fields_index_identity(spark, docs, field_registry):
     assert got == want
 
 
+def test_match_bool_prefix_index_identity(spark, docs, field_registry):
+    terms = ["merge", "ta"]  # the oracle entry's own query
+    want = _rows(_bm25.match_bool_prefix_df(docs, terms, k=15))
+    got = _rows(match_bool_prefix_topk(field_registry["text"], terms, k=15))
+    assert got == want
+    # prefix-only form (no full terms)
+    want1 = _rows(_bm25.match_bool_prefix_df(docs, ["ta"], k=15))
+    got1 = _rows(match_bool_prefix_topk(field_registry["text"], ["ta"], k=15))
+    assert got1 == want1
+
+
+def test_expand_prefix_cap_raises(spark, field_registry):
+    idx = field_registry["text"]
+    n = len(idx.expand_prefix("", max_expansions=10**9))  # every term
+    assert n > 1
+    with pytest.raises(ValueError, match="expands"):
+        idx.expand_prefix("", max_expansions=n - 1)
+
+
 def test_ast_routes_registry(spark, docs, field_registry, monkeypatch):
     """compile_query with a dict registry serves multi_match /
     query_string / combined_fields from postings (the DF scorers must NOT
@@ -100,6 +120,7 @@ def test_ast_routes_registry(spark, docs, field_registry, monkeypatch):
         {"query": {"combined_fields": {"query": "fast table src1",
                                        "fields": ["text", "source^2"]}},
          "size": 5},
+        {"query": {"match_bool_prefix": {"text": "merge ta"}}, "size": 5},
     ]
     fallback = [
         [r["doc_id"] for r in compile_query(docs, b, index=None).collect()]
@@ -112,6 +133,7 @@ def test_ast_routes_registry(spark, docs, field_registry, monkeypatch):
     monkeypatch.setattr(_bm25, "multi_match_df", _boom)
     monkeypatch.setattr(_bm25, "query_string_df", _boom)
     monkeypatch.setattr(_bm25, "combined_fields_df", _boom)
+    monkeypatch.setattr(_bm25, "match_bool_prefix_df", _boom)
     served = [
         [r["doc_id"] for r in
          compile_query(docs, b, index=field_registry).collect()]
