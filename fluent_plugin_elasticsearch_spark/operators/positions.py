@@ -242,16 +242,27 @@ _POS_SHIFT = np.uint64(32)  # doc_code * 2^32 + position keys
 
 
 def score_shard_phrase(pdf: pd.DataFrame, phrase_terms: list[str], idf_sum: float,
-                       k: int, avgdl: float, k1: float, b: float) -> pd.DataFrame:
+                       k: int, avgdl: float, k1: float, b: float,
+                       last_terms: list[str] | None = None) -> pd.DataFrame:
     """Phrase scoring for one shard: decode the phrase terms' positional
     blocks, count exact adjacent alignments per doc (phrase frequency),
-    BM25-score with tf=pf and the summed idf. Returns local top-k."""
+    BM25-score with tf=pf and the summed idf. Returns local top-k.
+
+    ``last_terms``: optional term SET occupying one extra final slot —
+    the dictionary expansion of a match_phrase_prefix last term (any of
+    the set aligns). A position holds exactly one token, so set
+    membership can't double-count an alignment."""
     from .wand import _topk_ties
 
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
     if len(pdf) == 0:
         return empty
+    # phrase as slot matchers: exact slots are singleton lists, the
+    # optional prefix slot is the expansion set
+    slots: list[list[str]] = [[t] for t in phrase_terms]
+    if last_terms is not None:
+        slots.append(sorted(last_terms))
     pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
     n_per_blk = pdf["n_docs"].to_numpy().astype(np.int64)
     total = int(n_per_blk.sum())
@@ -268,13 +279,15 @@ def score_shard_phrase(pdf: pd.DataFrame, phrase_terms: list[str], idf_sum: floa
 
     doc_codes, uniq_docs = pd.factorize(ids)
 
-    # doc-level pre-intersection: a matching doc must hold EVERY phrase
-    # term, so intersect the (entry-level, much smaller than positions)
-    # doc sets first — with one rare term this collapses the position
-    # key-space before any expansion (the conjunctive-query prefilter).
+    # doc-level pre-intersection: a matching doc must satisfy EVERY slot
+    # (>= 1 of the slot's terms), so intersect the (entry-level, much
+    # smaller than positions) doc sets first — with one rare term this
+    # collapses the position key-space before any expansion (the
+    # conjunctive-query prefilter).
     cand = None
-    for t in set(phrase_terms):
-        docs_t = np.unique(doc_codes[terms == t])
+    for slot in {tuple(s) for s in slots}:
+        mask = (terms == slot[0]) if len(slot) == 1 else np.isin(terms, slot)
+        docs_t = np.unique(doc_codes[mask])
         cand = docs_t if cand is None else cand[np.isin(cand, docs_t)]
         if cand.size == 0:
             return empty
@@ -284,12 +297,15 @@ def score_shard_phrase(pdf: pd.DataFrame, phrase_terms: list[str], idf_sum: floa
     per_pos_doc = np.repeat(doc_codes.astype(np.int64), tfs)[pos_keep]
     per_pos_term = np.repeat(terms, tfs)[pos_keep]
 
-    # keys for term j shifted left by j: alignment ⇔ same key as term 0
-    term0 = phrase_terms[0]
-    m0 = per_pos_term == term0
+    def slot_mask(slot):
+        return (per_pos_term == slot[0]) if len(slot) == 1 \
+            else np.isin(per_pos_term, slot)
+
+    # keys for slot j shifted left by j: alignment ⇔ same key as slot 0
+    m0 = slot_mask(slots[0])
     target = (per_pos_doc[m0].astype(np.uint64) << _POS_SHIFT) | positions[m0].astype(np.uint64)
-    for j, t in enumerate(phrase_terms[1:], start=1):
-        mj = per_pos_term == t
+    for j, slot in enumerate(slots[1:], start=1):
+        mj = slot_mask(slot)
         keys_j = (per_pos_doc[mj].astype(np.uint64) << _POS_SHIFT) | (
             positions[mj].astype(np.uint64) - np.uint64(j)
         )

@@ -323,6 +323,54 @@ class InvertedIndex:
         local = blocks.groupBy("shard").applyInPandas(shard_phrase, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def match_phrase_prefix(self, phrase: str, k: int = 10,
+                            max_expansions: int = 1024) -> DataFrame:
+        """ES match_phrase_prefix served from the positional index: the
+        last term expands through the term dictionary (expand_prefix) and
+        occupies a SET slot in the same adjacency kernel match_phrase
+        uses; the prefix clause's df is the distinct-doc count of the
+        expansion's postings (exactly the DataFrame scorer's
+        "any token startswith" df). Work per query = dictionary scan +
+        the exact terms' and expansion's posting/position data — never
+        the corpus (contract as relevance.match_phrase_prefix_df, which
+        remains the no-index fallback)."""
+        if not self.meta.get("with_positions"):
+            raise ValueError("index was built without positions (with_positions=True)")
+        from .positions import score_shard_phrase
+        from ..textproc import bm25_idf
+
+        terms = _TOKENIZE[self.meta["tokenizer"]](phrase)
+        spark = self.spark
+        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        if not terms:
+            return empty
+        exact, pref = terms[:-1], terms[-1]
+        expansion = self.expand_prefix(pref, max_expansions)
+        if not expansion:
+            return empty
+        uniq_exact = sorted(set(exact))
+        dfs = self._lookup_dfs(uniq_exact)
+        if len(dfs) < len(uniq_exact):
+            return empty  # an exact term absent from the corpus ⇒ no match
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        # prefix-clause df = docs containing ANY expansion term (a small
+        # postings-bounded count job), matching the DF scorer's df
+        df_prefix = self.matched_doc_ids(expansion).count()
+        if df_prefix == 0:
+            return empty
+        idf_sum = sum(bm25_idf(dfs[t], n_docs) for t in exact) \
+            + bm25_idf(df_prefix, n_docs)
+
+        def shard_phrase(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard_phrase(pdf, exact, idf_sum, k, avgdl, k1, b,
+                                      last_terms=expansion)
+
+        wanted = sorted(set(exact) | set(expansion))
+        blocks = self.postings().filter(F.col("term").isin(wanted))
+        local = blocks.groupBy("shard").applyInPandas(shard_phrase, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Completion suggester: top-k index terms with the given prefix,
         ranked by document frequency (df desc, term asc). One scan of the

@@ -575,6 +575,33 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score"), F.asc("doc_id")
         )
 
+    if query and "match_phrase_prefix" in query:
+        # ES match_phrase_prefix: served from a POSITIONAL index when one
+        # is registered for the field (dictionary expansion of the last
+        # term + the same adjacency kernel as match_phrase), else the
+        # DataFrame scorer. Quantized either way so both paths emit the
+        # same (doc_id, score_u) shape.
+        from ..operators.relevance import match_phrase_prefix_df
+        from ..textproc import tokenize_simple
+
+        ((_field, spec),) = query["match_phrase_prefix"].items()
+        text = spec if isinstance(spec, str) else spec["query"]
+        max_exp = (spec.get("max_expansions", 1024)
+                   if isinstance(spec, dict) else 1024)
+        pp_index = _resolve_index(index, _field)
+        k = size or 10
+        if pp_index is not None and pp_index.meta.get("with_positions"):
+            topk = pp_index.match_phrase_prefix(
+                text, k=k, max_expansions=max_exp
+            ).select("doc_id", F.floor(F.col("score") * 1e6)
+                     .cast("long").alias("score_u"))
+        else:
+            topk = match_phrase_prefix_df(docs, tokenize_simple(text), k=k,
+                                          text_col=_field)
+        return docs.join(F.broadcast(topk), "doc_id").orderBy(
+            F.desc("score_u"), F.asc("doc_id")
+        )
+
     if query and "match_bool_prefix" in query:
         # ES match_bool_prefix (search-as-you-type): served from the
         # field's index when one is registered (dictionary expansion +

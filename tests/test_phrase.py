@@ -61,6 +61,78 @@ def test_phrase_freq_exact(spark, tmp_path):
     assert got2 == {4}
 
 
+PREFIX_PHRASES = ["the da", "data que", "th", "the data que", "zzznope da"]
+
+
+@pytest.mark.parametrize("phrase", PREFIX_PHRASES)
+def test_phrase_prefix_index_matches_dataframe_form(spark, sf_dir, pos_index,
+                                                    phrase):
+    from fluent_plugin_elasticsearch_spark.operators.relevance import (
+        match_phrase_prefix_df,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = InvertedIndex(spark, pos_index)
+    got = idx.match_phrase_prefix(phrase, k=10, max_expansions=10**6).collect()
+    exp = match_phrase_prefix_df(docs, phrase.split(), k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp], phrase
+    for g, e in zip(got, exp):
+        assert math.floor(g["score"] * 1e6) == e["score_u"], (phrase, g["doc_id"])
+
+
+def test_phrase_prefix_freq_exact(spark, tmp_path):
+    """Crafted docs: the final slot matches ANY token with the prefix, but
+    adjacency/order still binds (no credit for gaps or reversal)."""
+    rows = [
+        Row(doc_id=1, text="alpha banana x"),            # pf(alpha ban*) = 1
+        Row(doc_id=2, text="alpha band alpha banner"),   # pf = 2
+        Row(doc_id=3, text="alpha x banana"),            # pf = 0 (gap)
+        Row(doc_id=4, text="banana alpha"),              # pf = 0 (reversed)
+        Row(doc_id=5, text="alpha alpha"),               # pf = 0 (no ban*)
+    ]
+    docs = spark.createDataFrame(rows)
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, id_col="doc_id", text_col="text",
+                tokenizer="simple", n_shards=2, n_salts=2, with_positions=True)
+    idx = InvertedIndex(spark, out)
+    got = {r["doc_id"]: r["score"]
+           for r in idx.match_phrase_prefix("alpha ban", k=10).collect()}
+    assert set(got) == {1, 2}
+    assert got[2] > got[1]  # pf=2 beats pf=1 despite the longer doc
+    # prefix-only form: every doc holding any ban* token
+    got2 = {r["doc_id"]
+            for r in idx.match_phrase_prefix("ban", k=10).collect()}
+    assert got2 == {1, 2, 3, 4}
+
+
+def test_phrase_prefix_on_tf_index_raises(spark, index_dir):
+    idx = InvertedIndex(spark, index_dir)
+    with pytest.raises(ValueError, match="positions"):
+        idx.match_phrase_prefix("the da", 5)
+
+
+def test_query_ast_match_phrase_prefix_routes(spark, sf_dir, pos_index,
+                                              monkeypatch):
+    """With a positional index registered for the field the AST serves
+    match_phrase_prefix from postings (the DataFrame scorer must NOT run)
+    and returns the same docs as the no-index fallback."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as _rel
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    body = {"query": {"match_phrase_prefix": {"text": "the da"}}, "size": 5}
+    fallback = [r["doc_id"] for r in compile_query(docs, body, index=None).collect()]
+
+    def _boom(*a, **kw):
+        raise AssertionError("DataFrame scorer ran despite positional index")
+
+    monkeypatch.setattr(_rel, "match_phrase_prefix_df", _boom)
+    reg = {"text": InvertedIndex(spark, pos_index)}
+    served = [r["doc_id"]
+              for r in compile_query(docs, body, index=reg).collect()]
+    assert served == fallback
+
+
 def test_phrase_on_tf_index_raises(spark, index_dir):
     idx = InvertedIndex(spark, index_dir)
     with pytest.raises(ValueError, match="positions"):
