@@ -68,6 +68,26 @@ def q_multi_match_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["text", "source"], k=10, match_type="most_fields")
 
 
+def q_multi_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=phrase over (text, source): Lucene PhraseQuery
+    scoring per field (each with its own statistics), per-doc MAX of the
+    quantized field scores (phrase types imply best_fields/DisMax)."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.multi_match_phrase_df(
+        _read(spark, sf_dir, "documents"), PHRASE, ["text", "source"], k=10)
+
+
+def q_multi_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=phrase_prefix: the last term matches as a
+    prefix per field (search-as-you-type), MAX combine."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.multi_match_phrase_df(
+        _read(spark, sf_dir, "documents"), ["merge", "par"],
+        ["text", "source"], k=10, prefix=True)
+
+
 def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES query_string-lite: boolean AND/OR gate + BM25 scoring over the
     unique terms (corpus-global df, like the ES bool-of-match compile)."""
@@ -1938,8 +1958,14 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 ]
 
 
+_NEVER_DRIVER_SAMPLED_R6 = [
+    "multi_match_phrase", "multi_match_phrase_prefix",
+]
+
+
 def _sample_priority_order(q: dict) -> dict:
-    head = {k: q[k] for k in _NEVER_DRIVER_SAMPLED_R5 if k in q}
+    never = _NEVER_DRIVER_SAMPLED_R6 + _NEVER_DRIVER_SAMPLED_R5
+    head = {k: q[k] for k in never if k in q}
     return head | {k: v for k, v in q.items() if k not in head}
 
 
@@ -1949,6 +1975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_mixed": q_bm25_topk_mixed,
         "multi_match": q_multi_match,
         "multi_match_most_fields": q_multi_match_most_fields,
+        "multi_match_phrase": q_multi_match_phrase,
+        "multi_match_phrase_prefix": q_multi_match_phrase_prefix,
         "query_string": q_query_string,
         "match_phrase": q_match_phrase,
         "ids_query": q_ids_query,
@@ -2159,6 +2187,11 @@ def oracle_sql() -> dict[str, str]:
         "collapse": _rel.collapse_sql("documents", ["spark", "merge"], "lang", k=10),
         "match_phrase_prefix": _rel.match_phrase_prefix_sql(
             "documents", ["merge", "par"], k=20),
+        "multi_match_phrase": _rel.multi_match_phrase_sql(
+            "documents", PHRASE, ["text", "source"], k=10),
+        "multi_match_phrase_prefix": _rel.multi_match_phrase_sql(
+            "documents", ["merge", "par"], ["text", "source"], k=10,
+            prefix=True),
         "more_like_this": _rel.more_like_this_sql(
             "documents", like_id=0, max_query_terms=8, k=20),
         "rescore": _rel.rescore_sql(

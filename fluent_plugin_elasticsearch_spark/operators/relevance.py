@@ -372,6 +372,67 @@ LIMIT {k}
 """
 
 
+def multi_match_phrase_df(docs: DataFrame, phrase_terms: list[str],
+                          fields: list[str], k: int = 10,
+                          prefix: bool = False, id_col: str = "doc_id",
+                          k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES `multi_match` with `type: "phrase"` (or `"phrase_prefix"`): the
+    phrase scorer runs per field — each field with its OWN corpus
+    statistics, like per-field Lucene indexes — and the per-doc score is
+    the MAX of the quantized field scores (phrase types imply best_fields
+    / DisMax with tie_breaker 0 in ES).
+
+    Combining per-field TOP-K tables (not full score tables) is exact for
+    MAX: a doc outside every field's top-k is dominated, in its best
+    field alone, by that field's k entries — each of which has combined
+    score >= its score in that field >= the doc's combined score (ties
+    break doc_id asc both places). So the union of per-field top-k
+    contains the combined top-k. Returns (doc_id, score_u)."""
+    from .bm25 import match_phrase_df
+
+    scorer = match_phrase_prefix_df if prefix else match_phrase_df
+    per = []
+    for i, f in enumerate(fields):
+        s = scorer(docs, phrase_terms, k=k, id_col=id_col, text_col=f,
+                   k1=k1, b=b)
+        per.append(s.withColumnRenamed("score_u", f"s_{i}"))
+    joined = per[0]
+    for p in per[1:]:
+        joined = joined.join(p, "doc_id", "full_outer")
+    parts = [F.coalesce(F.col(f"s_{i}"), F.lit(0)) for i in range(len(fields))]
+    comb = F.greatest(*parts) if len(parts) > 1 else parts[0]
+    return (
+        joined.select("doc_id", comb.cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def multi_match_phrase_sql(table: str, phrase_terms: list[str],
+                           fields: list[str], k: int = 10,
+                           prefix: bool = False, id_col: str = "doc_id",
+                           k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of multi_match_phrase_df: the SAME per-field top-k
+    subqueries (match_phrase_sql / match_phrase_prefix_sql), full-outer
+    joined on doc_id, MAX of coalesced quantized scores."""
+    from .bm25 import match_phrase_sql
+
+    gen = match_phrase_prefix_sql if prefix else match_phrase_sql
+    subs = [gen(table, phrase_terms, k=k, id_col=id_col, text_col=f,
+                k1=k1, b=b) for f in fields]
+    frm = f"({subs[0]}) f0"
+    for i in range(1, len(subs)):
+        frm += f" FULL JOIN ({subs[i]}) f{i} USING (doc_id)"
+    comb = ", ".join(f"coalesce(f{i}.score_u, 0)" for i in range(len(subs)))
+    comb = f"greatest({comb})" if len(subs) > 1 else comb
+    return f"""
+SELECT doc_id, CAST({comb} AS BIGINT) AS score_u
+FROM {frm}
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def more_like_this_df(docs: DataFrame, like_id: int,
                       max_query_terms: int = 10, k: int = 10,
                       id_col: str = "doc_id", text_col: str = "text",

@@ -485,6 +485,36 @@ def multi_match_topk(field_indexes: dict[str, "InvertedIndex"],
     )
 
 
+def multi_match_phrase_topk(field_indexes: dict[str, "InvertedIndex"],
+                            phrase: str, k: int = 10, prefix: bool = False,
+                            max_expansions: int = 1024) -> DataFrame:
+    """Index-backed ES `multi_match` with `type: "phrase"` /
+    `"phrase_prefix"`: each field's POSITIONAL index serves its phrase
+    top-k from the phrase terms' posting+position blocks (never the
+    corpus), per-field quantized integers combine by MAX (phrase types
+    imply best_fields / DisMax tie_breaker 0). Per-field top-k before a
+    MAX combine is exact — see relevance.multi_match_phrase_df, whose
+    ranks and scores this reproduces when each index was built over that
+    field with the same tokenizer."""
+    items = list(field_indexes.items())
+    per = []
+    for i, (_field, idx) in enumerate(items):
+        s = (idx.match_phrase_prefix(phrase, k=k, max_expansions=max_expansions)
+             if prefix else idx.match_phrase(phrase, k=k))
+        per.append(s.select(
+            "doc_id", F.floor(F.col("score") * 1e6).cast("long").alias(f"s_{i}")))
+    joined = per[0]
+    for p in per[1:]:
+        joined = joined.join(p, "doc_id", "full_outer")
+    parts = [F.coalesce(F.col(f"s_{i}"), F.lit(0)) for i in range(len(items))]
+    comb = F.greatest(*parts) if len(parts) > 1 else parts[0]
+    return (
+        joined.select("doc_id", comb.cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def query_string_topk(index: "InvertedIndex", query: str, k: int = 10) -> DataFrame:
     """Index-backed ES `query_string`-lite: the OR-of-AND boolean
     structure gates membership inside the shard kernel (per-doc term

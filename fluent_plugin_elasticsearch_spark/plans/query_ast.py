@@ -492,6 +492,30 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         fields = list(spec["fields"])
         per_field = {f: _resolve_index(index if isinstance(index, dict) else None, f)
                      for f in fields}
+        mtype = spec.get("type", "best_fields")
+        if mtype in ("phrase", "phrase_prefix"):
+            # phrase types: per-field phrase scorer, best_fields MAX
+            # combine — served from POSITIONAL per-field indexes when
+            # every field has one, else the DataFrame composition
+            from ..operators.relevance import multi_match_phrase_df
+
+            is_pref = mtype == "phrase_prefix"
+            if all(ix is not None and ix.meta.get("with_positions")
+                   for ix in per_field.values()):
+                from ..operators.search import multi_match_phrase_topk
+
+                topk = multi_match_phrase_topk(
+                    per_field, spec["query"], k=size or 10, prefix=is_pref,
+                    max_expansions=int(spec.get("max_expansions", 1024)))
+            else:
+                topk = multi_match_phrase_df(docs, terms, fields,
+                                             k=size or 10, prefix=is_pref)
+            if min_score is not None:
+                topk = topk.filter(
+                    F.col("score_u") >= int(float(min_score) * 1e6))
+            return docs.join(F.broadcast(topk), "doc_id").orderBy(
+                F.desc("score_u"), F.asc("doc_id")
+            )
         if all(per_field.values()):
             # every requested field has its own index → serve from
             # postings only (ES shape: one Lucene index per field);
@@ -566,6 +590,10 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
 
     if query and "match_phrase" in query:
         ((_field, text),) = query["match_phrase"].items()
+        if isinstance(text, dict) and int(text.get("slop", 0)) != 0:
+            # sloppy phrase matching (Lucene SloppyPhraseScorer) is not
+            # implemented — raise rather than silently score slop as 0
+            raise UnsupportedQuery("match_phrase slop != 0 is not supported")
         p_index = _resolve_index(index, _field)
         if p_index is None:
             raise UnsupportedQuery("match_phrase query needs an InvertedIndex")
@@ -585,6 +613,9 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         from ..textproc import tokenize_simple
 
         ((_field, spec),) = query["match_phrase_prefix"].items()
+        if isinstance(spec, dict) and int(spec.get("slop", 0)) != 0:
+            raise UnsupportedQuery(
+                "match_phrase_prefix slop != 0 is not supported")
         text = spec if isinstance(spec, str) else spec["query"]
         max_exp = (spec.get("max_expansions", 1024)
                    if isinstance(spec, dict) else 1024)

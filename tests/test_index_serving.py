@@ -98,6 +98,79 @@ def test_match_bool_prefix_index_identity(spark, docs, field_registry):
     assert got1 == want1
 
 
+@pytest.fixture(scope="module")
+def pos_field_registry(spark, docs, tmp_path_factory):
+    """Per-field POSITIONAL indexes (text, source) — the registry shape
+    that lets the AST serve multi_match phrase types from postings."""
+    root = str(tmp_path_factory.mktemp("posfieldidx"))
+    paths = build_field_indexes(
+        spark, docs, root, ["text", "source"],
+        id_col="doc_id", tokenizer="simple", n_shards=4, n_salts=2,
+        with_positions=True,
+    )
+    return {f: InvertedIndex(spark, p) for f, p in paths.items()}
+
+
+@pytest.mark.parametrize("prefix,phrase", [(False, "the data"),
+                                           (True, "the da")])
+def test_multi_match_phrase_index_identity(spark, docs, pos_field_registry,
+                                           prefix, phrase):
+    from fluent_plugin_elasticsearch_spark.operators.relevance import (
+        multi_match_phrase_df,
+    )
+    from fluent_plugin_elasticsearch_spark.operators.search import (
+        multi_match_phrase_topk,
+    )
+
+    want = _rows(multi_match_phrase_df(docs, phrase.split(),
+                                       ["text", "source"], k=10,
+                                       prefix=prefix))
+    got = _rows(multi_match_phrase_topk(pos_field_registry, phrase, k=10,
+                                        prefix=prefix))
+    assert got == want
+
+
+def test_ast_multi_match_phrase_routes(spark, docs, pos_field_registry,
+                                       monkeypatch):
+    from fluent_plugin_elasticsearch_spark.operators import relevance as _rel
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    bodies = [
+        {"query": {"multi_match": {"query": "the data", "type": "phrase",
+                                   "fields": ["text", "source"]}}, "size": 5},
+        {"query": {"multi_match": {"query": "the da",
+                                   "type": "phrase_prefix",
+                                   "fields": ["text", "source"]}}, "size": 5},
+    ]
+    fallback = [
+        [r["doc_id"] for r in compile_query(docs, b, index=None).collect()]
+        for b in bodies
+    ]
+
+    def _boom(*a, **kw):
+        raise AssertionError("DataFrame scorer ran despite positional registry")
+
+    monkeypatch.setattr(_rel, "multi_match_phrase_df", _boom)
+    served = [
+        [r["doc_id"] for r in
+         compile_query(docs, b, index=pos_field_registry).collect()]
+        for b in bodies
+    ]
+    assert served == fallback
+
+
+def test_match_phrase_slop_raises(spark, docs, pos_field_registry):
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        UnsupportedQuery,
+        compile_query,
+    )
+
+    for kind in ("match_phrase", "match_phrase_prefix"):
+        body = {"query": {kind: {"text": {"query": "the data", "slop": 2}}}}
+        with pytest.raises(UnsupportedQuery, match="slop"):
+            compile_query(docs, body, index=pos_field_registry)
+
+
 def test_expand_prefix_cap_raises(spark, field_registry):
     idx = field_registry["text"]
     n = len(idx.expand_prefix("", max_expansions=10**9))  # every term
