@@ -655,6 +655,83 @@ def q_es_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "doc_count")
 
 
+def _events_value_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with value pre-quantized to integer cents — exact long sums
+    on both engines (the cross-engine float-accumulation guard used by
+    every agg entry)."""
+    return _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long"))
+
+
+def q_es_sibling_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline aggs avg/sum/min/max_bucket: one metric
+    aggregated ACROSS a daily date_histogram's buckets (coordinating-node
+    reduce phase)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    out = compile_aggs(_events_value_u(spark, sf_dir), {"aggs": {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+                  "aggs": {"sales": {"sum": {"field": "value_u"}}}},
+        "ab": {"avg_bucket": {"buckets_path": "daily>sales"}},
+        "sb": {"sum_bucket": {"buckets_path": "daily>sales"}},
+        "nb": {"min_bucket": {"buckets_path": "daily>sales"}},
+        "xb": {"max_bucket": {"buckets_path": "daily>sales"}},
+    }})
+    return (
+        out["ab"].crossJoin(out["sb"]).crossJoin(out["nb"]).crossJoin(out["xb"])
+        .select(F.floor(F.col("ab_value") * 1e6).cast("long").alias("ab_u"),
+                F.col("sb_value").cast("long").alias("sb"),
+                F.col("nb_value").cast("long").alias("nb"),
+                F.col("xb_value").cast("long").alias("xb")))
+
+
+def q_es_stats_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats_bucket (over _count) + percentiles_bucket (exact linear
+    interpolation, like the percentiles metric agg) across a daily
+    histogram's buckets."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    out = compile_aggs(_events_value_u(spark, sf_dir), {"aggs": {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+                  "aggs": {"sales": {"sum": {"field": "value_u"}}}},
+        "st": {"stats_bucket": {"buckets_path": "daily>_count"}},
+        "pb": {"percentiles_bucket": {"buckets_path": "daily>sales",
+                                      "percents": [25, 50, 90]}},
+    }})
+    return (
+        out["st"].crossJoin(out["pb"])
+        .select(F.col("st_count").alias("st_count"),
+                F.col("st_min").cast("long").alias("st_min"),
+                F.col("st_max").cast("long").alias("st_max"),
+                F.col("st_sum").cast("long").alias("st_sum"),
+                F.floor(F.col("st_avg") * 1e6).cast("long").alias("st_avg_u"),
+                F.floor(F.col("pb_p25") * 1e6).cast("long").alias("pb_p25_u"),
+                F.floor(F.col("pb_p50") * 1e6).cast("long").alias("pb_p50_u"),
+                F.floor(F.col("pb_p90") * 1e6).cast("long").alias("pb_p90_u")))
+
+
+def q_es_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES normalize pipeline agg: percent_of_sum and rescale_0_100 of a
+    per-day metric across the bucket series (single-division forms —
+    exact-long numerators/denominators, so both engines divide the same
+    integers)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    out = compile_aggs(_events_value_u(spark, sf_dir), {"aggs": {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+                  "aggs": {
+                      "sales": {"sum": {"field": "value_u"}},
+                      "pct": {"normalize": {"buckets_path": "sales",
+                                            "method": "percent_of_sum"}},
+                      "r100": {"normalize": {"buckets_path": "sales",
+                                             "method": "rescale_0_100"}}}},
+    }})["daily"]
+    return out.select(
+        "key", "doc_count", F.col("sales").cast("long").alias("sales"),
+        F.floor(F.col("pct") * 1e9).cast("long").alias("pct_u"),
+        F.floor(F.col("r100") * 1e6).cast("long").alias("r100_u"))
+
+
 def q_es_date_histogram_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES min_doc_count=0 date_histogram (plans/aggs.
     _gap_filled_histogram): EVERY day between the data bounds appears,
@@ -1960,6 +2037,7 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 
 _NEVER_DRIVER_SAMPLED_R6 = [
     "multi_match_phrase", "multi_match_phrase_prefix",
+    "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
 ]
 
 
@@ -2015,6 +2093,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_auto_date_histogram": q_es_auto_date_histogram,
         "es_ip_range": q_es_ip_range,
         "es_date_histogram_gaps": q_es_date_histogram_gaps,
+        "es_sibling_buckets": q_es_sibling_buckets,
+        "es_stats_percentiles_bucket": q_es_stats_percentiles_bucket,
+        "es_normalize": q_es_normalize,
         "cow_upsert": q_cow_upsert,
         "es_multi_terms": q_es_multi_terms,
         "es_rare_terms": q_es_rare_terms,
@@ -2603,6 +2684,47 @@ SELECT key, doc_count FROM (
   SELECT 2, '10.128.0.0/9', count(*) FROM ips
   WHERE ipl >= 10 * 16777216 + 128 * 65536 AND ipl < 10 * 16777216 + 256 * 65536
 ) ORDER BY i
+""",
+        "es_sibling_buckets": """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS k,
+         CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1
+)
+SELECT CAST(floor(avg(s) * 1e6) AS BIGINT) AS ab_u,
+       CAST(sum(s) AS BIGINT) AS sb,
+       min(s) AS nb,
+       max(s) AS xb
+FROM b
+""",
+        "es_stats_percentiles_bucket": """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS k, count(*) AS dc,
+         CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1
+)
+SELECT count(dc) AS st_count, min(dc) AS st_min, max(dc) AS st_max,
+       CAST(sum(dc) AS BIGINT) AS st_sum,
+       CAST(floor(avg(dc) * 1e6) AS BIGINT) AS st_avg_u,
+       CAST(floor(quantile_cont(s, 0.25) * 1e6) AS BIGINT) AS pb_p25_u,
+       CAST(floor(quantile_cont(s, 0.50) * 1e6) AS BIGINT) AS pb_p50_u,
+       CAST(floor(quantile_cont(s, 0.90) * 1e6) AS BIGINT) AS pb_p90_u
+FROM b
+""",
+        "es_normalize": """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS key, count(*) AS doc_count,
+         CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS sales
+  FROM events GROUP BY 1
+)
+SELECT key, doc_count, sales,
+       CAST(floor(CAST(sales AS DOUBLE) / CAST(sum(sales) OVER () AS DOUBLE)
+            * 1e9) AS BIGINT) AS pct_u,
+       CAST(floor((CAST(sales AS DOUBLE) - CAST(min(sales) OVER () AS DOUBLE))
+            * 100.0 / (CAST(max(sales) OVER () AS DOUBLE)
+                       - CAST(min(sales) OVER () AS DOUBLE))
+            * 1e6) AS BIGINT) AS r100_u
+FROM b ORDER BY key
 """,
         "es_date_histogram_gaps": """
 WITH agg AS (

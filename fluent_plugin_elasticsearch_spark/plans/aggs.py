@@ -425,7 +425,14 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
     query = body.get("query")
     if query:
         base = base.filter(_compile_clause(query))
-    for name, spec in (body.get("aggs") or {}).items():
+    specs = body.get("aggs") or {}
+    # sibling pipeline aggs (avg_bucket & co.) read a SIBLING bucket
+    # agg's compiled frame — defer them past the main pass
+    siblings = {n: s for n, s in specs.items()
+                if next(iter(k for k in s if k != "aggs")) in _SIBLING_KINDS}
+    for name, spec in specs.items():
+        if name in siblings:
+            continue
         sub = spec.get("aggs")
         ((kind, inner),) = ((k, v) for k, v in spec.items() if k != "aggs")
         if (kind in ("date_histogram", "histogram")
@@ -691,7 +698,62 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = base.agg(*_metric_cols({name: {kind: inner}}))
         else:
             raise UnsupportedQuery(f"unsupported agg kind: {kind}")
+    for name, spec in siblings.items():
+        ((kind, inner),) = ((k, v) for k, v in spec.items() if k != "aggs")
+        out[name] = _sibling_bucket(out, name, kind, inner)
     return out
+
+
+_SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+                  "stats_bucket", "percentiles_bucket")
+
+
+def _sibling_bucket(compiled: dict[str, DataFrame], name: str, kind: str,
+                    inner: dict[str, Any]) -> DataFrame:
+    """ES sibling pipeline aggs (avg_bucket / sum_bucket / min_bucket /
+    max_bucket / stats_bucket / percentiles_bucket): aggregate one metric
+    ACROSS a sibling multi-bucket agg's buckets into a single row. The
+    input is the sibling's already-reduced bucket frame (bucket count ≪
+    doc count — this is ES's coordinating-node reduce phase), so the
+    whole-frame aggregate is a design property, not a corpus funnel.
+    gap_policy "skip" (the ES default) = null metric values ignored,
+    which is Spark's aggregate-function default."""
+    parent, _, metric = str(inner["buckets_path"]).partition(">")
+    if parent not in compiled:
+        raise UnsupportedQuery(
+            f"{kind} buckets_path parent not compiled: {parent}")
+    if not metric:
+        raise UnsupportedQuery(
+            f"{kind} buckets_path must be '<sibling>><metric>'")
+    src = compiled[parent]
+    col = "doc_count" if metric == "_count" else metric
+    if col not in src.columns:
+        raise UnsupportedQuery(
+            f"{kind} buckets_path metric not in sibling frame: {metric}")
+    if kind == "avg_bucket":
+        return src.agg(F.avg(col).alias(f"{name}_value"))
+    if kind == "sum_bucket":
+        return src.agg(F.sum(col).alias(f"{name}_value"))
+    if kind == "min_bucket":
+        return src.agg(F.min(col).alias(f"{name}_value"))
+    if kind == "max_bucket":
+        return src.agg(F.max(col).alias(f"{name}_value"))
+    if kind == "stats_bucket":
+        return src.agg(
+            F.count(col).alias(f"{name}_count"),
+            F.min(col).alias(f"{name}_min"),
+            F.max(col).alias(f"{name}_max"),
+            F.sum(col).alias(f"{name}_sum"),
+            F.avg(col).alias(f"{name}_avg"),
+        )
+    if kind == "percentiles_bucket":
+        percents = inner.get("percents", ES_DEFAULT_PERCENTS)
+        return src.agg(*[
+            F.expr(f"percentile({col}, {float(p) / 100.0})").alias(
+                f"{name}_p" + f"{float(p):g}".replace(".", "_"))
+            for p in percents
+        ])
+    raise UnsupportedQuery(f"unsupported sibling pipeline agg: {kind}")
 
 
 _VWH_ITERS = 2
@@ -792,7 +854,8 @@ ORDER BY key_u ASC, min ASC""")
 
 
 _PIPELINE_KINDS = ("derivative", "cumulative_sum", "moving_fn", "serial_diff",
-                   "bucket_script", "bucket_selector", "bucket_sort")
+                   "bucket_script", "bucket_selector", "bucket_sort",
+                   "normalize")
 
 
 def _script_expr(script: str, paths: dict[str, str]) -> Column:
@@ -901,6 +964,32 @@ def _apply_pipeline_aggs(df: DataFrame, pipes: dict[str, Any]) -> DataFrame:
                 raise UnsupportedQuery(f"unsupported moving_fn: {fn}")
             df = df.withColumn(pname, fns[fn](path).over(
                 w.rowsBetween(-(int(ps["window"]) - 1), 0)))
+        elif pk == "normalize":
+            # ES normalize pipeline agg: rescale the metric across the
+            # whole bucket series (ES reduce-phase semantics — the window
+            # spans the reduced series, not the corpus)
+            ww = w.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+            x = F.col(path).cast("double")
+            method = ps.get("method")
+            if method == "percent_of_sum":
+                expr = x / F.sum(path).over(ww)
+            elif method == "rescale_0_1":
+                expr = ((x - F.min(path).over(ww))
+                        / (F.max(path).over(ww) - F.min(path).over(ww)))
+            elif method == "rescale_0_100":
+                expr = ((x - F.min(path).over(ww)) * 100.0
+                        / (F.max(path).over(ww) - F.min(path).over(ww)))
+            elif method == "mean":
+                expr = ((x - F.avg(path).over(ww))
+                        / (F.max(path).over(ww) - F.min(path).over(ww)))
+            elif method == "z-score":
+                expr = (x - F.avg(path).over(ww)) / F.stddev_pop(path).over(ww)
+            elif method == "softmax":
+                expr = F.exp(x) / F.sum(F.exp(x)).over(ww)
+            else:
+                raise UnsupportedQuery(f"unsupported normalize method: {method}")
+            df = df.withColumn(pname, expr)
         elif pk == "bucket_script":
             df = df.withColumn(pname, _script_expr(ps["script"], ps["buckets_path"]))
         elif pk == "bucket_selector":

@@ -764,3 +764,75 @@ def test_variable_width_histogram(events):
                          {"aggs": {"v": {"variable_width_histogram": {
                              "field": "value", "buckets": 5}}}})["v"].collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_sibling_bucket_aggs(events):
+    out = compile_aggs(events, {"aggs": {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+                  "aggs": {"v_sum": {"sum": {"field": "value"}}}},
+        "ab": {"avg_bucket": {"buckets_path": "daily>v_sum"}},
+        "sb": {"sum_bucket": {"buckets_path": "daily>v_sum"}},
+        "nb": {"min_bucket": {"buckets_path": "daily>v_sum"}},
+        "xb": {"max_bucket": {"buckets_path": "daily>v_sum"}},
+        "st": {"stats_bucket": {"buckets_path": "daily>_count"}},
+        "pb": {"percentiles_bucket": {"buckets_path": "daily>_count",
+                                      "percents": [50]}},
+    }})
+    buckets = out["daily"].collect()
+    sums = [r["v_sum"] for r in buckets]
+    counts = sorted(r["doc_count"] for r in buckets)
+    assert out["ab"].collect()[0]["ab_value"] == pytest.approx(sum(sums) / len(sums))
+    assert out["sb"].collect()[0]["sb_value"] == pytest.approx(sum(sums))
+    assert out["nb"].collect()[0]["nb_value"] == min(sums)
+    assert out["xb"].collect()[0]["xb_value"] == max(sums)
+    st = out["st"].collect()[0]
+    assert (st["st_count"], st["st_min"], st["st_max"], st["st_sum"]) == (
+        len(buckets), counts[0], counts[-1], 300)
+    # exact linear-interpolation median of the per-day doc counts
+    import statistics
+
+    assert out["pb"].collect()[0]["pb_p50"] == pytest.approx(
+        statistics.median(counts))
+
+
+def test_sibling_bucket_errors(events):
+    with pytest.raises(UnsupportedQuery, match="parent"):
+        compile_aggs(events, {"aggs": {
+            "ab": {"avg_bucket": {"buckets_path": "nope>v_sum"}}}})
+    with pytest.raises(UnsupportedQuery, match="metric"):
+        compile_aggs(events, {"aggs": {
+            "daily": {"date_histogram": {"field": "ts",
+                                         "calendar_interval": "day"}},
+            "ab": {"avg_bucket": {"buckets_path": "daily>missing"}}}})
+    with pytest.raises(UnsupportedQuery, match="sibling"):
+        compile_aggs(events, {"aggs": {
+            "daily": {"date_histogram": {"field": "ts",
+                                         "calendar_interval": "day"}},
+            "ab": {"avg_bucket": {"buckets_path": "daily"}}}})
+
+
+def test_normalize_methods(events):
+    out = compile_aggs(events, {"aggs": {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+                  "aggs": {
+                      "v_sum": {"sum": {"field": "value"}},
+                      "pct": {"normalize": {"buckets_path": "v_sum",
+                                            "method": "percent_of_sum"}},
+                      "r01": {"normalize": {"buckets_path": "v_sum",
+                                            "method": "rescale_0_1"}},
+                      "z": {"normalize": {"buckets_path": "v_sum",
+                                          "method": "z-score"}},
+                      "sm": {"normalize": {"buckets_path": "_count",
+                                           "method": "softmax"}}}},
+    }})["daily"].collect()
+    assert sum(r["pct"] for r in out) == pytest.approx(1.0)
+    assert min(r["r01"] for r in out) == pytest.approx(0.0)
+    assert max(r["r01"] for r in out) == pytest.approx(1.0)
+    assert sum(r["z"] for r in out) == pytest.approx(0.0, abs=1e-9)
+    assert sum(r["sm"] for r in out) == pytest.approx(1.0)
+    with pytest.raises(UnsupportedQuery, match="normalize"):
+        compile_aggs(events, {"aggs": {
+            "daily": {"date_histogram": {"field": "ts",
+                                         "calendar_interval": "day"},
+                      "aggs": {"x": {"normalize": {"buckets_path": "_count",
+                                                   "method": "nope"}}}}}})
