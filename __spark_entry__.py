@@ -567,6 +567,22 @@ def q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "score_u")
 
 
+def q_remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style line-level boilerplate removal: lines whose
+    normalized form recurs in >= 3 distinct docs are dropped corpus-wide.
+    A shared footer + the source tag are injected as extra lines so the
+    operator has real boilerplate to strip at any sf."""
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        remove_repeated_lines,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.lit("shared footer line"),
+                    F.col("source")).alias("text"))
+    return remove_repeated_lines(docs, min_docs=3)
+
+
 def q_stemmed_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Light plural stemming (operators/textquality.stem_token_col —
     Harman S-stemmer, the rule set of ES's light plural stemmers) as
@@ -730,6 +746,34 @@ def q_es_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", "doc_count", F.col("sales").cast("long").alias("sales"),
         F.floor(F.col("pct") * 1e9).cast("long").alias("pct_u"),
         F.floor(F.col("r100") * 1e6).cast("long").alias("r100_u"))
+
+
+def q_es_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats over (value_u, user_id): exact decimal moments in
+    one pass, fixed-float-op-order mean/var/cov/corr (t_test contract)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_events_value_u(spark, sf_dir), {"aggs": {"m": {
+        "matrix_stats": {"fields": ["value_u", "user_id"]}}}})["m"]
+
+
+def q_es_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_percentiles (exact deterministic variant): trailing
+    7-bucket window percentiles of daily sales over a date_histogram."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    out = compile_aggs(_events_value_u(spark, sf_dir), {"aggs": {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+                  "aggs": {
+                      "sales": {"sum": {"field": "value_u"}},
+                      "mp": {"moving_percentiles": {
+                          "buckets_path": "sales", "window": 7,
+                          "percents": [50, 90]}}}},
+    }})["daily"]
+    return out.select(
+        "key", "doc_count", F.col("sales").cast("long").alias("sales"),
+        F.floor(F.col("mp_p50") * 1e6).cast("long").alias("mp_p50_u"),
+        F.floor(F.col("mp_p90") * 1e6).cast("long").alias("mp_p90_u"))
 
 
 def q_es_date_histogram_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1079,6 +1123,31 @@ def q_es_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                        {"aggs": {"gt": {"geotile_grid": {
                            "field": "loc", "precision": 4, "size": 20}}}})["gt"]
     return out
+
+
+def q_es_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohash_grid bucket agg: base32 geohash cell keys at precision
+    3, computed closed-form (scale-floor-interleave, no per-row Python),
+    ES bucket order."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_geo_customers(spark, sf_dir),
+                        {"aggs": {"gh": {"geohash_grid": {
+                            "field": "loc", "precision": 3, "size": 20}}}})["gh"]
+
+
+def q_es_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler agg (deterministic md5-keyed variant):
+    uniform sample with a per-value diversity cap, metric sub-aggs over
+    the sample."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_events_value_u(spark, sf_dir), {"aggs": {"d": {
+        "diversified_sampler": {"shard_size": 120, "max_docs_per_value": 30,
+                                "field": "event_type",
+                                "id_field": "event_id"},
+        "aggs": {"v_sum": {"sum": {"field": "value_u"}},
+                 "v_max": {"max": {"field": "value_u"}}}}}})["d"]
 
 
 def q_es_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2038,6 +2107,8 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 _NEVER_DRIVER_SAMPLED_R6 = [
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
+    "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
+    "es_matrix_stats", "es_moving_percentiles",
 ]
 
 
@@ -2087,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": q_phrase_suggest,
         "combined_fields": q_combined_fields,
         "stemmed_token_counts": q_stemmed_token_counts,
+        "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
         "distance_feature": q_distance_feature,
@@ -2094,6 +2166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_ip_range": q_es_ip_range,
         "es_date_histogram_gaps": q_es_date_histogram_gaps,
         "es_sibling_buckets": q_es_sibling_buckets,
+        "es_matrix_stats": q_es_matrix_stats,
+        "es_moving_percentiles": q_es_moving_percentiles,
         "es_stats_percentiles_bucket": q_es_stats_percentiles_bucket,
         "es_normalize": q_es_normalize,
         "cow_upsert": q_cow_upsert,
@@ -2130,6 +2204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_top_metrics": q_es_top_metrics,
         "es_geo_centroid": q_es_geo_centroid,
         "es_geotile_grid": q_es_geotile_grid,
+        "es_geohash_grid": q_es_geohash_grid,
+        "es_diversified_sampler": q_es_diversified_sampler,
         "es_adjacency_matrix": q_es_adjacency_matrix,
         "embedding_neardup": q_embedding_neardup,
         "percolate": q_percolate,
@@ -2233,6 +2309,7 @@ def _quality_bins_sql_entry() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from fluent_plugin_elasticsearch_spark.plans.aggs import geohash_grid_sql
     from fluent_plugin_elasticsearch_spark.operators.bm25 import (
         bm25_topk_sql,
         explain_sql,
@@ -2403,6 +2480,25 @@ ORDER BY sort_value DESC, event_id ASC LIMIT 3
 SELECT avg((c_custkey * 7 % 140) - 70 + 0.25) AS gc_lat,
        avg((c_custkey * 13 % 360) - 180 + 0.25) AS gc_lon
 FROM customer
+""",
+        "es_geohash_grid": geohash_grid_sql(
+            "SELECT ((c_custkey * 7 % 140) - 70 + 0.25)::DOUBLE AS lat, "
+            "((c_custkey * 13 % 360) - 180 + 0.25)::DOUBLE AS lon "
+            "FROM customer",
+            "lat", "lon", precision=3, size=20),
+        "es_diversified_sampler": """
+WITH s AS (
+  SELECT value, md5(CAST(event_id AS VARCHAR)) AS smp,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR))) AS rk
+  FROM events
+),
+keep AS (SELECT value FROM s WHERE rk <= 30 ORDER BY smp LIMIT 120)
+SELECT count(*) AS doc_count,
+       CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum,
+       max(CAST(floor(value * 1e2) AS BIGINT)) AS v_max
+FROM keep
 """,
         "es_geotile_grid": """
 WITH pts AS (
@@ -2622,6 +2718,12 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             fromlist=["combined_fields_sql"]).combined_fields_sql(
                 "documents", ["merge", "src3"], ["text", "source"], k=20,
                 weights={"source": 2}),
+        "remove_boilerplate_lines": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.textquality",
+            fromlist=["remove_repeated_lines_sql"]).remove_repeated_lines_sql(
+            "(SELECT doc_id, text || chr(10) || 'shared footer line' || "
+            "chr(10) || source AS text FROM documents)",
+            min_docs=3),
         "stemmed_token_counts": (lambda _st=__import__(
             "fluent_plugin_elasticsearch_spark.operators.textquality",
             fromlist=["stem_sql_expr"]).stem_sql_expr("t"): (
@@ -2684,6 +2786,47 @@ SELECT key, doc_count FROM (
   SELECT 2, '10.128.0.0/9', count(*) FROM ips
   WHERE ipl >= 10 * 16777216 + 128 * 65536 AND ipl < 10 * 16777216 + 256 * 65536
 ) ORDER BY i
+""",
+        "es_matrix_stats": """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CAST(floor(value * 1e2) AS BIGINT)) AS s0,
+         sum(user_id) AS s1,
+         sum(CAST(floor(value * 1e2) AS BIGINT)
+             * CAST(floor(value * 1e2) AS BIGINT)) AS q0_0,
+         sum(CAST(floor(value * 1e2) AS BIGINT) * user_id) AS q0_1,
+         sum(user_id * user_id) AS q1_1
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT n AS m_count,
+  CAST(floor(s0 / n * 1e6) AS BIGINT) AS m_value_u_mean_u,
+  CAST(floor((q0_0 - s0 * s0 / n) / (n - 1) * 1e6) AS BIGINT)
+    AS m_value_u_var_u,
+  CAST(floor(s1 / n * 1e6) AS BIGINT) AS m_user_id_mean_u,
+  CAST(floor((q1_1 - s1 * s1 / n) / (n - 1) * 1e6) AS BIGINT)
+    AS m_user_id_var_u,
+  CAST(floor((q0_1 - s0 * s1 / n) / (n - 1) * 1e6) AS BIGINT)
+    AS m_value_u_user_id_cov_u,
+  CAST(floor((q0_1 - s0 * s1 / n) / (n - 1)
+       / sqrt(((q0_0 - s0 * s0 / n) / (n - 1))
+            * ((q1_1 - s1 * s1 / n) / (n - 1))) * 1e9) AS BIGINT)
+    AS m_value_u_user_id_corr_u
+FROM m
+""",
+        "es_moving_percentiles": """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS key, count(*) AS doc_count,
+         CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS sales
+  FROM events GROUP BY 1
+)
+SELECT key, doc_count, sales,
+  CAST(floor(quantile_cont(sales, 0.50) OVER (
+    ORDER BY key ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1e6) AS BIGINT)
+    AS mp_p50_u,
+  CAST(floor(quantile_cont(sales, 0.90) OVER (
+    ORDER BY key ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1e6) AS BIGINT)
+    AS mp_p90_u
+FROM b ORDER BY key
 """,
         "es_sibling_buckets": """
 WITH b AS (

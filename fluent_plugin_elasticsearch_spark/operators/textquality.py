@@ -241,6 +241,82 @@ def repetition_scores(docs: DataFrame, n: int = 3,
     )
 
 
+def remove_repeated_lines(docs: DataFrame, min_docs: int = 2,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """RefinedWeb/CCNet-style line-level boilerplate removal (public
+    recipes: Penedo et al. 2023; Wenzek et al. 2019): a line whose
+    normalized form (lower+trim) appears in >= ``min_docs`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, footers) and is
+    dropped from every document. Blank lines are never counted as
+    boilerplate.
+
+    Plan: posexplode lines → line-hash df aggregate (ONE shuffle on the
+    md5 key, partial-aggregated) → equi-join the flag back on the hash
+    (never broadcast — the boilerplate set is corpus-sized at 100 TB) →
+    per-doc reassembly via array_sort(collect_list(struct(pos, line)))
+    keyed by doc_id. Every doc survives (empty text if all lines were
+    boilerplate). Returns (doc_id, text, n_lines, n_removed)."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.lower(F.trim(F.col("line")))))
+    boiler = (
+        lines.filter(F.trim("line") != "")
+        .groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= int(min_docs))
+        .select("h", F.lit(True).alias("__b")))
+    flagged = lines.join(boiler, "h", "left")
+    kept_struct = F.when(F.col("__b").isNull(), F.struct("pos", "line"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept_struct)),
+                            lambda s: s.getField("line")), "\n").alias("text"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("__b"), 1).otherwise(0)).cast("long")
+            .alias("n_removed"),
+        )
+        .select("doc_id", "text", F.col("n_lines").cast("long").alias("n_lines"),
+                "n_removed")
+    )
+
+
+def remove_repeated_lines_sql(table: str, min_docs: int = 2,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB mirror of remove_repeated_lines — same normalization, same
+    distinct-doc threshold, same in-order reassembly."""
+    return f"""
+WITH ls AS (
+  SELECT {id_col} AS doc_id, string_split({text_col}, chr(10)) AS lines
+  FROM {table}
+),
+l AS (
+  SELECT doc_id, unnest(generate_series(1, len(lines))) AS pos, lines
+  FROM ls
+),
+ll AS (
+  SELECT doc_id, pos, lines[pos] AS line,
+         md5(lower(trim(lines[pos]))) AS h
+  FROM l
+),
+boiler AS (
+  SELECT h FROM ll WHERE trim(line) <> ''
+  GROUP BY h HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+)
+SELECT ll.doc_id,
+       coalesce(string_agg(CASE WHEN b.h IS NULL THEN ll.line END,
+                           chr(10) ORDER BY ll.pos), '') AS text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM ll LEFT JOIN boiler b ON ll.h = b.h
+GROUP BY ll.doc_id
+"""
+
+
 # --- light stemming (ES minimal_english-style plural stripping) -------------
 
 def stem_token_col(t: Column) -> Column:

@@ -74,7 +74,79 @@ def _bucket_key(kind: str, spec: dict[str, Any]) -> Column:
         x = F.least(F.greatest(x, F.lit(0)), F.lit(n - 1))
         y = F.least(F.greatest(y, F.lit(0)), F.lit(n - 1))
         return F.concat_ws("/", F.lit(str(z)), x, y)
+    if kind == "geohash_grid":
+        # ES geohash_grid: base32 geohash cell key at `precision` chars.
+        # A geohash is the bit-interleave of the binary expansions of
+        # (lon+180)/360 and (lat+90)/180 — computed CLOSED-FORM: the two
+        # fractions scale to integers with ONE floor each, then every
+        # output bit is a shift/mask and every char an indexed lookup —
+        # pure long arithmetic inside whole-stage codegen, no per-row
+        # Python, no iterative bisection. ±90/±180 edges clamp into the
+        # last cell (ES behavior). Mirrored exactly by geohash_grid_sql.
+        p = int(spec.get("precision", 5))
+        if not 1 <= p <= 12:
+            raise UnsupportedQuery("geohash_grid precision must be 1..12")
+        lonbits = (5 * p + 1) // 2
+        latbits = 5 * p // 2
+        lat = F.col(field).getField("lat")
+        lon = F.col(field).getField("lon")
+        lon_i = F.floor((lon + F.lit(180.0)) / F.lit(360.0)
+                        * F.lit(float(2 ** lonbits))).cast("long")
+        lat_i = F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                        * F.lit(float(2 ** latbits))).cast("long")
+        lon_i = F.least(F.greatest(lon_i, F.lit(0)), F.lit(2 ** lonbits - 1))
+        lat_i = F.least(F.greatest(lat_i, F.lit(0)), F.lit(2 ** latbits - 1))
+        total = 5 * p
+        v = F.lit(0).cast("long")
+        for i in range(total):  # even interleave positions ← lon MSB-first
+            src, shift = ((lon_i, lonbits - 1 - i // 2) if i % 2 == 0
+                          else (lat_i, latbits - 1 - (i - 1) // 2))
+            v = v + F.shiftleft(
+                F.shiftright(src, shift).bitwiseAND(F.lit(1)), total - 1 - i)
+        alpha = F.array(*[F.lit(c) for c in _GEOHASH32])
+        chars = [
+            F.element_at(alpha, (F.shiftright(v, 5 * (p - 1 - j))
+                                 .bitwiseAND(F.lit(31)) + 1).cast("int"))
+            for j in range(p)
+        ]
+        return F.concat(*chars)
     raise UnsupportedQuery(f"unsupported bucket agg: {kind}")
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_grid_sql(source_sql: str, lat: str, lon: str, precision: int,
+                     size: int = 10000) -> str:
+    """DuckDB mirror of the geohash_grid bucket agg: the identical
+    closed-form scale-floor-interleave construction over a relation
+    (``source_sql``) exposing ``lat``/``lon`` expressions."""
+    p = int(precision)
+    lonbits = (5 * p + 1) // 2
+    latbits = 5 * p // 2
+    total = 5 * p
+    li = (f"least(greatest(CAST(floor(({lon} + 180.0) / 360.0 * "
+          f"{2 ** lonbits}.0) AS BIGINT), 0), {2 ** lonbits - 1})")
+    la = (f"least(greatest(CAST(floor(({lat} + 90.0) / 180.0 * "
+          f"{2 ** latbits}.0) AS BIGINT), 0), {2 ** latbits - 1})")
+    terms = []
+    for i in range(total):
+        src, shift = (("li", lonbits - 1 - i // 2) if i % 2 == 0
+                      else ("la", latbits - 1 - (i - 1) // 2))
+        terms.append(f"(((({src} >> {shift})) & 1) << {total - 1 - i})")
+    key = " || ".join(
+        f"substr('{_GEOHASH32}', CAST(((v >> {5 * (p - 1 - j)}) & 31) "
+        f"AS INTEGER) + 1, 1)"
+        for j in range(p)
+    )
+    return f"""
+WITH src AS ({source_sql}),
+idx AS (SELECT {li} AS li, {la} AS la FROM src),
+vv AS (SELECT ({' + '.join(terms)}) AS v FROM idx),
+keyed AS (SELECT {key} AS key FROM vv)
+SELECT key, count(*) AS doc_count FROM keyed GROUP BY key
+ORDER BY doc_count DESC, key ASC LIMIT {size}
+"""
 
 
 ES_DEFAULT_PERCENTS = [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
@@ -208,7 +280,8 @@ def _metric_cols(aggs: dict[str, Any]) -> list[Column]:
     return cols
 
 
-_BUCKET_KINDS = ("terms", "date_histogram", "histogram", "geotile_grid")
+_BUCKET_KINDS = ("terms", "date_histogram", "histogram", "geotile_grid",
+                 "geohash_grid")
 
 
 def _compile_bucket_path(base: DataFrame, name: str, spec: dict[str, Any]) -> DataFrame:
@@ -579,6 +652,28 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                        .orderBy(F.asc("__smp")).limit(n).drop("__smp"))
             out[name] = sampled.agg(
                 F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
+        elif kind == "diversified_sampler":
+            # ES diversified_sampler (deterministic variant): the sampler
+            # cut with a DIVERSITY cap — at most max_docs_per_value docs
+            # sharing `field` may enter the sample. Both the per-value
+            # ranking and the global shard_size cut key on md5(id), so
+            # the sample is engine- and partitioning-independent. The
+            # window partitions by the diversity field (bounded per-value
+            # state — the collapse scale shape), never the whole corpus.
+            from pyspark.sql import Window
+
+            n = int(inner.get("shard_size", 100))
+            cap = int(inner.get("max_docs_per_value", 1))
+            id_c = inner.get("id_field", "doc_id")
+            fld = inner["field"]
+            wd = Window.partitionBy(fld).orderBy(F.asc("__smp"))
+            sampled = (
+                base.withColumn("__smp", F.md5(F.col(id_c).cast("string")))
+                .withColumn("__rank", F.row_number().over(wd))
+                .filter(F.col("__rank") <= cap)
+                .orderBy(F.asc("__smp")).limit(n).drop("__smp", "__rank"))
+            out[name] = sampled.agg(
+                F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
         elif kind in ("range", "date_range"):
             out[name] = _range_agg(base, kind, inner, sub)
         elif kind == "geo_distance":
@@ -641,6 +736,51 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = mom.select(
                 F.col("n1"), F.col("n2"),
                 F.floor(t * 1e6).cast("long").alias(f"{name}_t_u"))
+        elif kind == "matrix_stats":
+            # ES matrix_stats: per-field mean/variance plus pairwise
+            # covariance/correlation over docs holding EVERY field (ES
+            # drops incomplete docs). Moments are EXACT decimal
+            # aggregates (n, Σxᵢ, Σxᵢxⱼ) in ONE partial-aggregated pass —
+            # never covar_samp/corr, whose Welford accumulation is
+            # partitioning-order-sensitive; derived stats follow a fixed
+            # float op order both engines share (the t_test contract:
+            # integer-quantized fields, quantize upstream).
+            flds = list(inner["fields"])
+            if len(flds) < 2:
+                raise UnsupportedQuery("matrix_stats needs >= 2 fields")
+            present = base
+            for f_ in flds:
+                present = present.filter(F.col(f_).isNotNull())
+            xs = {f_: F.col(f_).cast("decimal(19,0)") for f_ in flds}
+            moms = [F.count(F.lit(1)).alias("n")]
+            for i, fi in enumerate(flds):
+                moms.append(F.sum(xs[fi]).alias(f"s{i}"))
+                for j in range(i, len(flds)):
+                    moms.append(F.sum(xs[fi] * xs[flds[j]]).alias(f"q{i}_{j}"))
+            mom = present.agg(*moms)
+            n = F.col("n")
+
+            def cov(i, j):
+                ii, jj = min(i, j), max(i, j)
+                sq = (F.col(f"s{i}") * F.col(f"s{j}")).cast("double")
+                q = F.col(f"q{ii}_{jj}").cast("double")
+                return (q - sq / n) / (n - 1)
+
+            cols = [n.alias(f"{name}_count")]
+            for i, fi in enumerate(flds):
+                cols.append(F.floor(F.col(f"s{i}").cast("double") / n * 1e6)
+                            .cast("long").alias(f"{name}_{fi}_mean_u"))
+                cols.append(F.floor(cov(i, i) * 1e6).cast("long")
+                            .alias(f"{name}_{fi}_var_u"))
+            for i in range(len(flds)):
+                for j in range(i + 1, len(flds)):
+                    pair = f"{name}_{flds[i]}_{flds[j]}"
+                    cols.append(F.floor(cov(i, j) * 1e6).cast("long")
+                                .alias(f"{pair}_cov_u"))
+                    corr = cov(i, j) / F.sqrt(cov(i, i) * cov(j, j))
+                    cols.append(F.floor(corr * 1e9).cast("long")
+                                .alias(f"{pair}_corr_u"))
+            out[name] = mom.select(*cols)
         elif kind == "median_absolute_deviation":
             # ES MAD: median(|x - median(x)|). Two chained exact medians —
             # the inner one is a broadcast single-row subplan, the outer a
@@ -855,7 +995,7 @@ ORDER BY key_u ASC, min ASC""")
 
 _PIPELINE_KINDS = ("derivative", "cumulative_sum", "moving_fn", "serial_diff",
                    "bucket_script", "bucket_selector", "bucket_sort",
-                   "normalize")
+                   "normalize", "moving_percentiles")
 
 
 def _script_expr(script: str, paths: dict[str, str]) -> Column:
@@ -964,6 +1104,18 @@ def _apply_pipeline_aggs(df: DataFrame, pipes: dict[str, Any]) -> DataFrame:
                 raise UnsupportedQuery(f"unsupported moving_fn: {fn}")
             df = df.withColumn(pname, fns[fn](path).over(
                 w.rowsBetween(-(int(ps["window"]) - 1), 0)))
+        elif pk == "moving_percentiles":
+            # ES moving_percentiles (deterministic variant): EXACT
+            # linear-interpolation percentiles over the trailing window
+            # including the current bucket (shift=0, like moving_fn) —
+            # ES itself carries a t-digest sketch; the exact form is the
+            # engine-independent contract, same as the percentiles metric
+            win = w.rowsBetween(-(int(ps["window"]) - 1), 0)
+            for p_ in ps.get("percents", ES_DEFAULT_PERCENTS):
+                label = f"{float(p_):g}".replace(".", "_")
+                df = df.withColumn(
+                    f"{pname}_p{label}",
+                    F.expr(f"percentile({path}, {float(p_) / 100.0})").over(win))
         elif pk == "normalize":
             # ES normalize pipeline agg: rescale the metric across the
             # whole bucket series (ES reduce-phase semantics — the window

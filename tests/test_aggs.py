@@ -836,3 +836,120 @@ def test_normalize_methods(events):
                                          "calendar_interval": "day"},
                       "aggs": {"x": {"normalize": {"buckets_path": "_count",
                                                    "method": "nope"}}}}}})
+
+
+def test_diversified_sampler(events):
+    out = compile_aggs(events, {"aggs": {"d": {
+        "diversified_sampler": {"shard_size": 60, "max_docs_per_value": 10,
+                                "field": "event_type",
+                                "id_field": "event_id"},
+        "aggs": {"v_max": {"max": {"field": "value"}}}}}})["d"].collect()[0]
+    # 3 event types x cap 10 = 30 eligible docs < shard_size
+    assert out["doc_count"] == 30
+    # cap binds: without it the sampler would fill all 60
+    plain = compile_aggs(events, {"aggs": {"s": {
+        "sampler": {"shard_size": 60, "id_field": "event_id"}}}})["s"].collect()[0]
+    assert plain["doc_count"] == 60
+    # deterministic across partitioning
+    again = compile_aggs(events.repartition(7), {"aggs": {"d": {
+        "diversified_sampler": {"shard_size": 60, "max_docs_per_value": 10,
+                                "field": "event_type",
+                                "id_field": "event_id"},
+        "aggs": {"v_max": {"max": {"field": "value"}}}}}})["d"].collect()[0]
+    assert tuple(out) == tuple(again)
+
+
+def test_geohash_grid_matches_bisection_reference(spark):
+    """The closed-form scale-floor-interleave geohash must equal the
+    textbook bisection encoder char-for-char."""
+    import random
+
+    def ref_geohash(lat, lon, p):
+        alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even, ch = 0, "", True, 0
+        while len(out) < p:
+            rng = lon_r if even else lat_r
+            val = lon if even else lat
+            mid = (rng[0] + rng[1]) / 2
+            if val >= mid:
+                ch, rng[0] = ch * 2 + 1, mid
+            else:
+                ch, rng[1] = ch * 2, mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out += alpha[ch]
+                bits, ch = 0, 0
+        return out
+
+    random.seed(11)
+    pts = [Row(i=i, loc=Row(lat=random.uniform(-89.9, 89.9),
+                            lon=random.uniform(-179.9, 179.9)))
+           for i in range(300)]
+    df = spark.createDataFrame(pts)
+    for p in (1, 4, 6):
+        got = {r["key"]: r["doc_count"] for r in compile_aggs(
+            df, {"aggs": {"g": {"geohash_grid": {
+                "field": "loc", "precision": p, "size": 10000}}}}
+        )["g"].collect()}
+        want: dict[str, int] = {}
+        for r in pts:
+            k = ref_geohash(r.loc.lat, r.loc.lon, p)
+            want[k] = want.get(k, 0) + 1
+        assert got == want, p
+    # poles/antimeridian clamp into the last cell, not out of range
+    edge = spark.createDataFrame(
+        [Row(i=0, loc=Row(lat=90.0, lon=180.0)),
+         Row(i=1, loc=Row(lat=-90.0, lon=-180.0))])
+    keys = [r["key"] for r in compile_aggs(
+        edge, {"aggs": {"g": {"geohash_grid": {
+            "field": "loc", "precision": 3}}}})["g"].collect()]
+    assert sorted(keys) == ["000", "zzz"]
+    with pytest.raises(UnsupportedQuery, match="precision"):
+        compile_aggs(edge, {"aggs": {"g": {"geohash_grid": {
+            "field": "loc", "precision": 13}}}})
+
+
+def test_matrix_stats(spark):
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 1000, 150)
+    b = a * 2 + rng.randint(0, 400, 150)
+    df = spark.createDataFrame(
+        [Row(i=int(i), a=int(x), b=int(y))
+         for i, (x, y) in enumerate(zip(a, b))])
+    out = compile_aggs(df, {"aggs": {"m": {"matrix_stats": {
+        "fields": ["a", "b"]}}}})["m"].collect()[0]
+    cov = np.cov(a, b, ddof=1)
+    corr = np.corrcoef(a, b)[0, 1]
+    assert out["m_count"] == 150
+    assert out["m_a_mean_u"] == math.floor(a.mean() * 1e6)
+    assert abs(out["m_a_var_u"] - math.floor(cov[0, 0] * 1e6)) <= 1
+    assert abs(out["m_b_var_u"] - math.floor(cov[1, 1] * 1e6)) <= 1
+    assert abs(out["m_a_b_cov_u"] - math.floor(cov[0, 1] * 1e6)) <= 1
+    assert abs(out["m_a_b_corr_u"] - math.floor(corr * 1e9)) <= 2
+    # identical on any partitioning (exact decimal moments)
+    again = compile_aggs(df.repartition(13), {"aggs": {"m": {"matrix_stats": {
+        "fields": ["a", "b"]}}}})["m"].collect()[0]
+    assert tuple(out) == tuple(again)
+    with pytest.raises(UnsupportedQuery, match="fields"):
+        compile_aggs(df, {"aggs": {"m": {"matrix_stats": {"fields": ["a"]}}}})
+
+
+def test_moving_percentiles(events):
+    import statistics
+
+    out = compile_aggs(events, {"aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"vs": {"sum": {"field": "value"}},
+                 "mp": {"moving_percentiles": {
+                     "buckets_path": "vs", "window": 3,
+                     "percents": [50]}}}}}})["d"].collect()
+    vals = [r["vs"] for r in out]
+    for i, r in enumerate(out):
+        win = vals[max(0, i - 2):i + 1]
+        assert r["mp_p50"] == pytest.approx(statistics.median(win)), i

@@ -181,3 +181,41 @@ def test_analyze_api_analyzers(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         analyze_api(d, "text", "snowball_klingon").collect()
+
+
+def test_remove_repeated_lines(spark):
+    """RefinedWeb-style line boilerplate removal: shared lines dropped,
+    unique lines kept in order, blank lines never count as boilerplate,
+    all-boilerplate docs survive with empty text; DuckDB mirror agrees."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        remove_repeated_lines,
+        remove_repeated_lines_sql,
+    )
+
+    rows = [
+        Row(doc_id=1, text="unique alpha\nCookie Banner\n\nbody one"),
+        Row(doc_id=2, text="cookie banner \nbody two"),   # normalizes equal
+        Row(doc_id=3, text="Cookie Banner"),               # all boilerplate
+        Row(doc_id=4, text="\n\n"),                        # blanks only
+    ]
+    docs = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r for r in remove_repeated_lines(docs, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["text"] == "unique alpha\n\nbody one"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (4, 1)
+    assert out[2]["text"] == "body two"
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["text"] == "\n\n" and out[4]["n_removed"] == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    for r in rows:
+        con.execute("INSERT INTO d VALUES (?, ?)", [r.doc_id, r.text])
+    duck = {r[0]: r for r in con.execute(
+        remove_repeated_lines_sql("d", min_docs=2)).fetchall()}
+    for i in (1, 2, 3, 4):
+        assert (duck[i][1], duck[i][2], duck[i][3]) == (
+            out[i]["text"], out[i]["n_lines"], out[i]["n_removed"]), i
