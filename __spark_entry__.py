@@ -88,6 +88,18 @@ def q_multi_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["text", "source"], k=10, prefix=True)
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match with fuzziness (dictionary-expanded weighted BM25): each
+    query token expands against the corpus vocabulary within its edit
+    budget; expanded terms score BM25 x the Lucene fuzzy weight
+    1 - d/len, integer-quantized per contribution."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.fuzzy_match_df(
+        _read(spark, sf_dir, "documents"), ["mergee", "window"],
+        fuzziness=1, k=15)
+
+
 def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES query_string-lite: boolean AND/OR gate + BM25 scoring over the
     unique terms (corpus-global df, like the ES bool-of-match compile)."""
@@ -2108,7 +2120,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
-    "es_matrix_stats", "es_moving_percentiles",
+    "es_matrix_stats", "es_moving_percentiles", "fuzzy_match",
 ]
 
 
@@ -2126,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_most_fields": q_multi_match_most_fields,
         "multi_match_phrase": q_multi_match_phrase,
         "multi_match_phrase_prefix": q_multi_match_phrase_prefix,
+        "fuzzy_match": q_fuzzy_match,
         "query_string": q_query_string,
         "match_phrase": q_match_phrase,
         "ids_query": q_ids_query,
@@ -2345,6 +2358,8 @@ def oracle_sql() -> dict[str, str]:
         "collapse": _rel.collapse_sql("documents", ["spark", "merge"], "lang", k=10),
         "match_phrase_prefix": _rel.match_phrase_prefix_sql(
             "documents", ["merge", "par"], k=20),
+        "fuzzy_match": _rel.fuzzy_match_sql(
+            "documents", ["mergee", "window"], fuzziness=1, k=15),
         "multi_match_phrase": _rel.multi_match_phrase_sql(
             "documents", PHRASE, ["text", "source"], k=10),
         "multi_match_phrase_prefix": _rel.multi_match_phrase_sql(

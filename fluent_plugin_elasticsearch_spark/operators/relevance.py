@@ -433,6 +433,159 @@ LIMIT {k}
 """
 
 
+def fuzzy_match_df(docs: DataFrame, query_terms: list[str],
+                   fuzziness: int | str = "AUTO", max_expansions: int = 50,
+                   k: int = 10, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES `match` with `fuzziness`, self-contained DataFrame form: each
+    query token expands against the CORPUS VOCABULARY (distinct tokens +
+    df — the same dictionary an index holds) within its edit budget,
+    ranked (distance asc, df desc, term asc) and capped at
+    max_expansions; expanded-term weights are floor((1 - d/len)·1e6)
+    integers summed per term (w_u <= 0 dropped), and each (doc, term)
+    contribution floor-quantizes BEFORE the per-doc integer sum — the
+    exact contract of search.fuzzy_match_topk, which serves the same
+    scores from postings when an index exists. "AUTO" fuzziness is the
+    ES rule (0 edits < 3 chars, 1 for 3-5, 2 above).
+
+    Plan: vocabulary aggregate (one shuffle on term), a vocab x
+    query-token levenshtein under a length band (query tokens are a
+    literal handful — broadcast), then the standard tf/df scoring
+    pipeline with the tiny (term, w_u) table broadcast in. Returns
+    (doc_id, score_u)."""
+    spark = docs.sparkSession
+    uniq = sorted(set(query_terms))
+    if not uniq:
+        raise ValueError("empty fuzzy match query")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("tokens")
+    )
+    stats = toks.agg(F.count("*").alias("n"), F.avg(F.size("tokens")).alias("avgdl"))
+    vocab = (toks.select(F.explode(F.array_distinct("tokens")).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    if fuzziness == "AUTO":
+        from .search import auto_fuzziness
+
+        q = spark.createDataFrame(
+            [(t, auto_fuzziness(t)) for t in uniq], "input_term string, fz int")
+    else:
+        q = spark.createDataFrame(
+            [(t, int(fuzziness)) for t in uniq], "input_term string, fz int")
+    from pyspark.sql import Window
+
+    cand = (
+        vocab.crossJoin(F.broadcast(q))
+        .filter((F.length("term") >= F.length("input_term") - F.col("fz"))
+                & (F.length("term") <= F.length("input_term") + F.col("fz")))
+        .withColumn("d", F.levenshtein(F.col("term"), F.col("input_term")))
+        .filter(F.col("d") <= F.col("fz"))
+    )
+    wq = Window.partitionBy("input_term").orderBy(
+        F.asc("d"), F.desc("df"), F.asc("term"))
+    weighted = (
+        cand.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= int(max_expansions))
+        .withColumn("w_u", F.floor(
+            (F.lit(1.0) - F.col("d") / F.length("input_term")) * 1e6
+        ).cast("long"))
+        .filter(F.col("w_u") > 0)
+    )
+    tw = weighted.groupBy("term", "df").agg(F.sum("w_u").alias("w_u"))
+    base = toks.select(
+        "doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
+    tfq = (base.join(F.broadcast(tw), "term")
+           .groupBy("doc_id", "dl", "term", "df", "w_u")
+           .agg(F.count(F.lit(1)).alias("tf")))
+    scored = tfq.crossJoin(F.broadcast(stats))
+    # op order mirrors wand.score_shard_matched with quantize=True:
+    # iw = idf * (w_u/1e6); contrib = iw * ((k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl)));
+    # floor(contrib * 1e6) per (doc, term), then EXACT integer sum
+    iw = (F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+          * (F.col("w_u") / F.lit(1e6)))
+    tfn = ((k1 + 1.0) * F.col("tf")
+           / (F.col("tf") + k1 * (F.lit(1.0 - b)
+                                  + (F.lit(b) * F.col("dl")) / F.col("avgdl"))))
+    contrib_u = F.floor((iw * tfn) * 1e6).cast("long")
+    return (
+        scored.select("doc_id", contrib_u.alias("c"))
+        .groupBy("doc_id").agg(F.sum("c").cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def fuzzy_match_sql(table: str, query_terms: list[str],
+                    fuzziness: int | str = "AUTO", max_expansions: int = 50,
+                    k: int = 10, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of fuzzy_match_df — same vocabulary expansion, same
+    integer weight/contribution quantization, same op order."""
+    from .search import auto_fuzziness
+
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    uniq = sorted(set(query_terms))
+    rows = ", ".join(
+        f"({lit(t)}, "
+        f"{auto_fuzziness(t) if fuzziness == 'AUTO' else int(fuzziness)})"
+        for t in uniq)
+    toks = _TOKS_SQL.format(col=text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+vocab AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks)
+  GROUP BY term
+),
+q(input_term, fz) AS (VALUES {rows}),
+cand AS (
+  SELECT q.input_term, v.term, v.df,
+         levenshtein(v.term, q.input_term) AS d
+  FROM vocab v JOIN q
+    ON length(v.term) BETWEEN length(q.input_term) - q.fz
+                          AND length(q.input_term) + q.fz
+   AND levenshtein(v.term, q.input_term) <= q.fz
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY input_term ORDER BY d ASC, df DESC, term ASC) AS rk
+  FROM cand
+),
+weighted AS (
+  SELECT term, df,
+         CAST(floor((1.0 - CAST(d AS DOUBLE) / length(input_term)) * 1e6)
+              AS BIGINT) AS w_u
+  FROM ranked WHERE rk <= {int(max_expansions)}
+),
+tw AS (
+  SELECT term, df, CAST(sum(w_u) AS BIGINT) AS w_u
+  FROM weighted WHERE w_u > 0 GROUP BY term, df
+),
+base AS (SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM toks),
+tfq AS (
+  SELECT b.doc_id, b.dl, t.term, t.df, t.w_u, count(*) AS tf
+  FROM base b JOIN tw t USING (term)
+  GROUP BY b.doc_id, b.dl, t.term, t.df, t.w_u
+),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(((ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) * (w_u / 1e6))
+              * (({k1 + 1.0}) * tf
+                 / (tf + {k1} * ({1.0 - b} + ({b} * dl) / s.avgdl))))
+              * 1e6) AS BIGINT) AS c
+  FROM tfq CROSS JOIN stats s
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_u
+FROM scored GROUP BY doc_id
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def more_like_this_df(docs: DataFrame, like_id: int,
                       max_query_terms: int = 10, k: int = 10,
                       id_col: str = "doc_id", text_col: str = "text",

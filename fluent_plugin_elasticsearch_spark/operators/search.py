@@ -16,6 +16,7 @@ doc-side table; the final (≤ k rows) result can be broadcast-joined back to
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import pandas as pd
@@ -157,7 +158,9 @@ class InvertedIndex:
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def match_scores(self, query_terms: list[str],
-                     groups: list[list[str]] | None = None) -> DataFrame:
+                     groups: list[list[str]] | None = None,
+                     weights: dict[str, float] | None = None,
+                     quantize: bool = False) -> DataFrame:
         """All-matched scoring (no top-k cut): every doc containing >= 1
         query term, with its full BM25 sum over the terms it contains.
         Work is bounded by the query terms' POSTING data — never a corpus
@@ -184,10 +187,15 @@ class InvertedIndex:
             return empty
         n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
         k1, b = self.meta["k1"], self.meta["b"]
-        idfs = {t: bm25_idf(df, n_docs) for t, df in dfs.items()}
+        if weights is None:
+            idfs = {t: bm25_idf(df, n_docs) for t, df in dfs.items()}
+        else:  # weighted clauses (fuzzy expansion): idf x clause weight
+            idfs = {t: bm25_idf(df, n_docs) * weights.get(t, 1.0)
+                    for t, df in dfs.items()}
 
         def shard_all(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _wand.score_shard_matched(pdf, idfs, avgdl, k1, b, groups)
+            return _wand.score_shard_matched(pdf, idfs, avgdl, k1, b, groups,
+                                             quantize=quantize)
 
         blocks = self.postings().filter(F.col("term").isin(list(dfs)))
         return blocks.groupBy("shard").applyInPandas(shard_all, TOPK_SCHEMA)
@@ -207,6 +215,28 @@ class InvertedIndex:
                 f"prefix '{prefix}' expands to > {max_expansions} index "
                 f"terms; raise max_expansions or use a longer prefix")
         return sorted(r["term"] for r in rows)
+
+    def fuzzy_expansions(self, term: str, fuzziness: int = 2,
+                         max_expansions: int = 50) -> list[tuple[str, int]]:
+        """Dictionary expansion for a fuzzy clause: index terms within
+        ``fuzziness`` Levenshtein edits of ``term``, ranked ES-style
+        (distance asc, df desc, term asc) and capped at
+        ``max_expansions`` (the ES default cap is 50 — FuzzyQuery keeps
+        the best-weight terms, this deterministic ranking is the
+        engine-independent analogue). A length band prunes the
+        dictionary scan before the levenshtein (same trick as
+        suggest_term); work is dictionary-sized, never the corpus.
+        Returns [(term, distance)], bounded driver-side collect."""
+        t = F.lit(term)
+        cand = self.term_stats().filter(
+            (F.length("term") >= F.length(t) - fuzziness)
+            & (F.length("term") <= F.length(t) + fuzziness))
+        rows = (cand.withColumn("distance", F.levenshtein(F.col("term"), t))
+                .filter(F.col("distance") <= fuzziness)
+                .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+                .limit(max_expansions)
+                .select("term", "distance").collect())
+        return [(r["term"], r["distance"]) for r in rows]
 
     def matched_doc_ids(self, terms: list[str]) -> DataFrame:
         """(doc_id) of every doc containing >= 1 of ``terms`` — postings
@@ -480,6 +510,52 @@ def multi_match_topk(field_indexes: dict[str, "InvertedIndex"],
             comb = comb + p
     return (
         joined.select("doc_id", comb.cast("long").alias("score_u"))
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def auto_fuzziness(term: str) -> int:
+    """ES "AUTO" fuzziness: 0 edits for terms under 3 chars, 1 for 3-5,
+    2 above (the documented ES rule)."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
+def fuzzy_match_topk(index: "InvertedIndex", text: str,
+                     fuzziness: int | str = "AUTO",
+                     max_expansions: int = 50, k: int = 10) -> DataFrame:
+    """Index-backed ES `match` with `fuzziness`: each query token expands
+    through the TERM DICTIONARY within its edit budget
+    (`fuzzy_expansions` — distance asc, df desc, term asc, capped), and
+    each expanded term scores its BM25 contribution times the classic
+    Lucene fuzzy weight 1 - distance/len(token), quantized to integer
+    millionths BEFORE summing so the contract is order- and
+    engine-exact:
+
+      score_u(doc) = Σ_term floor( idf(term) · (w_u(term)/1e6)
+                                   · tf_saturation(doc, term) · 1e6 )
+
+    where w_u(term) = Σ over query tokens of floor((1 - d/len)·1e6),
+    entries with w_u <= 0 dropped (a term as far as its own length
+    carries no signal). Work per query = dictionary scan + the expanded
+    terms' postings — never the corpus. Rank/score-identical to
+    relevance.fuzzy_match_df, the no-index fallback."""
+    terms = _TOKENIZE[index.meta["tokenizer"]](text)
+    tw: dict[str, int] = {}
+    for qt in sorted(set(terms)):
+        fz = auto_fuzziness(qt) if fuzziness == "AUTO" else int(fuzziness)
+        for t, d in index.fuzzy_expansions(qt, fz, max_expansions):
+            w_u = math.floor((1.0 - d / len(qt)) * 1e6)
+            if w_u > 0:
+                tw[t] = tw.get(t, 0) + w_u
+    spark = index.spark
+    if not tw:
+        return spark.createDataFrame([], "doc_id long, score_u long")
+    weights = {t: wu / 1e6 for t, wu in tw.items()}
+    scores = index.match_scores(list(tw), weights=weights, quantize=True)
+    return (
+        scores.select("doc_id", F.col("score").cast("long").alias("score_u"))
         .orderBy(F.desc("score_u"), F.asc("doc_id"))
         .limit(k)
     )

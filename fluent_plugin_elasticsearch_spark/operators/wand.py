@@ -74,7 +74,8 @@ def score_shard_exhaustive(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
 
 def score_shard_matched(pdf: pd.DataFrame, idfs: dict[str, float],
                         avgdl: float, k1: float, b: float,
-                        groups: list[list[str]] | None = None) -> pd.DataFrame:
+                        groups: list[list[str]] | None = None,
+                        quantize: bool = False) -> pd.DataFrame:
     """Score EVERY doc in this shard matching >= 1 query term — no top-k
     cut. This is the postings-bounded serving primitive behind the
     index-backed multi_match / combined_fields / query_string paths:
@@ -105,6 +106,12 @@ def score_shard_matched(pdf: pd.DataFrame, idfs: dict[str, float],
     dls = varint_decode(b"".join(pdf["dls_enc"]), total)
     idf_per_blk = pdf["term"].map(idfs).to_numpy(dtype=np.float64)
     contrib = np.repeat(idf_per_blk, n_per_blk) * _tfn(tfs, dls, avgdl, k1, b)
+    if quantize:
+        # per-(term, doc) integer quantization BEFORE the per-doc sum: an
+        # exact int64 sum is partition- and order-independent, so callers
+        # with weighted/expanded term sets (fuzzy match) get an
+        # engine-exact contract without an ordered float fold
+        contrib = np.floor(contrib * 1e6)
     order_ = np.argsort(ids, kind="stable")
     sids = ids[order_]
     starts_ = np.concatenate([[0], np.nonzero(np.diff(sids))[0] + 1])

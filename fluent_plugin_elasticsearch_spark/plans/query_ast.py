@@ -464,6 +464,34 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
     if query and "match" in query:
         ((_field, text),) = query["match"].items()
         f_index = _resolve_index(index, _field)
+        if isinstance(text, dict) and text.get("fuzziness") not in (None, 0, "0"):
+            # match with fuzziness: dictionary-expanded weighted BM25 —
+            # postings-served when the field has an index, else the
+            # vocabulary-expansion DataFrame scorer (identical contract)
+            from ..textproc import tokenize_simple
+
+            fz = text["fuzziness"]
+            if fz != "AUTO":
+                fz = int(fz)
+            mx = int(text.get("max_expansions", 50))
+            k = size or 10
+            if f_index is not None:
+                from ..operators.search import fuzzy_match_topk
+
+                topk = fuzzy_match_topk(f_index, text["query"], fuzziness=fz,
+                                        max_expansions=mx, k=k)
+            else:
+                from ..operators.relevance import fuzzy_match_df
+
+                topk = fuzzy_match_df(docs, tokenize_simple(text["query"]),
+                                      fuzziness=fz, max_expansions=mx, k=k,
+                                      text_col=_field)
+            if min_score is not None:
+                topk = topk.filter(
+                    F.col("score_u") >= int(float(min_score) * 1e6))
+            return docs.join(F.broadcast(topk), "doc_id").orderBy(
+                F.desc("score_u"), F.asc("doc_id")
+            )
         if f_index is None:
             raise UnsupportedQuery("match query needs an InvertedIndex")
         index = f_index

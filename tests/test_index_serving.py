@@ -171,6 +171,52 @@ def test_match_phrase_slop_raises(spark, docs, pos_field_registry):
             compile_query(docs, body, index=pos_field_registry)
 
 
+def test_fuzzy_match_index_identity(spark, docs, field_registry):
+    from fluent_plugin_elasticsearch_spark.operators.relevance import (
+        fuzzy_match_df,
+    )
+    from fluent_plugin_elasticsearch_spark.operators.search import (
+        fuzzy_match_topk,
+    )
+
+    for text, fz in [("mergee window", 1), ("spark tabel", "AUTO")]:
+        want = _rows(fuzzy_match_df(docs, text.split(), fuzziness=fz, k=10))
+        got = _rows(fuzzy_match_topk(field_registry["text"], text,
+                                     fuzziness=fz, k=10))
+        assert got == want, (text, fz)
+    # no dictionary term within budget -> empty, both paths
+    assert _rows(fuzzy_match_topk(field_registry["text"], "qqqqqq",
+                                  fuzziness=1, k=10)) == []
+    assert _rows(fuzzy_match_df(docs, ["qqqqqq"], fuzziness=1, k=10)) == []
+
+
+def test_auto_fuzziness_rule():
+    from fluent_plugin_elasticsearch_spark.operators.search import (
+        auto_fuzziness,
+    )
+
+    assert [auto_fuzziness(t) for t in ("ab", "abc", "abcde", "abcdef")] == [
+        0, 1, 1, 2]
+
+
+def test_ast_fuzzy_match_routes(spark, docs, field_registry, monkeypatch):
+    from fluent_plugin_elasticsearch_spark.operators import relevance as _rel
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    body = {"query": {"match": {"text": {"query": "mergee window",
+                                         "fuzziness": 1}}}, "size": 5}
+    fallback = [r["doc_id"]
+                for r in compile_query(docs, body, index=None).collect()]
+
+    def _boom(*a, **kw):
+        raise AssertionError("DataFrame scorer ran despite index registry")
+
+    monkeypatch.setattr(_rel, "fuzzy_match_df", _boom)
+    served = [r["doc_id"] for r in
+              compile_query(docs, body, index=field_registry).collect()]
+    assert served == fallback
+
+
 def test_expand_prefix_cap_raises(spark, field_registry):
     idx = field_registry["text"]
     n = len(idx.expand_prefix("", max_expansions=10**9))  # every term
