@@ -515,6 +515,46 @@ def multi_match_topk(field_indexes: dict[str, "InvertedIndex"],
     )
 
 
+def more_like_this_topk(index: "InvertedIndex", docs: DataFrame,
+                        like_id: int, max_query_terms: int = 10, k: int = 10,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        min_term_len: int = 3) -> DataFrame:
+    """Index-backed ES more_like_this (single liked doc): the seed row is
+    a ONE-ROW filter on docs (predicate-pushed point lookup), its
+    max_query_terms most interesting terms rank by the quantized
+    floor(tf · idf · 1e6) with idf from the TERM DICTIONARY
+    (term_stats), and scoring runs from the selected terms' postings
+    (`match_scores`), excluding the seed — never a corpus scan.
+    Contract, ranking tie-breaks (interest desc, term asc) and
+    quantization identical to relevance.more_like_this_df, the no-index
+    fallback."""
+    from collections import Counter
+
+    from ..textproc import bm25_idf
+
+    spark = index.spark
+    empty = spark.createDataFrame([], "doc_id long, score_u long")
+    row = docs.filter(F.col(id_col) == like_id).select(text_col).collect()
+    if not row or row[0][0] is None:
+        return empty
+    tokens = [t for t in _TOKENIZE[index.meta["tokenizer"]](row[0][0])
+              if len(t) >= min_term_len]
+    if not tokens:
+        return empty
+    tfc = Counter(tokens)
+    dfs = index._lookup_dfs(sorted(tfc))
+    n_docs = index.meta["n_docs"]
+    ranked = sorted(
+        (-math.floor(tf * bm25_idf(dfs[t], n_docs) * 1e6), t)
+        for t, tf in tfc.items() if t in dfs
+    )
+    sel = [t for _, t in ranked[:max_query_terms]]
+    if not sel:
+        return empty
+    scores = index.match_scores(sel).filter(F.col("doc_id") != like_id)
+    return _quantized_topk(scores, k)
+
+
 def auto_fuzziness(term: str) -> int:
     """ES "AUTO" fuzziness: 0 edits for terms under 3 chars, 1 for 3-5,
     2 above (the documented ES rule)."""

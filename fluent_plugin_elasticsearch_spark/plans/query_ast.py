@@ -616,6 +616,43 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score_u"), F.asc("doc_id")
         )
 
+    if query and "more_like_this" in query:
+        # ES more_like_this (single liked doc by _id): seed-term
+        # selection + BM25 over the selected terms — postings-served
+        # when the field has an index (seed lookup is a one-row
+        # pushdown filter), else the two-pass DataFrame scorer
+        spec = query["more_like_this"]
+        fields = list(spec.get("fields", ["text"]))
+        if len(fields) != 1:
+            raise UnsupportedQuery("more_like_this supports exactly one field")
+        like = spec.get("like")
+        if isinstance(like, list):
+            if len(like) != 1:
+                raise UnsupportedQuery("more_like_this supports one liked doc")
+            like = like[0]
+        if not isinstance(like, dict) or "_id" not in like:
+            raise UnsupportedQuery('more_like_this needs like {"_id": ...}')
+        like_id = int(like["_id"])
+        mqt = int(spec.get("max_query_terms", 10))
+        mwl = int(spec.get("min_word_length", 3))
+        k = size or 10
+        mlt_index = _resolve_index(index, fields[0])
+        if mlt_index is not None:
+            from ..operators.search import more_like_this_topk
+
+            topk = more_like_this_topk(mlt_index, docs, like_id,
+                                       max_query_terms=mqt, k=k,
+                                       text_col=fields[0], min_term_len=mwl)
+        else:
+            from ..operators.relevance import more_like_this_df
+
+            topk = more_like_this_df(docs, like_id, max_query_terms=mqt,
+                                     k=k, text_col=fields[0],
+                                     min_term_len=mwl)
+        return docs.join(F.broadcast(topk), "doc_id").orderBy(
+            F.desc("score_u"), F.asc("doc_id")
+        )
+
     if query and "match_phrase" in query:
         ((_field, text),) = query["match_phrase"].items()
         if isinstance(text, dict) and int(text.get("slop", 0)) != 0:

@@ -190,6 +190,43 @@ def test_fuzzy_match_index_identity(spark, docs, field_registry):
     assert _rows(fuzzy_match_df(docs, ["qqqqqq"], fuzziness=1, k=10)) == []
 
 
+def test_more_like_this_index_identity(spark, docs, field_registry):
+    from fluent_plugin_elasticsearch_spark.operators.relevance import (
+        more_like_this_df,
+    )
+    from fluent_plugin_elasticsearch_spark.operators.search import (
+        more_like_this_topk,
+    )
+
+    for lid, mqt in [(0, 8), (7, 10)]:
+        want = _rows(more_like_this_df(docs, lid, max_query_terms=mqt, k=12))
+        got = _rows(more_like_this_topk(field_registry["text"], docs, lid,
+                                        max_query_terms=mqt, k=12))
+        assert got == want, lid
+    # absent seed id -> empty
+    assert _rows(more_like_this_topk(field_registry["text"], docs,
+                                     like_id=10**9, k=5)) == []
+
+
+def test_ast_more_like_this_routes(spark, docs, field_registry, monkeypatch):
+    from fluent_plugin_elasticsearch_spark.operators import relevance as _rel
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    body = {"query": {"more_like_this": {"fields": ["text"],
+                                         "like": [{"_id": 3}],
+                                         "max_query_terms": 8}}, "size": 5}
+    fallback = [r["doc_id"]
+                for r in compile_query(docs, body, index=None).collect()]
+
+    def _boom(*a, **kw):
+        raise AssertionError("DataFrame scorer ran despite index registry")
+
+    monkeypatch.setattr(_rel, "more_like_this_df", _boom)
+    served = [r["doc_id"] for r in
+              compile_query(docs, body, index=field_registry).collect()]
+    assert served == fallback
+
+
 def test_auto_fuzziness_rule():
     from fluent_plugin_elasticsearch_spark.operators.search import (
         auto_fuzziness,
