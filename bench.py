@@ -140,6 +140,37 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
     res["multi_match_p99_sec"] = round(
         mm_s[min(len(mm_s) - 1, int(0.99 * len(mm_s)))], 4)
 
+    # --- index-backed phrase + fuzzy serving (round-6 serving paths):
+    # a positional index built once (its wall published separately — the
+    # headline build stays the tf index for cross-round comparability),
+    # then the match_phrase adjacency kernel and dictionary-expanded
+    # fuzzy match, both postings-bounded per query.
+    pos_dir = tempfile.mkdtemp(prefix="bench_posidx_") + "/idx"
+    t0 = time.time()
+    build_index(
+        spark, docs, pos_dir, id_col="doc_id", html_col="html", text_col=None,
+        url_col="url", tokenizer="unicode", n_shards=n_shards, n_salts=8,
+        with_positions=True,
+    )
+    res["pos_index_build_sec"] = round(time.time() - t0, 3)
+    pidx = InvertedIndex(spark, pos_dir, cache_term_stats=True).warm()
+    ph_lat = []
+    for _pass in range(2):
+        for p in ["the bababa", "of the", "bababa the café", "madaba of"]:
+            t0 = time.time()
+            pidx.match_phrase(p, k=10).collect()
+            ph_lat.append(time.time() - t0)
+    res["match_phrase_p50_sec"] = round(statistics.median(sorted(ph_lat)), 4)
+    from fluent_plugin_elasticsearch_spark.operators.search import fuzzy_match_topk
+
+    fz_lat = []
+    for _pass in range(2):
+        for qf in ["bababa", "madaba the", "cababa"]:
+            t0 = time.time()
+            fuzzy_match_topk(idx, qf, fuzziness=1, k=10).collect()
+            fz_lat.append(time.time() - t0)
+    res["fuzzy_p50_sec"] = round(statistics.median(sorted(fz_lat)), 4)
+
     # --- sf-dir analytical queries (documents/events/lineitem)
     import __spark_entry__ as entry_mod
 
@@ -334,6 +365,9 @@ def main() -> None:
             "auto_p50": res["query_auto_p50_sec"],
             "multi_match_p50": res["multi_match_p50_sec"],
             "multi_match_p99": res["multi_match_p99_sec"],
+            "pos_index_build": res["pos_index_build_sec"],
+            "match_phrase_p50": res["match_phrase_p50_sec"],
+            "fuzzy_p50": res["fuzzy_p50_sec"],
         },
         "sf": sf,
         "docs_per_sec": res["index_build_docs_per_sec"],

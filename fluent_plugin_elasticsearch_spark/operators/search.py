@@ -582,14 +582,36 @@ def fuzzy_match_topk(index: "InvertedIndex", text: str,
     terms' postings — never the corpus. Rank/score-identical to
     relevance.fuzzy_match_df, the no-index fallback."""
     terms = _TOKENIZE[index.meta["tokenizer"]](text)
-    tw: dict[str, int] = {}
-    for qt in sorted(set(terms)):
-        fz = auto_fuzziness(qt) if fuzziness == "AUTO" else int(fuzziness)
-        for t, d in index.fuzzy_expansions(qt, fz, max_expansions):
-            w_u = math.floor((1.0 - d / len(qt)) * 1e6)
-            if w_u > 0:
-                tw[t] = tw.get(t, 0) + w_u
     spark = index.spark
+    uniq = sorted(set(terms))
+    if not uniq:
+        return spark.createDataFrame([], "doc_id long, score_u long")
+    # ONE dictionary scan expands every query token (broadcast token
+    # frame x term_stats under the length band) instead of a job per
+    # token — the multi-token serving latency win; ranking/cap identical
+    # to fuzzy_expansions
+    q = spark.createDataFrame(
+        [(t, auto_fuzziness(t) if fuzziness == "AUTO" else int(fuzziness))
+         for t in uniq],
+        "input_term string, fz int")
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("input_term").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term"))
+    rows = (
+        index.term_stats().crossJoin(F.broadcast(q))
+        .filter((F.length("term") >= F.length("input_term") - F.col("fz"))
+                & (F.length("term") <= F.length("input_term") + F.col("fz")))
+        .withColumn("distance", F.levenshtein(F.col("term"), F.col("input_term")))
+        .filter(F.col("distance") <= F.col("fz"))
+        .withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= int(max_expansions))
+        .select("input_term", "term", "distance").collect())
+    tw: dict[str, int] = {}
+    for r in rows:
+        w_u = math.floor((1.0 - r["distance"] / len(r["input_term"])) * 1e6)
+        if w_u > 0:
+            tw[r["term"]] = tw.get(r["term"], 0) + w_u
     if not tw:
         return spark.createDataFrame([], "doc_id long, score_u long")
     weights = {t: wu / 1e6 for t, wu in tw.items()}
