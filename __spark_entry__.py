@@ -1610,6 +1610,24 @@ def q_bm25_wand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.floor(F.col("score") * 1e6).cast("long").alias("score_u"))
 
 
+def q_span_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: positional index build + span_near served from
+    postings/positions — must equal the plain-SQL span oracle exactly."""
+    import tempfile
+
+    from fluent_plugin_elasticsearch_spark.operators.index_build import build_index
+    from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="entry_spanidx_") + "/idx"
+    build_index(spark, docs, out, id_col="doc_id", text_col="text",
+                tokenizer="simple", n_shards=4, n_salts=4, with_positions=True)
+    idx = InvertedIndex(spark, out)
+    top = idx.span_near("merge", "window", slop=2, k=20)
+    return top.select("doc_id",
+                      F.floor(F.col("score") * 1e6).cast("long").alias("score_u"))
+
+
 def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES completion suggester: top-10 's'-prefixed index terms by df
     (full engine path: build index, prefix-pruned term_stats scan)."""
@@ -2121,6 +2139,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
     "es_matrix_stats", "es_moving_percentiles", "fuzzy_match",
+    "span_near_index",
 ]
 
 
@@ -2229,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent": q_has_parent,
         "children_agg": q_children_agg,
         "span_near": q_span_near,
+        "span_near_index": q_span_near_index,
         "span_or": q_span_or,
         "span_not": q_span_not,
         "intervals_ordered": q_intervals_ordered,
@@ -2566,6 +2586,8 @@ SELECT doc_id, lang, CAST(2500000 AS BIGINT) AS score_u
 FROM documents WHERE lang = 'en' ORDER BY doc_id ASC LIMIT 200
 """,
         "span_near": _rel.span_near_sql("documents", "merge", "window", slop=2, k=20),
+        "span_near_index": _rel.span_near_sql("documents", "merge", "window",
+                                              slop=2, k=20),
         "span_or": _rel.span_or_sql("documents", ["merge", "window"], k=20),
         "span_not": _rel.span_not_sql("documents", "merge", "window", pre=2, post=2, k=20),
         "intervals_ordered": _rel.intervals_match_sql(

@@ -325,3 +325,76 @@ def score_shard_phrase(pdf: pd.DataFrame, phrase_terms: list[str], idf_sum: floa
     out_ids, out_scores = _topk_ties(uniq_arr[pf_docs], scores, k)
     order = np.lexsort((out_ids, -out_scores))[:k]
     return pd.DataFrame({"doc_id": out_ids[order], "score": out_scores[order]})
+
+
+def score_shard_span_near(pdf: pd.DataFrame, first: str, second: str,
+                          slop: int, idf_sum: float, k: int, avgdl: float,
+                          k1: float, b: float) -> pd.DataFrame:
+    """span_near (two clauses, in_order) scoring for one shard: decode
+    the two terms' positional blocks; span frequency = count of `second`
+    positions with >= 1 `first` position 1..slop+1 tokens BEFORE them —
+    the exact relevance.span_near_df contract (each `second` counted at
+    most once). BM25 with tf=sf and the summed idf; local top-k.
+
+    The per-doc window test is TWO global np.searchsorted calls over
+    composite (doc_code << 32 | position) keys — no per-doc loop: a
+    `second` at p has a qualifying `first` iff the sorted first-keys
+    contain an entry in [doc|max(p-slop-1, 0), doc|p-1]."""
+    from .wand import _topk_ties
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    if len(pdf) == 0:
+        return empty
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    n_per_blk = pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_per_blk.sum())
+    blk_starts = np.concatenate([[0], np.cumsum(n_per_blk)[:-1]])
+    gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+    ids = segmented_cumsum(gaps, blk_starts, n_per_blk).astype(np.int64)
+    tfs = varint_decode(b"".join(pdf["tfs_enc"]), total).astype(np.int64)
+    dls = varint_decode(b"".join(pdf["dls_enc"]), total).astype(np.int64)
+    total_pos = int(tfs.sum())
+    pos_gaps = varint_decode(b"".join(pdf["pos_enc"]), total_pos)
+    entry_pos_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+    positions = segmented_cumsum(pos_gaps, entry_pos_starts, tfs).astype(np.int64)
+    terms = np.repeat(pdf["term"].to_numpy(), n_per_blk)
+
+    doc_codes, uniq_docs = pd.factorize(ids)
+    # both terms must appear in a matching doc — entry-level intersection
+    cand = None
+    for t in {first, second}:
+        docs_t = np.unique(doc_codes[terms == t])
+        cand = docs_t if cand is None else cand[np.isin(cand, docs_t)]
+        if cand.size == 0:
+            return empty
+    entry_keep = np.isin(doc_codes, cand)
+    pos_keep = np.repeat(entry_keep, tfs)
+    positions = positions[pos_keep]
+    per_pos_doc = np.repeat(doc_codes.astype(np.int64), tfs)[pos_keep]
+    per_pos_term = np.repeat(terms, tfs)[pos_keep]
+
+    m1 = per_pos_term == first
+    keys1 = np.sort((per_pos_doc[m1].astype(np.uint64) << _POS_SHIFT)
+                    | positions[m1].astype(np.uint64))
+    m2 = per_pos_term == second
+    d2 = per_pos_doc[m2].astype(np.uint64)
+    p2 = positions[m2].astype(np.int64)
+    lo = (d2 << _POS_SHIFT) | np.maximum(p2 - slop - 1, 0).astype(np.uint64)
+    hi_ok = p2 >= 1  # a position with no possible predecessor never matches
+    hi = (d2 << _POS_SHIFT) | np.maximum(p2 - 1, 0).astype(np.uint64)
+    exists = (np.searchsorted(keys1, lo, side="left")
+              < np.searchsorted(keys1, hi, side="right")) & hi_ok
+    if not exists.any():
+        return empty
+    sf_docs, sf = np.unique(per_pos_doc[m2][exists], return_counts=True)
+
+    dl_by_code = np.zeros(len(uniq_docs), dtype=np.int64)
+    dl_by_code[doc_codes] = dls
+    dl = dl_by_code[sf_docs].astype(np.float64)
+    sff = sf.astype(np.float64)
+    scores = idf_sum * (k1 + 1.0) * sff / (sff + k1 * (1.0 - b + b * dl / avgdl))
+    uniq_arr = np.asarray(uniq_docs, dtype=np.int64)
+    out_ids, out_scores = _topk_ties(uniq_arr[sf_docs], scores, k)
+    order = np.lexsort((out_ids, -out_scores))[:k]
+    return pd.DataFrame({"doc_id": out_ids[order], "score": out_scores[order]})

@@ -401,6 +401,37 @@ class InvertedIndex:
         local = blocks.groupBy("shard").applyInPandas(shard_phrase, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def span_near(self, first: str, second: str, slop: int = 0,
+                  k: int = 10) -> DataFrame:
+        """ES span_near (two clauses, in_order=true) served from the
+        positional index: span frequency = `second` positions with a
+        `first` within slop+1 tokens before (exactly
+        relevance.span_near_df, which stays the no-index fallback);
+        BM25 with tf=sf and summed idfs. Work per shard is the two
+        terms' posting+position data only — never the corpus."""
+        if not self.meta.get("with_positions"):
+            raise ValueError("index was built without positions (with_positions=True)")
+        from .positions import score_shard_span_near
+        from ..textproc import bm25_idf
+
+        spark = self.spark
+        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        dfs = self._lookup_dfs(sorted({first, second}))
+        if len(dfs) < len({first, second}):
+            return empty  # a clause term absent from the corpus ⇒ no span
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        # idf sum in CLAUSE order (first + second), matching span_near_df
+        idf_sum = bm25_idf(dfs[first], n_docs) + bm25_idf(dfs[second], n_docs)
+
+        def shard_span(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard_span_near(pdf, first, second, int(slop),
+                                         idf_sum, k, avgdl, k1, b)
+
+        blocks = self.postings().filter(F.col("term").isin(sorted({first, second})))
+        local = blocks.groupBy("shard").applyInPandas(shard_span, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Completion suggester: top-k index terms with the given prefix,
         ranked by document frequency (df desc, term asc). One scan of the

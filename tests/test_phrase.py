@@ -133,6 +133,58 @@ def test_query_ast_match_phrase_prefix_routes(spark, sf_dir, pos_index,
     assert served == fallback
 
 
+@pytest.mark.parametrize("first,second,slop", [
+    ("merge", "window", 2), ("the", "data", 0), ("spark", "fast", 5)])
+def test_span_near_index_matches_dataframe_form(spark, sf_dir, pos_index,
+                                                first, second, slop):
+    from fluent_plugin_elasticsearch_spark.operators.relevance import (
+        span_near_df,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = InvertedIndex(spark, pos_index)
+    got = idx.span_near(first, second, slop=slop, k=10).collect()
+    exp = span_near_df(docs, first, second, slop=slop, k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+    for g, e in zip(got, exp):
+        assert math.floor(g["score"] * 1e6) == e["score_u"]
+
+
+def test_span_near_slop_semantics(spark, tmp_path):
+    """Ordered proximity: slop counts INTERVENING tokens; reversed order
+    never matches; each `second` position counted once."""
+    rows = [
+        Row(doc_id=1, text="a b"),        # gap 0
+        Row(doc_id=2, text="a x b"),      # gap 1
+        Row(doc_id=3, text="b a"),        # reversed
+        Row(doc_id=4, text="a x x b"),    # gap 2
+        Row(doc_id=5, text="a b a b"),    # two spans at slop 0
+    ]
+    docs = spark.createDataFrame(rows)
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, id_col="doc_id", text_col="text",
+                tokenizer="simple", n_shards=2, n_salts=2, with_positions=True)
+    idx = InvertedIndex(spark, out)
+
+    def hits(slop):
+        return sorted(r["doc_id"]
+                      for r in idx.span_near("a", "b", slop, 10).collect())
+
+    assert hits(0) == [1, 5]
+    assert hits(1) == [1, 2, 5]
+    assert hits(2) == [1, 2, 4, 5]
+    # doc 5 (sf=2) outscores doc 1 (sf=1) at slop 0 despite longer dl
+    sc = {r["doc_id"]: r["score"]
+          for r in idx.span_near("a", "b", 0, 10).collect()}
+    assert sc[5] > sc[1]
+
+
+def test_span_near_on_tf_index_raises(spark, index_dir):
+    idx = InvertedIndex(spark, index_dir)
+    with pytest.raises(ValueError, match="positions"):
+        idx.span_near("the", "data", 1, 5)
+
+
 def test_phrase_on_tf_index_raises(spark, index_dir):
     idx = InvertedIndex(spark, index_dir)
     with pytest.raises(ValueError, match="positions"):
