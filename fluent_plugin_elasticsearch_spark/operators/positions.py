@@ -398,3 +398,98 @@ def score_shard_span_near(pdf: pd.DataFrame, first: str, second: str,
     out_ids, out_scores = _topk_ties(uniq_arr[sf_docs], scores, k)
     order = np.lexsort((out_ids, -out_scores))[:k]
     return pd.DataFrame({"doc_id": out_ids[order], "score": out_scores[order]})
+
+
+def _decode_shard(pdf: pd.DataFrame):
+    """Shared decode for the positional span kernels: returns
+    (ids, tfs, dls, positions, per-entry terms) with positions expanded
+    per entry. Factorization is left to the caller."""
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    n_per_blk = pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_per_blk.sum())
+    blk_starts = np.concatenate([[0], np.cumsum(n_per_blk)[:-1]])
+    gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+    ids = segmented_cumsum(gaps, blk_starts, n_per_blk).astype(np.int64)
+    tfs = varint_decode(b"".join(pdf["tfs_enc"]), total).astype(np.int64)
+    dls = varint_decode(b"".join(pdf["dls_enc"]), total).astype(np.int64)
+    total_pos = int(tfs.sum())
+    pos_gaps = varint_decode(b"".join(pdf["pos_enc"]), total_pos)
+    entry_pos_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+    positions = segmented_cumsum(pos_gaps, entry_pos_starts, tfs).astype(np.int64)
+    terms = np.repeat(pdf["term"].to_numpy(), n_per_blk)
+    return ids, tfs, dls, positions, terms
+
+
+def _span_topk(doc_ids: np.ndarray, sf: np.ndarray, dl: np.ndarray,
+               idf_sum: float, k: int, avgdl: float, k1: float,
+               b: float) -> pd.DataFrame:
+    """Shared tail: BM25 with tf = span frequency, local top-k."""
+    from .wand import _topk_ties
+
+    sff = sf.astype(np.float64)
+    scores = idf_sum * (k1 + 1.0) * sff / (
+        sff + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+    out_ids, out_scores = _topk_ties(doc_ids, scores, k)
+    order = np.lexsort((out_ids, -out_scores))[:k]
+    return pd.DataFrame({"doc_id": out_ids[order], "score": out_scores[order]})
+
+
+def _empty_topk() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                         "score": pd.Series([], dtype="float64")})
+
+
+def score_shard_span_first(pdf: pd.DataFrame, term: str, end: int,
+                           idf_sum: float, k: int, avgdl: float,
+                           k1: float, b: float) -> pd.DataFrame:
+    """span_first for one shard: sf = the term's occurrences within the
+    first `end` token positions (DF contract positions 1..end, 1-based;
+    stored positions are 0-based, so pos <= end-1)."""
+    if len(pdf) == 0:
+        return _empty_topk()
+    ids, tfs, dls, positions, _terms = _decode_shard(pdf)
+    per_pos_doc = np.repeat(np.arange(len(ids), dtype=np.int64), tfs)
+    keep = positions <= end - 1
+    if not keep.any():
+        return _empty_topk()
+    e_idx, sf = np.unique(per_pos_doc[keep], return_counts=True)
+    return _span_topk(ids[e_idx], sf, dls[e_idx], idf_sum, k, avgdl, k1, b)
+
+
+def score_shard_span_not(pdf: pd.DataFrame, include: str, exclude: str,
+                         pre: int, post: int, idf_sum: float, k: int,
+                         avgdl: float, k1: float, b: float) -> pd.DataFrame:
+    """span_not for one shard: sf = `include` positions p with NO
+    `exclude` position q in [p-pre, p+post] (the span_not_df contract).
+    The two-sided window test is two global searchsorted calls over
+    composite (doc_code << 32 | position) keys — no per-doc loop. Docs
+    holding `include` but not `exclude` match with their full tf."""
+    if len(pdf) == 0:
+        return _empty_topk()
+    ids, tfs, dls, positions, terms = _decode_shard(pdf)
+    doc_codes, uniq_docs = pd.factorize(ids)
+    per_pos_doc = np.repeat(doc_codes.astype(np.int64), tfs)
+    per_pos_term = np.repeat(terms, tfs)
+
+    mi = per_pos_term == include
+    if not mi.any():
+        return _empty_topk()
+    mx = per_pos_term == exclude
+    keys_x = np.sort((per_pos_doc[mx].astype(np.uint64) << _POS_SHIFT)
+                     | positions[mx].astype(np.uint64))
+    di = per_pos_doc[mi].astype(np.uint64)
+    pi = positions[mi].astype(np.int64)
+    lo = (di << _POS_SHIFT) | np.maximum(pi - pre, 0).astype(np.uint64)
+    hi = (di << _POS_SHIFT) | (pi + post).astype(np.uint64)
+    # searchsorted(hi, 'right') counts keys <= hi — inclusive both ends
+    rejected = (np.searchsorted(keys_x, lo, side="left")
+                < np.searchsorted(keys_x, hi, side="right"))
+    survive = ~rejected
+    if not survive.any():
+        return _empty_topk()
+    codes_sf, sf = np.unique(per_pos_doc[mi][survive], return_counts=True)
+    dl_by_code = np.zeros(len(uniq_docs), dtype=np.int64)
+    dl_by_code[doc_codes] = dls
+    uniq_arr = np.asarray(uniq_docs, dtype=np.int64)
+    return _span_topk(uniq_arr[codes_sf], sf, dl_by_code[codes_sf],
+                      idf_sum, k, avgdl, k1, b)

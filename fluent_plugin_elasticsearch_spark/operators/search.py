@@ -432,6 +432,87 @@ class InvertedIndex:
         local = blocks.groupBy("shard").applyInPandas(shard_span, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def span_first(self, term: str, end: int, k: int = 10) -> DataFrame:
+        """ES span_first served from the positional index: sf = the
+        term's occurrences within the first `end` token positions
+        (contract as relevance.span_first_df — 1-based 1..end window,
+        0-based stored positions). Work = one term's posting/position
+        data."""
+        if not self.meta.get("with_positions"):
+            raise ValueError("index was built without positions (with_positions=True)")
+        from .positions import score_shard_span_first
+        from ..textproc import bm25_idf
+
+        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        dfs = self._lookup_dfs([term])
+        if not dfs:
+            return empty
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        idf = bm25_idf(dfs[term], n_docs)
+
+        def shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard_span_first(pdf, term, int(end), idf, k,
+                                          avgdl, k1, b)
+
+        blocks = self.postings().filter(F.col("term") == term)
+        local = blocks.groupBy("shard").applyInPandas(shard, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def span_or(self, terms: list[str], k: int = 10) -> DataFrame:
+        """ES span_or over single-term clauses served from the tf index:
+        sf = total occurrences of ANY clause term, one saturation with
+        the summed clause idfs (contract as relevance.span_or_df). No
+        positions needed — postings only."""
+        from ..textproc import bm25_idf
+        from .wand import score_shard_span_or
+
+        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        uniq = sorted(set(terms))
+        dfs = self._lookup_dfs(uniq)
+        if not dfs:
+            return empty
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        # idf sum in CLAUSE order over every clause term (absent terms
+        # contribute df=0 idf like the DF scorer's corpus pass)
+        idf_sum = sum(bm25_idf(dfs.get(t, 0), n_docs) for t in terms)
+
+        def shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard_span_or(pdf, idf_sum, k, avgdl, k1, b)
+
+        blocks = self.postings().filter(F.col("term").isin(list(dfs)))
+        local = blocks.groupBy("shard").applyInPandas(shard, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def span_not(self, include: str, exclude: str, pre: int = 0,
+                 post: int = 0, k: int = 10) -> DataFrame:
+        """ES span_not served from the positional index: sf = `include`
+        positions with no `exclude` position in [p-pre, p+post]
+        (contract as relevance.span_not_df). Docs holding `include` but
+        not `exclude` match with their full tf."""
+        if not self.meta.get("with_positions"):
+            raise ValueError("index was built without positions (with_positions=True)")
+        from .positions import score_shard_span_not
+        from ..textproc import bm25_idf
+
+        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        dfs = self._lookup_dfs(sorted({include, exclude}))
+        if include not in dfs:
+            return empty
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        idf = bm25_idf(dfs[include], n_docs)
+
+        def shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard_span_not(pdf, include, exclude, int(pre),
+                                        int(post), idf, k, avgdl, k1, b)
+
+        blocks = self.postings().filter(
+            F.col("term").isin(sorted({include, exclude})))
+        local = blocks.groupBy("shard").applyInPandas(shard, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Completion suggester: top-k index terms with the given prefix,
         ranked by document frequency (df desc, term asc). One scan of the

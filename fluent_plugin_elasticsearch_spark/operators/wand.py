@@ -72,6 +72,38 @@ def score_shard_exhaustive(pdf: pd.DataFrame, idfs: dict[str, float], k: int,
     return pd.DataFrame({"doc_id": cand_ids[order], "score": cand_scores[order]})
 
 
+def score_shard_span_or(pdf: pd.DataFrame, idf_sum: float, k: int,
+                        avgdl: float, k1: float, b: float) -> pd.DataFrame:
+    """span_or over single-term clauses for one shard: span frequency =
+    TOTAL occurrences of any clause term (Σ tf across the doc's matched
+    postings), ONE saturation with the summed clause idfs — the span
+    contract (relevance.span_or_df), not the per-term BM25 sum. tf
+    postings only; no positions needed. Returns local top-k."""
+    from .codec import segmented_cumsum
+
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    n_per_blk = pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_per_blk.sum())
+    blk_starts = np.concatenate([[0], np.cumsum(n_per_blk)[:-1]])
+    gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+    ids = segmented_cumsum(gaps, blk_starts, n_per_blk).astype(np.int64)
+    tfs = varint_decode(b"".join(pdf["tfs_enc"]), total).astype(np.int64)
+    dls = varint_decode(b"".join(pdf["dls_enc"]), total).astype(np.int64)
+    uniq, sf = _groupsum(ids, tfs.astype(np.float64))
+    # dl per unique doc: first posting's dl (all equal per doc)
+    order = np.argsort(ids, kind="stable")
+    starts = np.concatenate([[0], np.nonzero(np.diff(ids[order]))[0] + 1])
+    dl = dls[order][starts].astype(np.float64)
+    scores = idf_sum * (k1 + 1.0) * sf / (
+        sf + k1 * (1.0 - b + b * dl / avgdl))
+    out_ids, out_scores = _topk_ties(uniq, scores, k)
+    order2 = np.lexsort((out_ids, -out_scores))[:k]
+    return pd.DataFrame({"doc_id": out_ids[order2], "score": out_scores[order2]})
+
+
 def score_shard_matched(pdf: pd.DataFrame, idfs: dict[str, float],
                         avgdl: float, k1: float, b: float,
                         groups: list[list[str]] | None = None,

@@ -179,6 +179,39 @@ def test_span_near_slop_semantics(spark, tmp_path):
     assert sc[5] > sc[1]
 
 
+def test_span_family_index_matches_dataframe_forms(spark, sf_dir, pos_index):
+    """span_first / span_or / span_not served from the positional index
+    must equal their DataFrame scorers rank- and score-exactly
+    (span_or needs only the tf postings; the others use positions)."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = InvertedIndex(spark, pos_index)
+    cases = [
+        ("span_first", idx.span_first("merge", 5, 10),
+         rel.span_first_df(docs, "merge", 5, 10)),
+        ("span_first head", idx.span_first("the", 1, 10),
+         rel.span_first_df(docs, "the", 1, 10)),
+        ("span_or", idx.span_or(["merge", "window", "spark"], 10),
+         rel.span_or_df(docs, ["merge", "window", "spark"], 10)),
+        ("span_or absent", idx.span_or(["merge", "zzznope"], 10),
+         rel.span_or_df(docs, ["merge", "zzznope"], 10)),
+        ("span_not", idx.span_not("merge", "window", 0, 0, 10),
+         rel.span_not_df(docs, "merge", "window", 0, 0, 10)),
+        ("span_not window", idx.span_not("the", "data", 2, 3, 10),
+         rel.span_not_df(docs, "the", "data", 2, 3, 10)),
+        ("span_not no-excl", idx.span_not("merge", "zzznope", 1, 1, 10),
+         rel.span_not_df(docs, "merge", "zzznope", 1, 1, 10)),
+    ]
+    for name, got_df, want_df in cases:
+        got, want = got_df.collect(), want_df.collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], name
+        for g, e in zip(got, want):
+            assert math.floor(g["score"] * 1e6) == e["score_u"], name
+    # self-exclusion: include == exclude rejects every span
+    assert idx.span_not("merge", "merge", 0, 0, 10).collect() == []
+
+
 def test_span_near_on_tf_index_raises(spark, index_dir):
     idx = InvertedIndex(spark, index_dir)
     with pytest.raises(ValueError, match="positions"):
