@@ -493,3 +493,92 @@ def score_shard_span_not(pdf: pd.DataFrame, include: str, exclude: str,
     uniq_arr = np.asarray(uniq_docs, dtype=np.int64)
     return _span_topk(uniq_arr[codes_sf], sf, dl_by_code[codes_sf],
                       idf_sum, k, avgdl, k1, b)
+
+
+_POS_MASK = np.uint64(0xFFFFFFFF)
+
+
+def score_shard_intervals(pdf: pd.DataFrame, terms: list[str], max_gaps: int,
+                          ordered: bool, idf_sum: float, k: int,
+                          avgdl: float, k1: float, b: float) -> pd.DataFrame:
+    """ES intervals `match` rule for one shard (contract exactly
+    relevance.intervals_match_df):
+
+    ordered, n terms: span freq counts last-term anchor positions a that
+    complete an increasing chain q0 < q1 < ... < a with
+    (a - q0 + 1) - n <= max_gaps. A chain exists iff the GREEDY maximal
+    chain (each level the largest predecessor < the level above —
+    maximizes q0 by exchange) satisfies the bound, so the check is n-1
+    vectorized searchsorted walks over per-term composite
+    (doc_code << 32 | position) keys — no per-doc loop.
+
+    unordered, 2 terms: anchors are the SECOND term's positions; a
+    qualifying first-term occurrence a has |p - a| - 1 <= max_gaps and
+    a != p — one two-sided searchsorted window count with a self-hit
+    correction when the clause terms are equal."""
+    if len(pdf) == 0:
+        return _empty_topk()
+    ids, tfs, dls, positions, per_entry_terms = _decode_shard(pdf)
+    doc_codes, uniq_docs = pd.factorize(ids)
+    # every clause term must occur in a matching doc
+    cand = None
+    for t in set(terms):
+        docs_t = np.unique(doc_codes[per_entry_terms == t])
+        cand = docs_t if cand is None else cand[np.isin(cand, docs_t)]
+        if cand.size == 0:
+            return _empty_topk()
+    entry_keep = np.isin(doc_codes, cand)
+    pos_keep = np.repeat(entry_keep, tfs)
+    positions = positions[pos_keep]
+    per_pos_doc = np.repeat(doc_codes.astype(np.int64), tfs)[pos_keep]
+    per_pos_term = np.repeat(per_entry_terms, tfs)[pos_keep]
+
+    def keys_of(t):
+        m = per_pos_term == t
+        return np.sort((per_pos_doc[m].astype(np.uint64) << _POS_SHIFT)
+                       | positions[m].astype(np.uint64))
+
+    mg = int(max_gaps)
+    anchor_term = terms[-1] if ordered else terms[1]
+    ma = per_pos_term == anchor_term
+    a_doc = per_pos_doc[ma].astype(np.uint64)
+    a_pos = positions[ma].astype(np.int64)
+
+    if not ordered:
+        k0 = keys_of(terms[0])
+        if mg < 0:
+            lo = a_doc << _POS_SHIFT
+            hi = (a_doc << _POS_SHIFT) | _POS_MASK
+        else:
+            lo = (a_doc << _POS_SHIFT) | np.maximum(a_pos - mg - 1, 0).astype(np.uint64)
+            hi = (a_doc << _POS_SHIFT) | (a_pos + mg + 1).astype(np.uint64)
+        cnt = (np.searchsorted(k0, hi, side="right")
+               - np.searchsorted(k0, lo, side="left"))
+        if terms[0] == terms[1]:
+            cnt = cnt - 1  # the anchor itself sits inside its own window
+        alive = cnt > 0
+    else:
+        per_term_keys = {t: keys_of(t) for t in set(terms[:-1])}
+        cur = (a_doc << _POS_SHIFT) | a_pos.astype(np.uint64)
+        alive = np.ones(cur.size, dtype=bool)
+        for i in range(len(terms) - 2, -1, -1):
+            ki = per_term_keys[terms[i]]
+            idx = np.searchsorted(ki, cur, side="left") - 1
+            ok = idx >= 0
+            idx_c = np.maximum(idx, 0)
+            prev = ki[idx_c]
+            ok &= (prev >> _POS_SHIFT) == (cur >> _POS_SHIFT)
+            alive &= ok
+            cur = np.where(ok, prev, cur)
+        if mg >= 0:
+            q0 = (cur & _POS_MASK).astype(np.int64)
+            alive &= (a_pos - q0 + 1 - len(terms)) <= mg
+
+    if not alive.any():
+        return _empty_topk()
+    codes_sf, sf = np.unique(per_pos_doc[ma][alive], return_counts=True)
+    dl_by_code = np.zeros(len(uniq_docs), dtype=np.int64)
+    dl_by_code[doc_codes] = dls
+    uniq_arr = np.asarray(uniq_docs, dtype=np.int64)
+    return _span_topk(uniq_arr[codes_sf], sf, dl_by_code[codes_sf],
+                      idf_sum, k, avgdl, k1, b)

@@ -513,6 +513,43 @@ class InvertedIndex:
         local = blocks.groupBy("shard").applyInPandas(shard, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def intervals_match(self, terms: list[str], max_gaps: int = -1,
+                        ordered: bool = False, k: int = 10) -> DataFrame:
+        """ES intervals `match` rule served from the positional index
+        (contract as relevance.intervals_match_df, the no-index
+        fallback): ordered n-term chains via a greedy searchsorted walk,
+        unordered 2-term via a two-sided window count — work bounded by
+        the clause terms' posting/position data. Same guards as the
+        DataFrame scorer (>= 2 terms; unordered needs exactly 2)."""
+        from ..plans.query_ast import UnsupportedQuery
+
+        if len(terms) < 2:
+            raise UnsupportedQuery("intervals match needs >= 2 terms")
+        if not ordered and len(terms) > 2:
+            raise UnsupportedQuery("unordered intervals support exactly 2 terms")
+        if not self.meta.get("with_positions"):
+            raise ValueError("index was built without positions (with_positions=True)")
+        from .positions import score_shard_intervals
+        from ..textproc import bm25_idf
+
+        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        uniq = sorted(set(terms))
+        dfs = self._lookup_dfs(uniq)
+        if len(dfs) < len(uniq):
+            return empty  # a clause term absent ⇒ no interval
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        idf_sum = sum(bm25_idf(dfs[t], n_docs) for t in terms)
+
+        def shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard_intervals(pdf, terms, int(max_gaps),
+                                         bool(ordered), idf_sum, k,
+                                         avgdl, k1, b)
+
+        blocks = self.postings().filter(F.col("term").isin(uniq))
+        local = blocks.groupBy("shard").applyInPandas(shard, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Completion suggester: top-k index terms with the given prefix,
         ranked by document frequency (df desc, term asc). One scan of the

@@ -212,6 +212,46 @@ def test_span_family_index_matches_dataframe_forms(spark, sf_dir, pos_index):
     assert idx.span_not("merge", "merge", 0, 0, 10).collect() == []
 
 
+@pytest.mark.parametrize("terms,mg,ordered", [
+    (["merge", "window"], 2, True),
+    (["the", "data"], 0, True),
+    (["the", "data", "query"], 4, True),
+    (["merge", "window"], -1, True),
+    (["merge", "window"], 2, False),
+    (["the", "data"], -1, False),
+    (["the", "the"], 3, False),          # same-term: self-hit correction
+    (["the", "data", "the"], 5, True),   # repeated term in the chain
+])
+def test_intervals_index_matches_dataframe_form(spark, sf_dir, pos_index,
+                                                terms, mg, ordered):
+    from fluent_plugin_elasticsearch_spark.operators.relevance import (
+        intervals_match_df,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = InvertedIndex(spark, pos_index)
+    got = idx.intervals_match(terms, max_gaps=mg, ordered=ordered, k=10).collect()
+    exp = intervals_match_df(docs, terms, max_gaps=mg, ordered=ordered,
+                             k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+    for g, e in zip(got, exp):
+        assert math.floor(g["score"] * 1e6) == e["score_u"]
+
+
+def test_intervals_index_guards(spark, pos_index, index_dir):
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        UnsupportedQuery,
+    )
+
+    idx = InvertedIndex(spark, pos_index)
+    with pytest.raises(UnsupportedQuery, match="2 terms"):
+        idx.intervals_match(["solo"])
+    with pytest.raises(UnsupportedQuery, match="unordered"):
+        idx.intervals_match(["a", "b", "c"], ordered=False)
+    with pytest.raises(ValueError, match="positions"):
+        InvertedIndex(spark, index_dir).intervals_match(["a", "b"], ordered=True)
+
+
 def test_span_near_on_tf_index_raises(spark, index_dir):
     idx = InvertedIndex(spark, index_dir)
     with pytest.raises(ValueError, match="positions"):
