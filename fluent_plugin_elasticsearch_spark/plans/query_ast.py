@@ -616,6 +616,100 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score_u"), F.asc("doc_id")
         )
 
+    if query and any(kq in query for kq in
+                     ("span_near", "span_first", "span_or", "span_not",
+                      "span_term", "intervals")):
+        # ES span/intervals queries (Lucene span family): single-term
+        # clauses, served from a POSITIONAL index when one is registered
+        # for the field (span_or needs only tf postings), else the
+        # DataFrame span scorers. Both paths emit (doc_id, score_u).
+        from ..operators import relevance as _rel
+
+        def _span_term(clause):
+            if not isinstance(clause, dict) or "span_term" not in clause:
+                raise UnsupportedQuery("span clauses must be span_term")
+            ((f_, v),) = clause["span_term"].items()
+            return f_, (v["value"] if isinstance(v, dict) else v)
+
+        k = size or 10
+        kq = next(iter(set(query) & {"span_near", "span_first", "span_or",
+                                     "span_not", "span_term", "intervals"}))
+        spec = query[kq]
+        if kq == "intervals":
+            ((_field, ispec),) = spec.items()
+            if "match" not in ispec:
+                raise UnsupportedQuery("intervals supports the match rule")
+            m = ispec["match"]
+            from ..textproc import tokenize_simple
+
+            iterms = tokenize_simple(m["query"])
+            mg = int(m.get("max_gaps", -1))
+            ordered = bool(m.get("ordered", False))
+            sp_index = _resolve_index(index, _field)
+            if sp_index is not None and sp_index.meta.get("with_positions"):
+                topk = sp_index.intervals_match(
+                    iterms, max_gaps=mg, ordered=ordered, k=k)
+                topk = topk.select("doc_id", F.floor(F.col("score") * 1e6)
+                                   .cast("long").alias("score_u"))
+            else:
+                topk = _rel.intervals_match_df(docs, iterms, max_gaps=mg,
+                                               ordered=ordered, k=k,
+                                               text_col=_field)
+        else:
+            if kq == "span_near":
+                pairs = [_span_term(c) for c in spec["clauses"]]
+                if len(pairs) != 2:
+                    raise UnsupportedQuery("span_near supports two clauses")
+                if not spec.get("in_order", True):
+                    raise UnsupportedQuery("span_near supports in_order=true")
+                if pairs[0][0] != pairs[1][0]:
+                    raise UnsupportedQuery("span clauses must share a field")
+                _field = pairs[0][0]
+                args = dict(first=pairs[0][1], second=pairs[1][1],
+                            slop=int(spec.get("slop", 0)))
+            elif kq == "span_first":
+                _field, t = _span_term(spec["match"])
+                args = dict(term=t, end=int(spec["end"]))
+            elif kq in ("span_or", "span_term"):
+                pairs = ([_span_term(c) for c in spec["clauses"]]
+                         if kq == "span_or"
+                         else [_span_term({"span_term": spec})])
+                if len({f_ for f_, _t in pairs}) != 1:
+                    raise UnsupportedQuery("span clauses must share a field")
+                _field = pairs[0][0]
+                args = dict(terms=[t for _f, t in pairs])
+            else:  # span_not
+                fi, ti = _span_term(spec["include"])
+                fx, tx = _span_term(spec["exclude"])
+                if fi != fx:
+                    raise UnsupportedQuery("span_not clauses must share a field")
+                _field = fi
+                args = dict(include=ti, exclude=tx,
+                            pre=int(spec.get("pre", 0)),
+                            post=int(spec.get("post", 0)))
+            sp_index = _resolve_index(index, _field)
+            needs_pos = kq in ("span_near", "span_first", "span_not")
+            if sp_index is not None and (
+                    not needs_pos or sp_index.meta.get("with_positions")):
+                fn = {"span_near": sp_index.span_near,
+                      "span_first": sp_index.span_first,
+                      "span_or": sp_index.span_or,
+                      "span_term": sp_index.span_or,
+                      "span_not": sp_index.span_not}[kq]
+                topk = fn(**args, k=k).select(
+                    "doc_id", F.floor(F.col("score") * 1e6)
+                    .cast("long").alias("score_u"))
+            else:
+                dfn = {"span_near": _rel.span_near_df,
+                       "span_first": _rel.span_first_df,
+                       "span_or": _rel.span_or_df,
+                       "span_term": _rel.span_or_df,
+                       "span_not": _rel.span_not_df}[kq]
+                topk = dfn(docs, **args, k=k, text_col=_field)
+        return docs.join(F.broadcast(topk), "doc_id").orderBy(
+            F.desc("score_u"), F.asc("doc_id")
+        )
+
     if query and "more_like_this" in query:
         # ES more_like_this (single liked doc by _id): seed-term
         # selection + BM25 over the selected terms — postings-served

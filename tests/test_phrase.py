@@ -252,6 +252,52 @@ def test_intervals_index_guards(spark, pos_index, index_dir):
         InvertedIndex(spark, index_dir).intervals_match(["a", "b"], ordered=True)
 
 
+def test_query_ast_span_clauses_route(spark, sf_dir, pos_index):
+    """The six span/intervals clause kinds compile, serve from the
+    positional registry, and match the no-index DataFrame path."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        UnsupportedQuery,
+        compile_query,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reg = {"text": InvertedIndex(spark, pos_index)}
+    bodies = [
+        {"query": {"span_near": {
+            "clauses": [{"span_term": {"text": "merge"}},
+                        {"span_term": {"text": "window"}}],
+            "slop": 2, "in_order": True}}, "size": 5},
+        {"query": {"span_first": {"match": {"span_term": {"text": "merge"}},
+                                  "end": 5}}, "size": 5},
+        {"query": {"span_or": {"clauses": [{"span_term": {"text": "merge"}},
+                                           {"span_term": {"text": "spark"}}]}},
+         "size": 5},
+        {"query": {"span_term": {"text": "merge"}}, "size": 5},
+        {"query": {"span_not": {"include": {"span_term": {"text": "merge"}},
+                                "exclude": {"span_term": {"text": "window"}},
+                                "pre": 1, "post": 1}}, "size": 5},
+        {"query": {"intervals": {"text": {"match": {
+            "query": "the data", "max_gaps": 2, "ordered": True}}}},
+         "size": 5},
+    ]
+    for b in bodies:
+        got = [(r["doc_id"], r["score_u"]) for r in
+               compile_query(docs, b, index=reg)
+               .select("doc_id", "score_u").collect()]
+        want = [(r["doc_id"], r["score_u"]) for r in
+                compile_query(docs, b, index=None)
+                .select("doc_id", "score_u").collect()]
+        assert got == want and got, next(iter(b["query"]))
+    with pytest.raises(UnsupportedQuery, match="share a field"):
+        compile_query(docs, {"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"lang": "b"}}],
+            "slop": 1}}}, index=None)
+    with pytest.raises(UnsupportedQuery, match="in_order"):
+        compile_query(docs, {"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+            "slop": 1, "in_order": False}}}, index=None)
+
+
 def test_span_near_on_tf_index_raises(spark, index_dir):
     idx = InvertedIndex(spark, index_dir)
     with pytest.raises(ValueError, match="positions"):
