@@ -470,6 +470,14 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             # vocabulary-expansion DataFrame scorer (identical contract)
             from ..textproc import tokenize_simple
 
+            if (text.get("operator", "or") != "or"
+                    or int(text.get("minimum_should_match", 1)) != 1):
+                # fuzzy scoring is bool-should (OR); an AND/msm gate over
+                # expanded clauses is not implemented — raise rather than
+                # silently ignore the option
+                raise UnsupportedQuery(
+                    "match fuzziness supports operator=or, "
+                    "minimum_should_match=1 only")
             fz = text["fuzziness"]
             if fz != "AUTO":
                 fz = int(fz)
