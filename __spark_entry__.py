@@ -1672,6 +1672,36 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_read(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup tail: MinHash-LSH pairs → connected components → keep
+    ONE canonical doc (min id) per cluster; the cleaned corpus."""
+    from fluent_plugin_elasticsearch_spark.operators.dedup import (
+        dedup_apply,
+        minhash_lsh_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=2, num_hashes=16, bands=8,
+                              max_bucket=1000)
+    return dedup_apply(docs, pairs)
+
+
+def q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _msearch API: three bodies multiplexed in one request — ids
+    lookup, filtered sorted top-k, range + keyset-ordered page — union
+    tagged with query_idx."""
+    from fluent_plugin_elasticsearch_spark.sources.scan import msearch
+
+    docs = _read(spark, sf_dir, "documents")
+    return msearch(docs, [
+        {"query": {"ids": {"values": [1, 5, 9]}}},
+        {"query": {"term": {"lang": "en"}}, "size": 5,
+         "sort": [{"n_chars": "desc"}, {"doc_id": "asc"}]},
+        {"query": {"range": {"n_chars": {"gte": 400}}}, "size": 4,
+         "sort": [{"doc_id": "asc"}]},
+    ])
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster labeling: MinHash-LSH candidate pairs → connected
     components (min-label propagation); cluster_id = min reachable doc id."""
@@ -2139,7 +2169,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
     "es_matrix_stats", "es_moving_percentiles", "fuzzy_match",
-    "span_near_index",
+    "span_near_index", "dedup_apply", "msearch",
 ]
 
 
@@ -2249,6 +2279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "children_agg": q_children_agg,
         "span_near": q_span_near,
         "span_near_index": q_span_near_index,
+        "dedup_apply": q_dedup_apply,
+        "msearch": q_msearch,
         "span_or": q_span_or,
         "span_not": q_span_not,
         "intervals_ordered": q_intervals_ordered,
@@ -3233,6 +3265,19 @@ GROUP BY 1, 2 ORDER BY inter DESC, id_a ASC, id_b ASC LIMIT 20
 """,
         "minhash_lsh_pairs": _minhash_sql(num_hashes=16, bands=8),
         "dedup_clusters": _dedup_clusters_sql(num_hashes=16, bands=8),
+        "dedup_apply": _dedup_apply_sql(num_hashes=16, bands=8),
+        "msearch": """
+SELECT 0 AS query_idx, doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id IN (1, 5, 9)
+UNION ALL
+SELECT 1, doc_id, text, lang, source, n_chars FROM (
+  SELECT * FROM documents WHERE lang = 'en'
+  ORDER BY n_chars DESC, doc_id ASC LIMIT 5)
+UNION ALL
+SELECT 2, doc_id, text, lang, source, n_chars FROM (
+  SELECT * FROM documents WHERE n_chars >= 400
+  ORDER BY doc_id ASC LIMIT 4)
+""",
         # sequence packing: global cumsum over doc_id order (sum() is
         # HUGEINT in DuckDB — cast); // is integer division on BIGINT
         "pack_documents": f"""
@@ -3538,6 +3583,29 @@ reach AS (
 )
 SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+def _dedup_apply_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    """The cleaned corpus after keep-canonical fuzzy dedup: documents
+    minus every cluster member that is not its cluster's min id (same
+    recursive closure as _dedup_clusters_sql)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(num_hashes, bands)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src AS id, re.r FROM edges e JOIN reach re ON re.id = e.dst
+),
+cl AS (SELECT id, min(r) AS m FROM reach GROUP BY id)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM cl WHERE id <> m)
 """
 
 

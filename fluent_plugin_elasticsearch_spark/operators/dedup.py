@@ -247,6 +247,23 @@ _SIMHASH_SCHEMA = T.StructType(
 )
 
 
+def dedup_apply(docs: DataFrame, pairs: DataFrame,
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep-canonical near-dup removal: label the candidate-pair graph's
+    connected components (pointer-jumping CC) and keep exactly ONE doc
+    per cluster — the minimum doc id, the deterministic canonical
+    survivor; docs in no pair pass through untouched. The loser set is
+    |duplicates|-sized and removes via a left-anti join on the id — the
+    corpus is never reshuffled beyond that join. This is the standard
+    tail of a MinHash/SimHash fuzzy-dedup pipeline (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better")."""
+    cl = connected_components(pairs)
+    losers = (cl.filter(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias("__loser_id")))
+    return docs.join(
+        losers, docs[id_col] == F.col("__loser_id"), "left_anti")
+
+
 def _simhash_batch(pdf_iter):
     """Batch-vectorized SimHash: tokens are factorized ACROSS the whole
     Arrow batch, each unique vocab entry is md5-hashed exactly once, and the

@@ -139,6 +139,36 @@ def mget(docs: DataFrame, ids: list, id_col: str = "doc_id") -> DataFrame:
             .orderBy("__req_order").drop("__req_order"))
 
 
+def msearch(docs: DataFrame, bodies: list, index=None) -> DataFrame:
+    """ES _msearch API: several search bodies in one request. Each body
+    compiles through the same query compiler (index registry honored per
+    body) and the hit streams union with a `query_idx` tag — the
+    multiplexed-response shape the reference's bulk search callers
+    consume. Per-query `size` limits apply before the union, so the
+    result is Σ per-query top-k rows, never a corpus concat. Returns
+    (query_idx, doc_id) plus whatever metadata columns all bodies share
+    — the common-column intersection, since heterogeneous bodies emit
+    different scoring columns."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from ..plans.query_ast import compile_query
+
+    if not bodies:
+        raise ValueError("msearch needs at least one body")
+    outs = [compile_query(docs, b, index=index) for b in bodies]
+    common = set(outs[0].columns)
+    for o in outs[1:]:
+        common &= set(o.columns)
+    keep = [c for c in outs[0].columns if c in common]
+    if "doc_id" not in keep:
+        raise ValueError("msearch bodies must all yield doc_id")
+    tagged = [o.select(F.lit(i).alias("query_idx"), *keep)
+              for i, o in enumerate(outs)]
+    return reduce(lambda a, b_: a.unionByName(b_), tagged)
+
+
 def field_caps(docs: DataFrame) -> DataFrame:
     """ES _field_caps API: per-field capabilities derived from the schema
     — (field, type, searchable, aggregatable). Driver-side schema walk

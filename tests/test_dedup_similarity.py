@@ -346,3 +346,38 @@ def test_kmeans_integer_exact_and_partition_invariant(spark):
             for r in kmeans_clusters(emb.repartition(13), k=3, iters=2,
                                      init_ids=[0, 30, 60]).collect()}
     assert out == out2
+
+
+def test_dedup_apply_keep_canonical(spark):
+    """dedup_apply keeps the min-id doc of every cluster and every
+    unpaired doc; losers are gone."""
+    from pyspark.sql import Row
+    from fluent_plugin_elasticsearch_spark.operators.dedup import dedup_apply
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(8)])
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=3), Row(id_a=3, id_b=5),   # cluster {1,3,5} -> 1
+         Row(id_a=6, id_b=7)])                        # cluster {6,7} -> 6
+    kept = sorted(r["doc_id"] for r in dedup_apply(docs, pairs).collect())
+    assert kept == [0, 1, 2, 4, 6]
+
+
+def test_msearch_multiplex(spark):
+    from pyspark.sql import Row
+    from fluent_plugin_elasticsearch_spark.sources.scan import msearch
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 else "de", n_chars=100 + i)
+         for i in range(10)])
+    out = msearch(docs, [
+        {"query": {"ids": {"values": [2, 4]}}},
+        {"query": {"term": {"lang": "en"}}, "size": 3,
+         "sort": [{"n_chars": "desc"}, {"doc_id": "asc"}]},
+    ])
+    rows = sorted((r["query_idx"], r["doc_id"]) for r in out.collect())
+    assert rows == [(0, 2), (0, 4), (1, 5), (1, 7), (1, 9)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        msearch(docs, [])
