@@ -1672,6 +1672,28 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_read(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_rank_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval API, normalized DCG@5 over two rated search
+    requests (each search runs the full query compiler; per-position
+    DCG contributions integer-quantized before summation)."""
+    from fluent_plugin_elasticsearch_spark.operators.apis import rank_eval
+
+    docs = _read(spark, sf_dir, "documents")
+    requests = [
+        {"id": "r1",
+         "request": {"query": {"term": {"lang": "en"}},
+                     "sort": [{"doc_id": "asc"}]},
+         "ratings": [{"_id": 3, "rating": 3}, {"_id": 7, "rating": 2},
+                     {"_id": 11, "rating": 1}, {"_id": 2, "rating": 0}]},
+        {"id": "r2",
+         "request": {"query": {"range": {"n_chars": {"gte": 300}}},
+                     "sort": [{"doc_id": "asc"}]},
+         "ratings": [{"_id": 0, "rating": 1}, {"_id": 1, "rating": 2},
+                     {"_id": 2, "rating": 3}, {"_id": 5, "rating": 1}]},
+    ]
+    return rank_eval(docs, requests, {"dcg": {"k": 5, "normalize": True}})
+
+
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup tail: MinHash-LSH pairs → connected components → keep
     ONE canonical doc (min id) per cluster; the cleaned corpus."""
@@ -2169,7 +2191,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
     "es_matrix_stats", "es_moving_percentiles", "fuzzy_match",
-    "span_near_index", "dedup_apply", "msearch",
+    "span_near_index", "dedup_apply", "msearch", "rank_eval_ndcg",
 ]
 
 
@@ -2281,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_index": q_span_near_index,
         "dedup_apply": q_dedup_apply,
         "msearch": q_msearch,
+        "rank_eval_ndcg": q_rank_eval_ndcg,
         "span_or": q_span_or,
         "span_not": q_span_not,
         "intervals_ordered": q_intervals_ordered,
@@ -3266,6 +3289,54 @@ GROUP BY 1, 2 ORDER BY inter DESC, id_a ASC, id_b ASC LIMIT 20
         "minhash_lsh_pairs": _minhash_sql(num_hashes=16, bands=8),
         "dedup_clusters": _dedup_clusters_sql(num_hashes=16, bands=8),
         "dedup_apply": _dedup_apply_sql(num_hashes=16, bands=8),
+        "rank_eval_ndcg": """
+WITH hits1 AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rnk
+  FROM (SELECT doc_id FROM documents WHERE lang = 'en'
+        ORDER BY doc_id ASC LIMIT 5)
+),
+r1(rid, rating) AS (VALUES (3, 3), (7, 2), (11, 1), (2, 0)),
+j1 AS (SELECT h.rnk, r.rating FROM hits1 h LEFT JOIN r1 r ON h.doc_id = r.rid),
+d1 AS (SELECT
+  coalesce(sum(CASE WHEN rating IS NOT NULL THEN
+    CAST(floor((pow(2.0, rating) - 1.0) / log2(rnk + 1) * 1e9) AS BIGINT)
+  END), 0) AS dcg_u,
+  CAST(sum(CASE WHEN rating IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unrated
+  FROM j1),
+i1 AS (SELECT sum(CAST(floor((pow(2.0, rating) - 1.0) / log2(rk + 1) * 1e9)
+       AS BIGINT)) AS idcg_u
+       FROM (SELECT rating, row_number() OVER (ORDER BY rating DESC) AS rk
+             FROM r1 QUALIFY rk <= 5)),
+hits2 AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rnk
+  FROM (SELECT doc_id FROM documents WHERE n_chars >= 300
+        ORDER BY doc_id ASC LIMIT 5)
+),
+r2(rid, rating) AS (VALUES (0, 1), (1, 2), (2, 3), (5, 1)),
+j2 AS (SELECT h.rnk, r.rating FROM hits2 h LEFT JOIN r2 r ON h.doc_id = r.rid),
+d2 AS (SELECT
+  coalesce(sum(CASE WHEN rating IS NOT NULL THEN
+    CAST(floor((pow(2.0, rating) - 1.0) / log2(rnk + 1) * 1e9) AS BIGINT)
+  END), 0) AS dcg_u,
+  CAST(sum(CASE WHEN rating IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unrated
+  FROM j2),
+i2 AS (SELECT sum(CAST(floor((pow(2.0, rating) - 1.0) / log2(rk + 1) * 1e9)
+       AS BIGINT)) AS idcg_u
+       FROM (SELECT rating, row_number() OVER (ORDER BY rating DESC) AS rk
+             FROM r2 QUALIFY rk <= 5))
+SELECT 'r1' AS request_id,
+       CAST(floor(CASE WHEN i1.idcg_u > 0 THEN d1.dcg_u / i1.idcg_u
+                       ELSE 0 END * 1e6) AS BIGINT) AS metric_u,
+       d1.unrated AS unrated_docs
+FROM d1, i1
+UNION ALL
+SELECT 'r2',
+       CAST(floor(CASE WHEN i2.idcg_u > 0 THEN d2.dcg_u / i2.idcg_u
+                       ELSE 0 END * 1e6) AS BIGINT),
+       d2.unrated
+FROM d2, i2
+ORDER BY request_id
+""",
         "msearch": """
 SELECT 0 AS query_idx, doc_id, text, lang, source, n_chars
 FROM documents WHERE doc_id IN (1, 5, 9)

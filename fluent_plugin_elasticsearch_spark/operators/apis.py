@@ -112,3 +112,80 @@ def msearch(docs: DataFrame, bodies: list[dict], index=None) -> list[DataFrame]:
     from ..plans.query_ast import compile_query
 
     return [compile_query(docs, b, index=index) for b in bodies]
+
+
+def rank_eval(docs: DataFrame, requests: list[dict], metric: dict,
+              index=None) -> DataFrame:
+    """ES _rank_eval API: ranking-quality evaluation of search requests
+    against rated documents.
+
+    ``requests``: [{"id": str, "request": <search body>,
+    "ratings": [{"_id": doc_id, "rating": int}]}].
+    ``metric``: {"precision": {"k", "relevant_rating_threshold"}} |
+    {"recall": {...}} | {"mean_reciprocal_rank": {...}} |
+    {"dcg": {"k", "normalize"}} — the four ES metrics, with ES's
+    formulas: precision = relevant retrieved / retrieved, recall =
+    relevant retrieved / total relevant, MRR = 1/rank of the first
+    relevant hit, DCG = Σ (2^rating - 1)/log2(rank + 1) (normalize
+    divides by the ideal DCG over the rating set).
+
+    Each request's search runs through the full distributed query
+    compiler; the top-k hit list is a BOUNDED collect (k rows — the ES
+    coordinating-node shape) and the metric math is driver-side exact
+    (quantized floor(x·1e6)). Returns (request_id, metric_u) plus the
+    ES response's unrated_docs count, row per request, ordered by
+    request_id."""
+    import math as _math
+
+    from ..plans.query_ast import compile_query
+
+    ((mkind, mspec),) = metric.items()
+    if mkind not in ("precision", "recall", "mean_reciprocal_rank", "dcg"):
+        raise ValueError(f"unsupported rank_eval metric: {mkind}")
+    k = int(mspec.get("k", 10))
+    thr = int(mspec.get("relevant_rating_threshold", 1))
+    rows = []
+    for req in requests:
+        body = dict(req["request"])
+        body["size"] = k
+        ratings = {int(r["_id"]): int(r["rating"]) for r in req["ratings"]}
+        hits = [int(r["doc_id"])
+                for r in compile_query(docs, body, index=index)
+                .select("doc_id").collect()][:k]
+        rated = [ratings.get(d) for d in hits]
+        unrated = sum(1 for r in rated if r is None)
+        if mkind == "precision":
+            rel = sum(1 for r in rated if r is not None and r >= thr)
+            val = rel / len(hits) if hits else 0.0
+        elif mkind == "recall":
+            rel = sum(1 for r in rated if r is not None and r >= thr)
+            total_rel = sum(1 for r in ratings.values() if r >= thr)
+            val = rel / total_rel if total_rel else 0.0
+        elif mkind == "mean_reciprocal_rank":
+            val = 0.0
+            for i, r in enumerate(rated):
+                if r is not None and r >= thr:
+                    val = 1.0 / (i + 1)
+                    break
+        else:  # dcg
+            # per-position contributions quantize to 1e-9 integers BEFORE
+            # summing (float addition is order-sensitive; exact integer
+            # sums are the repo's engine-exactness contract), then one
+            # float division for the normalized form
+            def _dcg_u(rs):
+                return sum(
+                    _math.floor((2.0 ** r - 1.0) / _math.log2(i + 2) * 1e9)
+                    for i, r in enumerate(rs) if r is not None)
+
+            dcg_u = _dcg_u(rated)
+            if mspec.get("normalize"):
+                ideal = sorted(ratings.values(), reverse=True)[:k]
+                idcg_u = _dcg_u(ideal)
+                val = dcg_u / idcg_u if idcg_u > 0 else 0.0
+            else:
+                val = dcg_u / 1e9
+        rows.append((str(req["id"]), int(_math.floor(val * 1e6)), unrated))
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        rows, "request_id string, metric_u long, unrated_docs long"
+    ).orderBy("request_id")

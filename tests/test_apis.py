@@ -65,3 +65,46 @@ def test_msearch_order_aligned(docs):
     assert outs[0].count() == 1
     assert [r["doc_id"] for r in outs[1].collect()] == [0, 1]
     assert outs[2].count() == 2  # docs 0 and 2 contain 'cat'
+
+
+def test_rank_eval_metrics(spark):
+    """All four _rank_eval metrics against hand-computed values on a
+    crafted corpus where the ranking is fully determined."""
+    import math
+
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.apis import rank_eval
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, grp="a", ordv=i) for i in range(10)])
+    req = [{"id": "q", "request": {"query": {"term": {"grp": "a"}},
+                                   "sort": [{"ordv": "asc"}]},
+            "ratings": [{"_id": 0, "rating": 0}, {"_id": 1, "rating": 2},
+                        {"_id": 3, "rating": 3}, {"_id": 9, "rating": 1}]}]
+    # hits (k=4): docs 0,1,2,3 -> rated [0, 2, None, 3]
+
+    def run(metric):
+        return rank_eval(docs, req, metric).collect()[0]
+
+    p = run({"precision": {"k": 4, "relevant_rating_threshold": 2}})
+    assert (p["metric_u"], p["unrated_docs"]) == (500000, 1)  # 2 of 4
+    r = run({"recall": {"k": 4, "relevant_rating_threshold": 2}})
+    assert r["metric_u"] == 1000000  # both rating>=2 docs retrieved
+    m = run({"mean_reciprocal_rank": {"k": 4}})
+    assert m["metric_u"] == 500000  # first relevant at rank 2
+    d = run({"dcg": {"k": 4}})
+    want_u = (math.floor((2**0 - 1) / math.log2(2) * 1e9)
+              + math.floor((2**2 - 1) / math.log2(3) * 1e9)
+              + math.floor((2**3 - 1) / math.log2(5) * 1e9))
+    assert d["metric_u"] == math.floor(want_u / 1e9 * 1e6)
+    nd = run({"dcg": {"k": 4, "normalize": True}})
+    ideal_u = (math.floor((2**3 - 1) / math.log2(2) * 1e9)
+               + math.floor((2**2 - 1) / math.log2(3) * 1e9)
+               + math.floor((2**1 - 1) / math.log2(4) * 1e9)
+               + math.floor((2**0 - 1) / math.log2(5) * 1e9))
+    assert nd["metric_u"] == math.floor(want_u / ideal_u * 1e6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="metric"):
+        run({"nope": {}})

@@ -298,6 +298,25 @@ def test_query_ast_span_clauses_route(spark, sf_dir, pos_index):
             "slop": 1, "in_order": False}}}, index=None)
 
 
+def test_span_serving_bounded_by_postings(spark, pos_index):
+    """Every positional serving path reads ONLY posting blocks — no scan
+    of the corpus parquet appears in any physical plan."""
+    idx = InvertedIndex(spark, pos_index)
+    plans = {
+        "match_phrase": idx.match_phrase("the data", 10),
+        "match_phrase_prefix": idx.match_phrase_prefix("the da", 10),
+        "span_near": idx.span_near("the", "data", 2, 10),
+        "span_first": idx.span_first("the", 5, 10),
+        "span_or": idx.span_or(["the", "data"], 10),
+        "span_not": idx.span_not("the", "data", 1, 1, 10),
+        "intervals": idx.intervals_match(["the", "data"], 3, True, 10),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "documents.parquet" not in plan, name
+        assert "postings" in plan, name
+
+
 def test_span_near_on_tf_index_raises(spark, index_dir):
     idx = InvertedIndex(spark, index_dir)
     with pytest.raises(ValueError, match="positions"):
