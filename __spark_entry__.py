@@ -760,6 +760,19 @@ def q_es_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("r100") * 1e6).cast("long").alias("r100_u"))
 
 
+def q_es_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES frequent_item_sets agg: size-2 field:value itemsets over
+    (lang, source) by document support — the co-occurrence mining
+    shape."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_read(spark, sf_dir, "documents"), {"aggs": {"f": {
+        "frequent_item_sets": {
+            "fields": [{"field": "lang"}, {"field": "source"}],
+            "minimum_support": 0.01, "minimum_set_size": 2,
+            "size": 15}}}})["f"]
+
+
 def q_es_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES matrix_stats over (value_u, user_id): exact decimal moments in
     one pass, fixed-float-op-order mean/var/cov/corr (t_test contract)."""
@@ -2192,6 +2205,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
     "es_matrix_stats", "es_moving_percentiles", "fuzzy_match",
     "span_near_index", "dedup_apply", "msearch", "rank_eval_ndcg",
+    "es_frequent_item_sets",
 ]
 
 
@@ -2251,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_date_histogram_gaps": q_es_date_histogram_gaps,
         "es_sibling_buckets": q_es_sibling_buckets,
         "es_matrix_stats": q_es_matrix_stats,
+        "es_frequent_item_sets": q_es_frequent_item_sets,
         "es_moving_percentiles": q_es_moving_percentiles,
         "es_stats_percentiles_bucket": q_es_stats_percentiles_bucket,
         "es_normalize": q_es_normalize,
@@ -2878,6 +2893,28 @@ SELECT key, doc_count FROM (
   SELECT 2, '10.128.0.0/9', count(*) FROM ips
   WHERE ipl >= 10 * 16777216 + 128 * 65536 AND ipl < 10 * 16777216 + 256 * 65536
 ) ORDER BY i
+""",
+        "es_frequent_item_sets": """
+WITH t AS (
+  SELECT list_sort(list_distinct(
+    ['lang:' || CAST(lang AS VARCHAR), 'source:' || CAST(source AS VARCHAR)]
+  )) AS items
+  FROM documents
+),
+n_tx AS (SELECT count(*) AS n FROM t),
+pairs AS (
+  SELECT items[i] || '|' || items[j] AS itemset, 2 AS set_size
+  FROM t, unnest(generate_series(1, len(items))) AS u(i),
+       unnest(generate_series(1, len(items))) AS v(j)
+  WHERE i < j
+),
+c AS (SELECT itemset, set_size, count(*) AS doc_count
+      FROM pairs GROUP BY itemset, set_size)
+SELECT itemset, set_size, doc_count,
+       CAST(floor(doc_count / n.n * 1e6) AS BIGINT) AS support_u
+FROM c, n_tx n
+WHERE CAST(floor(doc_count / n.n * 1e6) AS BIGINT) >= 10000
+ORDER BY doc_count DESC, itemset ASC LIMIT 15
 """,
         "es_matrix_stats": """
 WITH m AS (

@@ -736,6 +736,63 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = mom.select(
                 F.col("n1"), F.col("n2"),
                 F.floor(t * 1e6).cast("long").alias(f"{name}_t_u"))
+        elif kind == "frequent_item_sets":
+            # ES frequent_item_sets (8.x): itemsets of field:value items
+            # by document support. Deterministic subset: set sizes 1 and
+            # 2 over scalar fields (each doc's transaction = its distinct
+            # field:value pairs); larger sets raise rather than silently
+            # truncate. Plan: one explode for singletons, one
+            # ordered-pair explode for pairs (bounded by |fields|² per
+            # doc), each a partial-aggregated groupBy on the itemset —
+            # the word-count shape, no apriori candidate loop needed at
+            # max size 2.
+            import math as _m
+
+            fi_fields = [f["field"] for f in inner["fields"]]
+            min_sup = float(inner.get("minimum_support", 0.1))
+            min_size = int(inner.get("minimum_set_size", 1))
+            max_size = int(inner.get("maximum_set_size", 2))
+            if max_size > 2:
+                raise UnsupportedQuery(
+                    "frequent_item_sets supports maximum_set_size <= 2")
+            fi_size = int(inner.get("size", 10))
+            items = F.array_sort(F.array_distinct(F.array(*[
+                F.concat_ws(":", F.lit(f), F.col(f).cast("string"))
+                for f in fi_fields])))
+            sel = base.select(items.alias("items"))
+            n_tx = sel.agg(F.count(F.lit(1)).alias("n"))
+            parts = []
+            if min_size <= 1:
+                parts.append(sel.select(
+                    F.explode("items").alias("itemset"),
+                    F.lit(1).alias("set_size")))
+            if max_size >= 2:
+                ex = sel.select("items",
+                                F.posexplode("items").alias("i", "a"))
+                pair = ex.select(
+                    F.explode(F.slice(
+                        F.col("items"), F.col("i") + 2,
+                        F.size("items"))).alias("b"),
+                    F.col("a"))
+                parts.append(pair.select(
+                    F.concat_ws("|", "a", "b").alias("itemset"),
+                    F.lit(2).alias("set_size")))
+            if not parts:
+                raise UnsupportedQuery(
+                    "frequent_item_sets minimum_set_size exceeds maximum")
+            allsets = parts[0]
+            for p in parts[1:]:
+                allsets = allsets.unionByName(p)
+            counted = (allsets.groupBy("itemset", "set_size")
+                       .agg(F.count(F.lit(1)).alias("doc_count"))
+                       .crossJoin(F.broadcast(n_tx)))
+            sup = F.floor(F.col("doc_count") / F.col("n") * 1e6).cast("long")
+            out[name] = (
+                counted.select("itemset", "set_size", "doc_count",
+                               sup.alias("support_u"))
+                .filter(F.col("support_u") >= int(_m.floor(min_sup * 1e6)))
+                .orderBy(F.desc("doc_count"), F.asc("itemset"))
+                .limit(fi_size))
         elif kind == "matrix_stats":
             # ES matrix_stats: per-field mean/variance plus pairwise
             # covariance/correlation over docs holding EVERY field (ES

@@ -953,3 +953,25 @@ def test_moving_percentiles(events):
     for i, r in enumerate(out):
         win = vals[max(0, i - 2):i + 1]
         assert r["mp_p50"] == pytest.approx(statistics.median(win)), i
+
+
+def test_frequent_item_sets(spark):
+    rows = [Row(doc_id=i,
+                color=["red", "red", "blue", "red"][i % 4],
+                shape=["sq", "ci", "ci", "sq"][i % 4])
+            for i in range(40)]
+    docs = spark.createDataFrame(rows)
+    out = compile_aggs(docs, {"aggs": {"f": {"frequent_item_sets": {
+        "fields": [{"field": "color"}, {"field": "shape"}],
+        "minimum_support": 0.2, "size": 10}}}})["f"].collect()
+    got = {r["itemset"]: (r["set_size"], r["doc_count"]) for r in out}
+    # 40 docs: 20x (red, sq), 10x (red, ci), 10x (blue, ci)
+    assert got["color:red"] == (1, 30)
+    assert got["color:red|shape:sq"] == (2, 20)
+    assert got["color:blue|shape:ci"] == (2, 10)
+    assert "color:blue|shape:sq" not in got  # support 0 pair absent
+    # support threshold prunes: blue (0.25) in, nothing below 0.2
+    assert all(c / 40 >= 0.2 for _s, c in got.values())
+    with pytest.raises(UnsupportedQuery, match="maximum_set_size"):
+        compile_aggs(docs, {"aggs": {"f": {"frequent_item_sets": {
+            "fields": [{"field": "color"}], "maximum_set_size": 3}}}})
