@@ -760,6 +760,16 @@ def q_es_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("r100") * 1e6).cast("long").alias("r100_u"))
 
 
+def q_es_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_line agg: customer points as a line ordered by c_custkey
+    (first 50), coordinates as integer micro-degrees."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    return compile_aggs(_geo_customers(spark, sf_dir), {"aggs": {"gl": {
+        "geo_line": {"point": {"field": "loc"},
+                     "sort": {"field": "c_custkey"}, "size": 50}}}})["gl"]
+
+
 def q_es_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES frequent_item_sets agg: size-2 field:value itemsets over
     (lang, source) by document support — the co-occurrence mining
@@ -2205,7 +2215,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
     "es_matrix_stats", "es_moving_percentiles", "fuzzy_match",
     "span_near_index", "dedup_apply", "msearch", "rank_eval_ndcg",
-    "es_frequent_item_sets",
+    "es_frequent_item_sets", "es_geo_line",
 ]
 
 
@@ -2266,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_sibling_buckets": q_es_sibling_buckets,
         "es_matrix_stats": q_es_matrix_stats,
         "es_frequent_item_sets": q_es_frequent_item_sets,
+        "es_geo_line": q_es_geo_line,
         "es_moving_percentiles": q_es_moving_percentiles,
         "es_stats_percentiles_bucket": q_es_stats_percentiles_bucket,
         "es_normalize": q_es_normalize,
@@ -2893,6 +2904,24 @@ SELECT key, doc_count FROM (
   SELECT 2, '10.128.0.0/9', count(*) FROM ips
   WHERE ipl >= 10 * 16777216 + 128 * 65536 AND ipl < 10 * 16777216 + 256 * 65536
 ) ORDER BY i
+""",
+        "es_geo_line": """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 7 % 140) - 70 + 0.25)::DOUBLE AS lat,
+         ((c_custkey * 13 % 360) - 180 + 0.25)::DOUBLE AS lon
+  FROM customer
+),
+sel AS (
+  SELECT c_custkey,
+         CAST(floor(lon * 1e6) AS BIGINT) AS lon_u,
+         CAST(floor(lat * 1e6) AS BIGINT) AS lat_u
+  FROM pts ORDER BY c_custkey ASC, lon_u ASC, lat_u ASC LIMIT 50
+)
+SELECT string_agg(lon_u || ' ' || lat_u, ','
+                  ORDER BY c_custkey, lon_u, lat_u) AS gl_line,
+       count(*) AS doc_count
+FROM sel
 """,
         "es_frequent_item_sets": """
 WITH t AS (

@@ -736,6 +736,37 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = mom.select(
                 F.col("n1"), F.col("n2"),
                 F.floor(t * 1e6).cast("long").alias(f"{name}_t_u"))
+        elif kind == "geo_line":
+            # ES geo_line: the docs' points as a line ordered by the sort
+            # field, truncated to `size` (ES keeps the first `size` in
+            # sort order). Coordinates render as integer micro-degrees
+            # (floor(x·1e6)) — float-to-string formatting differs across
+            # engines, integers don't. The ordered fold is an
+            # array_sort(collect_list(struct)) — order-independent
+            # aggregation, deterministic under any partitioning; the
+            # size cut is a global sort+limit (the agg's contract is an
+            # ordered line, so the sort is the operator, not overhead).
+            pf = inner["point"]["field"]
+            sfld = inner["sort"]["field"]
+            gl_n = int(inner.get("size", 10000))
+            pts = base.select(
+                F.col(sfld).alias("__s"),
+                F.floor(F.col(pf).getField("lon") * 1e6).cast("long")
+                .alias("__lon_u"),
+                F.floor(F.col(pf).getField("lat") * 1e6).cast("long")
+                .alias("__lat_u"),
+            ).orderBy(F.asc("__s"), F.asc("__lon_u"), F.asc("__lat_u")) \
+             .limit(gl_n)
+            line = F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("__s", "__lon_u", "__lat_u"))),
+                    lambda x: F.concat_ws(
+                        " ", x.getField("__lon_u"), x.getField("__lat_u"))),
+                ",")
+            out[name] = pts.agg(
+                line.alias(f"{name}_line"),
+                F.count(F.lit(1)).alias("doc_count"))
         elif kind == "frequent_item_sets":
             # ES frequent_item_sets (8.x): itemsets of field:value items
             # by document support. Deterministic subset: set sizes 1 and

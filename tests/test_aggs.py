@@ -975,3 +975,23 @@ def test_frequent_item_sets(spark):
     with pytest.raises(UnsupportedQuery, match="maximum_set_size"):
         compile_aggs(docs, {"aggs": {"f": {"frequent_item_sets": {
             "fields": [{"field": "color"}], "maximum_set_size": 3}}}})
+
+
+def test_geo_line(spark):
+    rows = [Row(doc_id=i,
+                loc=Row(lat=float(i), lon=float(-i)),
+                seq=10 - i)  # sort field reverses the id order
+            for i in range(6)]
+    docs = spark.createDataFrame(rows)
+    out = compile_aggs(docs, {"aggs": {"gl": {"geo_line": {
+        "point": {"field": "loc"}, "sort": {"field": "seq"},
+        "size": 4}}}})["gl"].collect()[0]
+    # seq asc -> ids 5,4,3,2 (size cut drops ids 1,0)
+    assert out["doc_count"] == 4
+    assert out["gl_line"] == ("-5000000 5000000,-4000000 4000000,"
+                              "-3000000 3000000,-2000000 2000000")
+    # deterministic under repartitioning
+    again = compile_aggs(docs.repartition(5), {"aggs": {"gl": {"geo_line": {
+        "point": {"field": "loc"}, "sort": {"field": "seq"},
+        "size": 4}}}})["gl"].collect()[0]
+    assert tuple(out) == tuple(again)
