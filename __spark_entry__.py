@@ -595,6 +595,36 @@ def q_remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_lines(docs, min_docs=3)
 
 
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ingest-pipeline processors (functions/ingest_pipeline): the
+    document-shaping subset the reference delegates server-side via the
+    request-level `pipeline` parameter (out_elasticsearch.rb:144, :1061),
+    compiled into one Catalyst projection chain — set / rename /
+    uppercase / gsub / convert / date / split / remove in order."""
+    from fluent_plugin_elasticsearch_spark.functions.ingest_pipeline import (
+        apply_ingest_pipeline,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = apply_ingest_pipeline(docs, [
+        {"set": {"field": "env", "value": "prod"}},
+        {"rename": {"field": "source", "target_field": "src"}},
+        {"uppercase": {"field": "lang", "target_field": "lang_uc"}},
+        {"gsub": {"field": "src", "pattern": "src", "replacement": "s"}},
+        {"convert": {"field": "doc_id", "type": "string",
+                     "target_field": "id_str"}},
+        {"date": {"field": "id_str", "formats": ["epoch_second"],
+                  "target_field": "ts"}},
+        {"split": {"field": "text", "separator": "\\s+",
+                   "target_field": "words"}},
+        {"remove": {"field": ["text", "id_str"]}},
+    ])
+    return out.select(
+        "doc_id", "env", "src", "lang_uc",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.size("words").cast("long").alias("n_words"))
+
+
 def q_stemmed_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Light plural stemming (operators/textquality.stem_token_col —
     Harman S-stemmer, the rule set of ES's light plural stemmers) as
@@ -2215,7 +2245,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
     "es_matrix_stats", "es_moving_percentiles", "fuzzy_match",
     "span_near_index", "dedup_apply", "msearch", "rank_eval_ndcg",
-    "es_frequent_item_sets", "es_geo_line",
+    "es_frequent_item_sets", "es_geo_line", "ingest_pipeline",
 ]
 
 
@@ -2266,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": q_phrase_suggest,
         "combined_fields": q_combined_fields,
         "stemmed_token_counts": q_stemmed_token_counts,
+        "ingest_pipeline": q_ingest_pipeline,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
@@ -2842,6 +2873,15 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "(SELECT doc_id, text || chr(10) || 'shared footer line' || "
             "chr(10) || source AS text FROM documents)",
             min_docs=3),
+        "ingest_pipeline": """
+SELECT doc_id, 'prod' AS env,
+       regexp_replace(source, 'src', 's', 'g') AS src,
+       upper(lang) AS lang_uc,
+       CAST(epoch(to_timestamp(CAST(CAST(doc_id AS VARCHAR) AS BIGINT)))
+            AS BIGINT) AS ts_epoch,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words
+FROM documents
+""",
         "stemmed_token_counts": (lambda _st=__import__(
             "fluent_plugin_elasticsearch_spark.operators.textquality",
             fromlist=["stem_sql_expr"]).stem_sql_expr("t"): (
