@@ -595,6 +595,22 @@ def q_remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_lines(docs, min_docs=3)
 
 
+def q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES simple_query_string (operators/simple_query.py): the lenient
+    end-user grammar — AND junction (+), OR alternatives (|), negation
+    (-), phrase ("..."), term-final prefix (*) — compiled to term /
+    phrase / prefix clauses scored in exactly two corpus passes (one
+    stats aggregate with conditional-sum dfs, one codegen scoring
+    projection; zero shuffles before the top-k)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {"query": {"simple_query_string": {
+        "query": 'merge + data | "table table" | scan* -slow',
+        "default_operator": "or"}}, "size": 15})
+    return out.select("doc_id", "score_u")
+
+
 def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ingest-pipeline processors (functions/ingest_pipeline): the
     document-shaping subset the reference delegates server-side via the
@@ -2246,6 +2262,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "es_matrix_stats", "es_moving_percentiles", "fuzzy_match",
     "span_near_index", "dedup_apply", "msearch", "rank_eval_ndcg",
     "es_frequent_item_sets", "es_geo_line", "ingest_pipeline",
+    "simple_query_string",
 ]
 
 
@@ -2297,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields": q_combined_fields,
         "stemmed_token_counts": q_stemmed_token_counts,
         "ingest_pipeline": q_ingest_pipeline,
+        "simple_query_string": q_simple_query_string,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
@@ -2873,6 +2891,11 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "(SELECT doc_id, text || chr(10) || 'shared footer line' || "
             "chr(10) || source AS text FROM documents)",
             min_docs=3),
+        "simple_query_string": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.simple_query",
+            fromlist=["simple_query_string_sql"]).simple_query_string_sql(
+            "documents", 'merge + data | "table table" | scan* -slow',
+            k=15, default_operator="or"),
         "ingest_pipeline": """
 SELECT doc_id, 'prod' AS env,
        regexp_replace(source, 'src', 's', 'g') AS src,

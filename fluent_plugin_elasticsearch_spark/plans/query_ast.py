@@ -624,6 +624,32 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score_u"), F.asc("doc_id")
         )
 
+    if query and "simple_query_string" in query:
+        # ES simple_query_string: the lenient end-user grammar, compiled
+        # to a flat bool of term/phrase/prefix clauses and scored in two
+        # corpus passes (operators/simple_query.py). Reference contract:
+        # the plugin ships the body verbatim to ES (out_elasticsearch.rb
+        # client.search); ES's SimpleQueryParser is this grammar.
+        from ..operators.simple_query import simple_query_string_df
+
+        spec = query["simple_query_string"]
+        if "flags" in spec:
+            raise UnsupportedQuery("simple_query_string flags")
+        fields = spec.get("fields", ["text"])
+        if len(fields) != 1:
+            raise UnsupportedQuery(
+                "simple_query_string supports one field (use multi_match "
+                "for cross-field scoring)")
+        topk = simple_query_string_df(
+            docs, spec["query"], k=size or 10,
+            default_operator=spec.get("default_operator", "or").lower(),
+            text_col=fields[0].split("^")[0])
+        if min_score is not None:
+            topk = topk.filter(F.col("score_u") >= int(float(min_score) * 1e6))
+        return docs.join(F.broadcast(topk), "doc_id").orderBy(
+            F.desc("score_u"), F.asc("doc_id")
+        )
+
     if query and any(kq in query for kq in
                      ("span_near", "span_first", "span_or", "span_not",
                       "span_term", "intervals")):
