@@ -874,6 +874,32 @@ def q_es_date_histogram_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_es_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_cardinality + the canonical derivative pairing
+    (incremental churn: distinct users ever seen per day, and per-day new
+    users). Exact first-appearance form (plans/aggs.
+    _apply_cumulative_cardinality): groupBy(value).min(bucket) → per-
+    bucket new-value counts → running sum over the reduced series — no
+    HLL sketch, engine-independent."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_aggs(ev, {"aggs": {"per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "users": {"cardinality": {"field": "user_id"}},
+            "total_users": {"cumulative_cardinality":
+                            {"buckets_path": "users"}},
+            "new_users": {"derivative": {"buckets_path": "total_users"}},
+        }}}})["per_day"]
+    return out.select(
+        "key", "doc_count", F.col("users").cast("long").alias("users"),
+        F.col("total_users").cast("long").alias("total_users"),
+        # first-bucket NULL derivative → sentinel for the pandas-side hash
+        F.coalesce(F.col("new_users"), F.lit(-(2 ** 62)))
+        .cast("long").alias("new_users_c"))
+
+
 def q_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write bucketed table MERGE (sinks/cow_table.CowTable): the
     transactional-style upsert that rewrites ONLY touched buckets +
@@ -2262,7 +2288,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "es_matrix_stats", "es_moving_percentiles", "fuzzy_match",
     "span_near_index", "dedup_apply", "msearch", "rank_eval_ndcg",
     "es_frequent_item_sets", "es_geo_line", "ingest_pipeline",
-    "simple_query_string",
+    "simple_query_string", "es_cumulative_cardinality",
 ]
 
 
@@ -2322,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_auto_date_histogram": q_es_auto_date_histogram,
         "es_ip_range": q_es_ip_range,
         "es_date_histogram_gaps": q_es_date_histogram_gaps,
+        "es_cumulative_cardinality": q_es_cumulative_cardinality,
         "es_sibling_buckets": q_es_sibling_buckets,
         "es_matrix_stats": q_es_matrix_stats,
         "es_frequent_item_sets": q_es_frequent_item_sets,
@@ -3089,6 +3116,28 @@ SELECT key, doc_count, sales,
                        - CAST(min(sales) OVER () AS DOUBLE))
             * 1e6) AS BIGINT) AS r100_u
 FROM b ORDER BY key
+""",
+        "es_cumulative_cardinality": """
+WITH agg AS (
+  SELECT date_trunc('day', ts) AS key, count(*) AS doc_count,
+         count(DISTINCT user_id) AS users
+  FROM events GROUP BY 1
+),
+fb AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS key FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1
+),
+inc AS (SELECT key, count(*) AS i FROM fb GROUP BY 1),
+j AS (
+  SELECT a.key, a.doc_count, CAST(a.users AS BIGINT) AS users,
+         CAST(sum(coalesce(i.i, 0)) OVER (ORDER BY a.key) AS BIGINT)
+           AS total_users
+  FROM agg a LEFT JOIN inc i ON a.key = i.key
+)
+SELECT key, doc_count, users, total_users,
+       coalesce(total_users - lag(total_users) OVER (ORDER BY key),
+                -4611686018427387904) AS new_users_c
+FROM j ORDER BY key
 """,
         "es_date_histogram_gaps": """
 WITH agg AS (

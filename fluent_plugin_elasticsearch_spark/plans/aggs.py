@@ -518,7 +518,13 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             gf_pipes = {n: s for n, s in (sub or {}).items()
                         if next(iter(s)) in _PIPELINE_KINDS}
             gf_plain = {n: s for n, s in (sub or {}).items() if n not in gf_pipes}
+            cc = {n: s for n, s in gf_pipes.items()
+                  if next(iter(s)) == "cumulative_cardinality"}
+            gf_pipes = {n: s for n, s in gf_pipes.items() if n not in cc}
             filled = _gap_filled_histogram(base, kind, inner, gf_plain)
+            if cc:  # first: later pipes may reference the cc column
+                filled = _apply_cumulative_cardinality(
+                    filled, base, kind, _bucket_key(kind, inner), cc, gf_plain)
             out[name] = (_apply_pipeline_aggs(filled, gf_pipes)
                          if gf_pipes else filled)
             continue
@@ -537,11 +543,17 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             }
             if pipes:
                 plain = {n: s for n, s in sub.items() if n not in pipes}
+                cc = {n: s for n, s in pipes.items()
+                      if next(iter(s)) == "cumulative_cardinality"}
+                pipes = {n: s for n, s in pipes.items() if n not in cc}
                 spec2: dict[str, Any] = {kind: inner}
                 if plain:
                     spec2["aggs"] = plain
-                out[name] = _apply_pipeline_aggs(
-                    _compile_bucket_path(base, name, spec2), pipes)
+                bf = _compile_bucket_path(base, name, spec2)
+                if cc:  # first: later pipes may reference the cc column
+                    bf = _apply_cumulative_cardinality(
+                        bf, base, kind, _bucket_key(kind, inner), cc, plain)
+                out[name] = _apply_pipeline_aggs(bf, pipes) if pipes else bf
             else:
                 out[name] = _compile_bucket_path(base, name, spec)
         elif kind == "multi_terms":
@@ -1083,7 +1095,47 @@ ORDER BY key_u ASC, min ASC""")
 
 _PIPELINE_KINDS = ("derivative", "cumulative_sum", "moving_fn", "serial_diff",
                    "bucket_script", "bucket_selector", "bucket_sort",
-                   "normalize", "moving_percentiles")
+                   "normalize", "moving_percentiles", "cumulative_cardinality")
+
+
+def _apply_cumulative_cardinality(df: DataFrame, base: DataFrame,
+                                  kind: str, key_expr: Column,
+                                  cc_pipes: dict[str, Any],
+                                  plain_subs: dict[str, Any]) -> DataFrame:
+    """ES cumulative_cardinality: the number of DISTINCT field values seen
+    in all buckets up to and including each bucket (ES pairs it with a
+    derivative for incremental churn). ES merges the sibling cardinality
+    agg's HLL sketches cumulatively in the reduce phase; the exact
+    engine-independent contract here is the first-appearance form — each
+    distinct value contributes to the cumulative count exactly at its
+    FIRST bucket, so: groupBy(value).min(bucket) → per-bucket new-value
+    counts → running sum over the reduced series. Two corpus-keyed
+    shuffles (value, then bucket), no sketch approximation."""
+    from pyspark.sql import Window
+
+    if kind not in ("date_histogram", "histogram"):
+        raise UnsupportedQuery(
+            "cumulative_cardinality needs an ordered histogram parent")
+    w = (Window.partitionBy(F.lit(0)).orderBy(F.asc("key"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for pname, spec in cc_pipes.items():
+        ps = spec["cumulative_cardinality"]
+        path = ps.get("buckets_path")
+        card = ((plain_subs or {}).get(path) or {}).get("cardinality")
+        if not card:
+            raise UnsupportedQuery(
+                "cumulative_cardinality buckets_path must name a sibling "
+                "cardinality agg")
+        fld = card["field"]
+        inc = (base.filter(F.col(fld).isNotNull())
+               .groupBy(F.col(fld).alias("__v"))
+               .agg(F.min(key_expr).alias("key"))
+               .groupBy("key").agg(F.count(F.lit(1)).alias("__inc")))
+        df = (df.join(inc, "key", "left")
+              .withColumn(pname, F.sum(F.coalesce(F.col("__inc"), F.lit(0)))
+                          .over(w))
+              .drop("__inc"))
+    return df.orderBy(F.asc("key"))
 
 
 def _script_expr(script: str, paths: dict[str, str]) -> Column:
@@ -1244,6 +1296,12 @@ def _apply_pipeline_aggs(df: DataFrame, pipes: dict[str, Any]) -> DataFrame:
             if ps.get("size"):
                 df = df.limit(int(ps["size"]))
             sorted_out = True
+        elif pk == "cumulative_cardinality":
+            # needs the raw frame — compile_aggs extracts it before this
+            # reduce-phase pass; reaching here means an unsupported nesting
+            raise UnsupportedQuery(
+                "cumulative_cardinality is only supported as a direct "
+                "sub-agg of a top-level (date_)histogram")
         else:
             raise UnsupportedQuery(f"unsupported pipeline agg: {pk}")
     return df if sorted_out else df.orderBy(F.asc("key"))

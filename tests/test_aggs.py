@@ -995,3 +995,41 @@ def test_geo_line(spark):
         "point": {"field": "loc"}, "sort": {"field": "seq"},
         "size": 4}}}})["gl"].collect()[0]
     assert tuple(out) == tuple(again)
+
+
+def test_cumulative_cardinality(spark):
+    # users appear across days; each counts once, at its FIRST day
+    rows = [Row(ts=dt.datetime(2024, 1, d), user_id=u)
+            for d, us in [(1, [1, 1, 2]), (2, [2, 3]), (3, [1, 4, 5]),
+                          (4, [5])]
+            for u in us]
+    ev = spark.createDataFrame(rows)
+    out = compile_aggs(ev, {"aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"u": {"cardinality": {"field": "user_id"}},
+                 "cum": {"cumulative_cardinality": {"buckets_path": "u"}},
+                 "churn": {"derivative": {"buckets_path": "cum"}}}}}})["d"]
+    got = [(r["doc_count"], r["u"], r["cum"], r["churn"])
+           for r in out.collect()]
+    assert got == [(3, 2, 2, None), (2, 2, 3, 1), (3, 3, 5, 2), (1, 1, 5, 0)]
+    # deterministic under repartitioning (exact, no sketch)
+    again = compile_aggs(ev.repartition(7), {"aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"u": {"cardinality": {"field": "user_id"}},
+                 "cum": {"cumulative_cardinality": {"buckets_path": "u"}}}}}})["d"]
+    assert [r["cum"] for r in again.collect()] == [2, 3, 5, 5]
+
+
+def test_cumulative_cardinality_raises(spark):
+    ev = spark.createDataFrame([Row(ts=dt.datetime(2024, 1, 1), user_id=1,
+                                    event_type="click")])
+    with pytest.raises(UnsupportedQuery, match="histogram parent"):
+        compile_aggs(ev, {"aggs": {"t": {
+            "terms": {"field": "event_type"},
+            "aggs": {"u": {"cardinality": {"field": "user_id"}},
+                     "cum": {"cumulative_cardinality": {"buckets_path": "u"}}}}}})
+    with pytest.raises(UnsupportedQuery, match="sibling"):
+        compile_aggs(ev, {"aggs": {"d": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"cum": {"cumulative_cardinality":
+                             {"buckets_path": "nope"}}}}}})
