@@ -758,6 +758,9 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             # aggregation, deterministic under any partitioning; the
             # size cut is a global sort+limit (the agg's contract is an
             # ordered line, so the sort is the operator, not overhead).
+            if "point" not in inner or "sort" not in inner:
+                raise UnsupportedQuery(
+                    "geo_line needs point.field and sort.field")
             pf = inner["point"]["field"]
             sfld = inner["sort"]["field"]
             gl_n = int(inner.get("size", 10000))
