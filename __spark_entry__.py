@@ -595,6 +595,42 @@ def q_remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_lines(docs, min_docs=3)
 
 
+def q_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_containing (operators/relevance.span_containing_df via the
+    AST): big = ordered span_near scan..merge (slop 3), little = table —
+    big spans that contain a little occurrence, scored on the big's
+    summed idfs (Lucene SpanContainingQuery contract)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {"query": {"span_containing": {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "scan"}},
+            {"span_term": {"text": "merge"}}], "slop": 3,
+            "in_order": True}},
+        "little": {"span_term": {"text": "table"}}}}, "size": 15})
+    return out.select("doc_id", "score_u")
+
+
+def q_span_within_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: positional index build + span_within served from
+    postings/positions (operators/positions.score_shard_span_contain) —
+    must equal the plain-SQL span_within oracle exactly."""
+    import tempfile
+
+    from fluent_plugin_elasticsearch_spark.operators.index_build import build_index
+    from fluent_plugin_elasticsearch_spark.operators.search import InvertedIndex
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="entry_spanwidx_") + "/idx"
+    build_index(spark, docs, out, id_col="doc_id", text_col="text",
+                tokenizer="simple", n_shards=4, n_salts=4, with_positions=True)
+    idx = InvertedIndex(spark, out)
+    top = idx.span_within("scan", "merge", "table", slop=3, k=15)
+    return top.select("doc_id",
+                      F.floor(F.col("score") * 1e6).cast("long").alias("score_u"))
+
+
 def q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES simple_query_string (operators/simple_query.py): the lenient
     end-user grammar — AND junction (+), OR alternatives (|), negation
@@ -2289,6 +2325,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "span_near_index", "dedup_apply", "msearch", "rank_eval_ndcg",
     "es_frequent_item_sets", "es_geo_line", "ingest_pipeline",
     "simple_query_string", "es_cumulative_cardinality",
+    "span_containing", "span_within_index",
 ]
 
 
@@ -2341,6 +2378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_token_counts": q_stemmed_token_counts,
         "ingest_pipeline": q_ingest_pipeline,
         "simple_query_string": q_simple_query_string,
+        "span_containing": q_span_containing,
+        "span_within_index": q_span_within_index,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
@@ -2918,6 +2957,14 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "(SELECT doc_id, text || chr(10) || 'shared footer line' || "
             "chr(10) || source AS text FROM documents)",
             min_docs=3),
+        "span_containing": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.relevance",
+            fromlist=["span_containing_sql"]).span_containing_sql(
+            "documents", "scan", "merge", "table", slop=3, k=15),
+        "span_within_index": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.relevance",
+            fromlist=["span_within_sql"]).span_within_sql(
+            "documents", "scan", "merge", "table", slop=3, k=15),
         "simple_query_string": __import__(
             "fluent_plugin_elasticsearch_spark.operators.simple_query",
             fromlist=["simple_query_string_sql"]).simple_query_string_sql(

@@ -582,3 +582,90 @@ def score_shard_intervals(pdf: pd.DataFrame, terms: list[str], max_gaps: int,
     uniq_arr = np.asarray(uniq_docs, dtype=np.int64)
     return _span_topk(uniq_arr[codes_sf], sf, dl_by_code[codes_sf],
                       idf_sum, k, avgdl, k1, b)
+
+
+def score_shard_span_contain(pdf: pd.DataFrame, first: str, second: str,
+                             little: str, slop: int, within: bool,
+                             idf_sum: float, k: int, avgdl: float,
+                             k1: float, b: float) -> pd.DataFrame:
+    """span_containing / span_within for one shard (contract exactly
+    relevance.span_containing_df / span_within_df). Big spans are the
+    ordered pairs (a, b2): `first` at a, `second` at b2, 1 <= b2-a <=
+    slop+1; little is a single term at q.
+
+    containing (within=False): anchors are `second` positions b2; a b2
+    qualifies iff its MINIMAL valid start amin has a little occurrence
+    in [amin, b2] (the minimal start gives the widest window, so the
+    exists-any-start test reduces to one searchsorted pair). sf = count
+    of qualifying b2.
+
+    within (within=True): anchors are little positions q; since a <= q
+    <= b2 and b2 <= a+slop+1 force b2 in [q, q+slop+1], the test loops
+    over the slop+2 candidate offsets — each a vectorized exact-match
+    probe into the `second` keys plus a start-window existence probe
+    with the a <= q cap. sf = count of qualifying q."""
+    if len(pdf) == 0:
+        return _empty_topk()
+    ids, tfs, dls, positions, terms = _decode_shard(pdf)
+    doc_codes, uniq_docs = pd.factorize(ids)
+    per_pos_doc = np.repeat(doc_codes.astype(np.int64), tfs)
+    per_pos_term = np.repeat(terms, tfs)
+
+    def keys_of(t):
+        m = per_pos_term == t
+        return np.sort((per_pos_doc[m].astype(np.uint64) << _POS_SHIFT)
+                       | positions[m].astype(np.uint64))
+
+    keys1 = keys_of(first)
+    if keys1.size == 0:
+        return _empty_topk()
+
+    def amin_ok(d: np.ndarray, b2: np.ndarray, a_cap: np.ndarray):
+        """Per anchor: does a valid big start a in [b2-slop-1,
+        min(a_cap, b2-1)] exist, and if so its minimal value."""
+        lo = (d << _POS_SHIFT) | np.maximum(b2 - slop - 1, 0).astype(np.uint64)
+        cap = np.minimum(a_cap, b2 - 1)
+        hi = (d << _POS_SHIFT) | np.maximum(cap, 0).astype(np.uint64)
+        i_lo = np.searchsorted(keys1, lo, side="left")
+        ok = (b2 >= 1) & (cap >= 0) & (
+            i_lo < np.searchsorted(keys1, hi, side="right"))
+        amin = (keys1[np.minimum(i_lo, keys1.size - 1)]
+                & _POS_MASK).astype(np.int64)
+        return ok, amin
+
+    if not within:
+        ma = per_pos_term == second
+        d = per_pos_doc[ma].astype(np.uint64)
+        b2 = positions[ma].astype(np.int64)
+        ok, amin = amin_ok(d, b2, b2 - 1)
+        keysq = keys_of(little)
+        lo_q = (d << _POS_SHIFT) | np.maximum(amin, 0).astype(np.uint64)
+        hi_q = (d << _POS_SHIFT) | b2.astype(np.uint64)
+        alive = ok & (np.searchsorted(keysq, lo_q, side="left")
+                      < np.searchsorted(keysq, hi_q, side="right"))
+        anchor_mask = ma
+    else:
+        keys2 = keys_of(second)
+        ma = per_pos_term == little
+        d = per_pos_doc[ma].astype(np.uint64)
+        q = positions[ma].astype(np.int64)
+        alive = np.zeros(q.size, dtype=bool)
+        for off in range(0, slop + 2):
+            b2 = q + off
+            key2 = (d << _POS_SHIFT) | b2.astype(np.uint64)
+            i2 = np.searchsorted(keys2, key2, side="left")
+            hit = (i2 < keys2.size) & (keys2[np.minimum(i2, keys2.size - 1)]
+                                       == key2)
+            ok, _ = amin_ok(d, b2, q)
+            alive |= hit & ok
+        anchor_mask = ma
+
+    if not alive.any():
+        return _empty_topk()
+    codes_sf, sf = np.unique(per_pos_doc[anchor_mask][alive],
+                             return_counts=True)
+    dl_by_code = np.zeros(len(uniq_docs), dtype=np.int64)
+    dl_by_code[doc_codes] = dls
+    uniq_arr = np.asarray(uniq_docs, dtype=np.int64)
+    return _span_topk(uniq_arr[codes_sf], sf, dl_by_code[codes_sf],
+                      idf_sum, k, avgdl, k1, b)

@@ -1223,6 +1223,143 @@ matched AS (
 """
 
 
+def _span_pair_positions(docs: DataFrame, first: str, second: str,
+                         little: str, id_col: str, text_col: str) -> DataFrame:
+    """Shared position extraction for span_containing / span_within:
+    (doc_id, tokens, p1, p2, pq) with 1-based position arrays of the
+    big's two clause terms and the little term."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simple_tokens_col(F.col(text_col)).alias("tokens"))
+    idx_seq = F.when(
+        F.size("tokens") >= 1, F.sequence(F.lit(1), F.size("tokens"))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def pos_of(t):
+        return F.filter(idx_seq,
+                        lambda i: F.element_at(F.col("tokens"), i) == F.lit(t))
+
+    return (toks.withColumn("p1", pos_of(first))
+            .withColumn("p2", pos_of(second))
+            .withColumn("pq", pos_of(little)), toks)
+
+
+def span_containing_df(docs: DataFrame, first: str, second: str,
+                       little: str, slop: int = 0, k: int = 10,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES span_containing (Lucene SpanContainingQuery): big spans that
+    CONTAIN a little match. Supported shape: big = ordered two-clause
+    span_near (`first`..`second`, slop), little = single span_term. Span
+    frequency counts each big end position (`second` occurrence) at most
+    once — the span_near anchor contract — when some valid start `a`
+    (1 <= b2-a <= slop+1) has a little occurrence q with a <= q <= b2.
+    Scoring is the span contract over the BIG's clause terms (Lucene
+    scores SpanContaining from the big spans). Returns (doc_id, score_u)."""
+    base, toks = _span_pair_positions(docs, first, second, little,
+                                      id_col, text_col)
+    sf = F.size(F.filter(
+        F.col("p2"),
+        lambda b2: F.exists(
+            F.col("p1"),
+            lambda a: (b2 - a >= 1) & (b2 - a <= slop + 1)
+            & F.exists(F.col("pq"), lambda q: (q >= a) & (q <= b2))),
+    ))
+    matched = (
+        base.withColumn("sf", F.when(F.size("p2") > 0, sf).otherwise(F.lit(0)))
+        .filter(F.col("sf") > 0)
+        .select("doc_id", F.size("tokens").alias("dl"), "sf")
+    )
+    return _span_score(matched, toks, [first, second], k, k1, b)
+
+
+def span_within_df(docs: DataFrame, first: str, second: str,
+                   little: str, slop: int = 0, k: int = 10,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES span_within (Lucene SpanWithinQuery): little matches that fall
+    WITHIN a big span — the mirror of span_containing (same supported
+    shape). Span frequency counts each little position q at most once
+    when some big span (a, b2) has a <= q <= b2; note b2 is bounded to
+    q..q+slop+1 by the big's own slop, which the index kernel exploits.
+    Scoring is the span contract over the LITTLE's term (Lucene scores
+    SpanWithin from the enclosed little spans). Returns (doc_id,
+    score_u)."""
+    base, toks = _span_pair_positions(docs, first, second, little,
+                                      id_col, text_col)
+    sf = F.size(F.filter(
+        F.col("pq"),
+        lambda q: F.exists(
+            F.col("p2"),
+            lambda b2: (b2 >= q) & (b2 <= q + slop + 1)
+            & F.exists(F.col("p1"),
+                       lambda a: (b2 - a >= 1) & (b2 - a <= slop + 1)
+                       & (a <= q))),
+    ))
+    matched = (
+        base.withColumn("sf", F.when(F.size("pq") > 0, sf).otherwise(F.lit(0)))
+        .filter(F.col("sf") > 0)
+        .select("doc_id", F.size("tokens").alias("dl"), "sf")
+    )
+    return _span_score(matched, toks, [little], k, k1, b)
+
+
+def _span_pair_pos_sql(table: str, first: str, second: str, little: str,
+                       id_col: str, text_col: str) -> str:
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    toks = _TOKS_SQL.format(col=text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+pos AS (
+  SELECT doc_id, len(tokens) AS dl,
+         list_filter(generate_series(1, len(tokens)), i -> tokens[i] = {lit(first)}) AS p1,
+         list_filter(generate_series(1, len(tokens)), i -> tokens[i] = {lit(second)}) AS p2,
+         list_filter(generate_series(1, len(tokens)), i -> tokens[i] = {lit(little)}) AS pq
+  FROM toks
+)"""
+
+
+def span_containing_sql(table: str, first: str, second: str, little: str,
+                        slop: int = 0, k: int = 10,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of span_containing_df."""
+    return f"""{_span_pair_pos_sql(table, first, second, little, id_col, text_col)},
+matched AS (
+  SELECT doc_id, dl,
+         len(list_filter(p2, b2 -> len(list_filter(p1,
+             a -> b2 - a >= 1 AND b2 - a <= {slop + 1}
+                  AND len(list_filter(pq, q -> q >= a AND q <= b2)) > 0
+         )) > 0)) AS sf
+  FROM pos
+),
+{_span_idf_sql([first, second], k1, b, k)}
+"""
+
+
+def span_within_sql(table: str, first: str, second: str, little: str,
+                    slop: int = 0, k: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of span_within_df."""
+    return f"""{_span_pair_pos_sql(table, first, second, little, id_col, text_col)},
+matched AS (
+  SELECT doc_id, dl,
+         len(list_filter(pq, q -> len(list_filter(p2,
+             b2 -> b2 >= q AND b2 <= q + {slop + 1}
+                  AND len(list_filter(p1,
+                      a -> b2 - a >= 1 AND b2 - a <= {slop + 1} AND a <= q
+                  )) > 0
+         )) > 0)) AS sf
+  FROM pos
+),
+{_span_idf_sql([little], k1, b, k)}
+"""
+
+
 def intervals_match_df(docs: DataFrame, terms: list[str], max_gaps: int = -1,
                        ordered: bool = False, k: int = 10,
                        id_col: str = "doc_id", text_col: str = "text",

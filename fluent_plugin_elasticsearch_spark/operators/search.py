@@ -513,6 +513,47 @@ class InvertedIndex:
         local = blocks.groupBy("shard").applyInPandas(shard, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def span_containing(self, first: str, second: str, little: str,
+                        slop: int = 0, k: int = 10,
+                        within: bool = False) -> DataFrame:
+        """ES span_containing / span_within (within=True) served from the
+        positional index — contract exactly relevance.span_containing_df
+        / span_within_df (the no-index fallbacks): big = ordered
+        two-clause span_near (first..second, slop), little = one
+        span_term. Work per shard is the three terms' posting/position
+        data only; scoring idf is the big's summed clause idfs for
+        containing, the little's idf for within (the Lucene source-span
+        contract)."""
+        if not self.meta.get("with_positions"):
+            raise ValueError("index was built without positions (with_positions=True)")
+        from .positions import score_shard_span_contain
+        from ..textproc import bm25_idf
+
+        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        wanted = sorted({first, second, little})
+        dfs = self._lookup_dfs(wanted)
+        if any(t not in dfs for t in (first, second, little)):
+            return empty  # a clause term absent ⇒ no span anywhere
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        idf_sum = (bm25_idf(dfs[little], n_docs) if within
+                   else bm25_idf(dfs[first], n_docs)
+                   + bm25_idf(dfs[second], n_docs))
+
+        def shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard_span_contain(pdf, first, second, little,
+                                            int(slop), within, idf_sum, k,
+                                            avgdl, k1, b)
+
+        blocks = self.postings().filter(F.col("term").isin(wanted))
+        local = blocks.groupBy("shard").applyInPandas(shard, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def span_within(self, first: str, second: str, little: str,
+                    slop: int = 0, k: int = 10) -> DataFrame:
+        return self.span_containing(first, second, little, slop, k,
+                                    within=True)
+
     def intervals_match(self, terms: list[str], max_gaps: int = -1,
                         ordered: bool = False, k: int = 10) -> DataFrame:
         """ES intervals `match` rule served from the positional index

@@ -652,7 +652,8 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
 
     if query and any(kq in query for kq in
                      ("span_near", "span_first", "span_or", "span_not",
-                      "span_term", "intervals")):
+                      "span_term", "span_containing", "span_within",
+                      "intervals")):
         # ES span/intervals queries (Lucene span family): single-term
         # clauses, served from a POSITIONAL index when one is registered
         # for the field (span_or needs only tf postings), else the
@@ -667,7 +668,9 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
 
         k = size or 10
         kq = next(iter(set(query) & {"span_near", "span_first", "span_or",
-                                     "span_not", "span_term", "intervals"}))
+                                     "span_not", "span_term",
+                                     "span_containing", "span_within",
+                                     "intervals"}))
         spec = query[kq]
         if kq == "intervals":
             ((_field, ispec),) = spec.items()
@@ -712,6 +715,24 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
                     raise UnsupportedQuery("span clauses must share a field")
                 _field = pairs[0][0]
                 args = dict(terms=[t for _f, t in pairs])
+            elif kq in ("span_containing", "span_within"):
+                # supported shape: big = ordered two-clause span_near,
+                # little = one span_term (all on one field)
+                big, little = spec.get("big"), spec.get("little")
+                if not isinstance(big, dict) or "span_near" not in big:
+                    raise UnsupportedQuery(f"{kq} big must be a span_near")
+                bn = big["span_near"]
+                pairs = [_span_term(c) for c in bn.get("clauses", [])]
+                if len(pairs) != 2:
+                    raise UnsupportedQuery(f"{kq} big supports two clauses")
+                if not bn.get("in_order", True):
+                    raise UnsupportedQuery(f"{kq} big supports in_order=true")
+                fl, tl = _span_term(little)
+                if {pairs[0][0], pairs[1][0], fl} != {fl}:
+                    raise UnsupportedQuery("span clauses must share a field")
+                _field = fl
+                args = dict(first=pairs[0][1], second=pairs[1][1],
+                            little=tl, slop=int(bn.get("slop", 0)))
             else:  # span_not
                 fi, ti = _span_term(spec["include"])
                 fx, tx = _span_term(spec["exclude"])
@@ -722,14 +743,17 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
                             pre=int(spec.get("pre", 0)),
                             post=int(spec.get("post", 0)))
             sp_index = _resolve_index(index, _field)
-            needs_pos = kq in ("span_near", "span_first", "span_not")
+            needs_pos = kq in ("span_near", "span_first", "span_not",
+                               "span_containing", "span_within")
             if sp_index is not None and (
                     not needs_pos or sp_index.meta.get("with_positions")):
                 fn = {"span_near": sp_index.span_near,
                       "span_first": sp_index.span_first,
                       "span_or": sp_index.span_or,
                       "span_term": sp_index.span_or,
-                      "span_not": sp_index.span_not}[kq]
+                      "span_not": sp_index.span_not,
+                      "span_containing": sp_index.span_containing,
+                      "span_within": sp_index.span_within}[kq]
                 topk = fn(**args, k=k).select(
                     "doc_id", F.floor(F.col("score") * 1e6)
                     .cast("long").alias("score_u"))
@@ -738,7 +762,9 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
                        "span_first": _rel.span_first_df,
                        "span_or": _rel.span_or_df,
                        "span_term": _rel.span_or_df,
-                       "span_not": _rel.span_not_df}[kq]
+                       "span_not": _rel.span_not_df,
+                       "span_containing": _rel.span_containing_df,
+                       "span_within": _rel.span_within_df}[kq]
                 topk = dfn(docs, **args, k=k, text_col=_field)
         return docs.join(F.broadcast(topk), "doc_id").orderBy(
             F.desc("score_u"), F.asc("doc_id")

@@ -350,3 +350,32 @@ def test_query_ast_match_phrase_routes_to_index(spark, sf_dir, pos_index):
     assert len(rows) == 5
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.parametrize("first,second,little,slop", [
+    ("the", "query", "data", 2),
+    ("the", "data", "the", 0),       # little == first
+    ("merge", "window", "merge", 3),  # little == first, wider slop
+    ("the", "data", "data", 1),      # little == second
+    ("the", "data", "zzznope", 2),   # absent little → empty
+    ("data", "query", "table", 5),
+])
+def test_span_containing_within_index_matches_df(spark, sf_dir, pos_index,
+                                                 first, second, little, slop):
+    from fluent_plugin_elasticsearch_spark.operators.relevance import (
+        span_containing_df,
+        span_within_df,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = InvertedIndex(spark, pos_index)
+    for got_df, want_df in [
+        (idx.span_containing(first, second, little, slop, 10),
+         span_containing_df(docs, first, second, little, slop, 10)),
+        (idx.span_within(first, second, little, slop, 10),
+         span_within_df(docs, first, second, little, slop, 10)),
+    ]:
+        got, want = got_df.collect(), want_df.collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+        for g, e in zip(got, want):
+            assert math.floor(g["score"] * 1e6) == e["score_u"]

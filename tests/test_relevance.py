@@ -514,3 +514,58 @@ def test_explain_api_matches_score(docs, duck):
     score = {r["doc_id"]: r["score_u"]
              for r in B.bm25_scores_df(docs, ["quick", "dog"]).collect()}[0]
     assert abs(total - score) <= 2
+
+
+def test_span_containing_within_semantics(spark, docs, duck):
+    # doc 0: the(1) quick(2) brown(3) fox(4) ... big = quick..fox slop=1
+    # contains brown(3); doc 1 has quick brown but no fox.
+    ids = {r["doc_id"] for r in rel.span_containing_df(
+        docs, "quick", "fox", "brown", slop=1, k=8).collect()}
+    assert ids == {0}
+    # little outside the big span: fox(4) not in [lazy(8), dog(9)]
+    assert rel.span_containing_df(
+        docs, "lazy", "dog", "fox", slop=0, k=8).count() == 0
+    # within mirror: brown(3) within quick..cat in doc 1 (quick(2) cat(4))
+    ids = {r["doc_id"] for r in rel.span_within_df(
+        docs, "quick", "cat", "brown", slop=1, k=8).collect()}
+    assert ids == {1}
+    # multiple spans count: doc 5 merge(1) partition(2) merge(3)
+    # partition(4) merge(5) — big merge..partition slop=0 → pairs (1,2),
+    # (3,4); each contains a merge → containing sf=2; within counts the
+    # enclosed merges 1 and 3 (not 5) → sf=2
+    c = rel.span_containing_df(docs, "merge", "partition", "merge",
+                               slop=0, k=8)
+    w = rel.span_within_df(docs, "merge", "partition", "merge",
+                           slop=0, k=8)
+    assert {r["doc_id"] for r in c.collect()} == {5}
+    assert {r["doc_id"] for r in w.collect()} == {5}
+    _match(c, duck, rel.span_containing_sql(
+        "docs", "merge", "partition", "merge", slop=0, k=8))
+    _match(w, duck, rel.span_within_sql(
+        "docs", "merge", "partition", "merge", slop=0, k=8))
+    _match(rel.span_containing_df(docs, "quick", "fox", "brown", slop=1, k=8),
+           duck, rel.span_containing_sql("docs", "quick", "fox", "brown",
+                                         slop=1, k=8))
+    _match(rel.span_within_df(docs, "quick", "cat", "brown", slop=1, k=8),
+           duck, rel.span_within_sql("docs", "quick", "cat", "brown",
+                                     slop=1, k=8))
+
+
+def test_span_containing_ast_route_and_raises(spark, docs):
+    body = {"query": {"span_containing": {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "quick"}},
+            {"span_term": {"text": "fox"}}], "slop": 1, "in_order": True}},
+        "little": {"span_term": {"text": "brown"}}}}, "size": 8}
+    out = compile_query(docs, body)
+    assert {r["doc_id"] for r in out.collect()} == {0}
+    with pytest.raises(UnsupportedQuery, match="big must be a span_near"):
+        compile_query(docs, {"query": {"span_within": {
+            "big": {"span_term": {"text": "a"}},
+            "little": {"span_term": {"text": "b"}}}}})
+    with pytest.raises(UnsupportedQuery, match="share a field"):
+        compile_query(docs, {"query": {"span_containing": {
+            "big": {"span_near": {"clauses": [
+                {"span_term": {"text": "a"}},
+                {"span_term": {"lang": "b"}}]}},
+            "little": {"span_term": {"text": "c"}}}}})
