@@ -910,6 +910,32 @@ def q_es_date_histogram_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_es_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested + reverse_nested aggs (plans/aggs.py): aggregation over
+    array-of-structs ELEMENTS (terms on evs.event_type buckets nested
+    events) with a reverse_nested jump back to distinct PARENT docs per
+    bucket, plus an element-level sum. The nested column is built
+    deterministically from events (collect_list per user — same derive
+    pattern as nested_query); the whole tree is one explode + one
+    groupBy."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long"))
+    nd = (ev.groupBy("user_id")
+          .agg(F.collect_list(F.struct("event_type", "value_u")).alias("evs"))
+          .withColumnRenamed("user_id", "doc_id"))
+    out = compile_aggs(nd, {"aggs": {"e": {
+        "nested": {"path": "evs"},
+        "aggs": {"types": {
+            "terms": {"field": "evs.event_type", "size": 5},
+            "aggs": {"docs": {"reverse_nested": {}},
+                     "v_sum": {"sum": {"field": "evs.value_u"}}},
+        }}}}})["e"]
+    return out.select("key", "doc_count", "docs_doc_count",
+                      F.col("v_sum").cast("long").alias("v_sum"))
+
+
 def q_es_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES cumulative_cardinality + the canonical derivative pairing
     (incremental churn: distinct users ever seen per day, and per-day new
@@ -2325,7 +2351,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "span_near_index", "dedup_apply", "msearch", "rank_eval_ndcg",
     "es_frequent_item_sets", "es_geo_line", "ingest_pipeline",
     "simple_query_string", "es_cumulative_cardinality",
-    "span_containing", "span_within_index",
+    "span_containing", "span_within_index", "es_reverse_nested",
 ]
 
 
@@ -2388,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_ip_range": q_es_ip_range,
         "es_date_histogram_gaps": q_es_date_histogram_gaps,
         "es_cumulative_cardinality": q_es_cumulative_cardinality,
+        "es_reverse_nested": q_es_reverse_nested,
         "es_sibling_buckets": q_es_sibling_buckets,
         "es_matrix_stats": q_es_matrix_stats,
         "es_frequent_item_sets": q_es_frequent_item_sets,
@@ -3163,6 +3190,12 @@ SELECT key, doc_count, sales,
                        - CAST(min(sales) OVER () AS DOUBLE))
             * 1e6) AS BIGINT) AS r100_u
 FROM b ORDER BY key
+""",
+        "es_reverse_nested": """
+SELECT event_type AS key, count(*) AS doc_count,
+       count(DISTINCT user_id) AS docs_doc_count,
+       CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum
+FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
 """,
         "es_cumulative_cardinality": """
 WITH agg AS (

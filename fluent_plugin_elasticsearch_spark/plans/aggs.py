@@ -839,6 +839,61 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                 .filter(F.col("support_u") >= int(_m.floor(min_sup * 1e6)))
                 .orderBy(F.desc("doc_count"), F.asc("itemset"))
                 .limit(fi_size))
+        elif kind == "nested":
+            # ES nested agg: switch the aggregation context to the
+            # elements of an array-of-structs column — doc_count counts
+            # ELEMENTS, a terms sub-agg buckets elements, and a
+            # reverse_nested sub-sub-agg jumps back to PARENT documents
+            # (count of distinct parents with >= 1 element in the
+            # bucket). Parent identity is the engine's doc_id column
+            # (ES nested docs carry their parent intrinsically). The
+            # whole tree is ONE explode + ONE groupBy — the explode is
+            # map-side, so the plan is the same single shuffle as a flat
+            # terms agg.
+            path = inner["path"]
+            if "doc_id" not in base.columns:
+                raise UnsupportedQuery(
+                    "nested agg needs a doc_id column (reverse_nested "
+                    "parent identity)")
+
+            def _strip(f_: str) -> str:
+                if not f_.startswith(path + "."):
+                    raise UnsupportedQuery(
+                        f"nested sub-agg fields must be {path}.*: {f_}")
+                return f_[len(path) + 1:]
+
+            ex = (base.select("doc_id", F.explode(path).alias("__e"))
+                  .select("doc_id", "__e.*"))
+            if not sub:
+                out[name] = ex.agg(F.count(F.lit(1)).alias("doc_count"))
+                continue
+            if len(sub) != 1 or "terms" not in next(iter(sub.values())):
+                raise UnsupportedQuery(
+                    "nested agg supports one terms sub-agg (or none)")
+            ((_tname, tspec),) = sub.items()
+            tin = tspec["terms"]
+            tsub = tspec.get("aggs") or {}
+            aggs = [F.count(F.lit(1)).alias("doc_count")]
+            for mname, mspec in tsub.items():
+                ((mk, mi),) = mspec.items()
+                if mk == "reverse_nested":
+                    if isinstance(mi, dict) and mi.get("path"):
+                        raise UnsupportedQuery(
+                            "reverse_nested to an intermediate path")
+                    aggs.append(F.countDistinct("doc_id")
+                                .alias(f"{mname}_doc_count"))
+                elif mk in _METRICS:
+                    aggs.append(_METRICS[mk](F.col(_strip(mi["field"])))
+                                .alias(mname))
+                else:
+                    raise UnsupportedQuery(
+                        f"nested terms sub-agg kind: {mk}")
+            t_size = int(tin.get("size", 10))
+            out[name] = (
+                ex.groupBy(F.col(_strip(tin["field"])).alias("key"))
+                .agg(*aggs)
+                .orderBy(F.desc("doc_count"), F.asc("key"))
+                .limit(t_size))
         elif kind == "matrix_stats":
             # ES matrix_stats: per-field mean/variance plus pairwise
             # covariance/correlation over docs holding EVERY field (ES

@@ -1033,3 +1033,33 @@ def test_cumulative_cardinality_raises(spark):
             "date_histogram": {"field": "ts", "calendar_interval": "day"},
             "aggs": {"cum": {"cumulative_cardinality":
                              {"buckets_path": "nope"}}}}}})
+
+
+def test_nested_reverse_nested_agg(spark):
+    rows = [
+        Row(doc_id=1, evs=[Row(t="a", v=10), Row(t="a", v=20),
+                           Row(t="b", v=5)]),
+        Row(doc_id=2, evs=[Row(t="a", v=1)]),
+        Row(doc_id=3, evs=[Row(t="b", v=7), Row(t="b", v=8)]),
+    ]
+    nd = spark.createDataFrame(rows)
+    out = compile_aggs(nd, {"aggs": {"e": {
+        "nested": {"path": "evs"},
+        "aggs": {"types": {"terms": {"field": "evs.t", "size": 10},
+                           "aggs": {"docs": {"reverse_nested": {}},
+                                    "vs": {"sum": {"field": "evs.v"}}}}},
+    }}})["e"].collect()
+    got = {r["key"]: (r["doc_count"], r["docs_doc_count"], r["vs"])
+           for r in out}
+    # 'a': 3 elements across docs 1,2; 'b': 3 elements across docs 1,3
+    assert got == {"a": (3, 2, 31), "b": (3, 2, 20)}
+    # bare nested agg counts ELEMENTS
+    bare = compile_aggs(nd, {"aggs": {"e": {"nested": {"path": "evs"}}}})
+    assert bare["e"].collect()[0]["doc_count"] == 6
+    # field outside the path raises; missing doc_id raises
+    with pytest.raises(UnsupportedQuery, match="evs"):
+        compile_aggs(nd, {"aggs": {"e": {"nested": {"path": "evs"},
+                                         "aggs": {"t": {"terms": {"field": "t"}}}}}})
+    with pytest.raises(UnsupportedQuery, match="doc_id"):
+        compile_aggs(nd.withColumnRenamed("doc_id", "x"),
+                     {"aggs": {"e": {"nested": {"path": "evs"}}}})
