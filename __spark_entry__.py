@@ -631,6 +631,20 @@ def q_span_within_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.floor(F.col("score") * 1e6).cast("long").alias("score_u"))
 
 
+def q_span_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_multi (operators/relevance.span_multi_df via the AST):
+    wildcard s?a* expanded against the vocabulary (term-asc, capped),
+    scored under the span_or contract with an order-free integer-
+    quantized idf sum."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {"query": {"span_multi": {"match": {
+        "wildcard": {"text": {"value": "s?a*", "max_expansions": 10}}}}},
+        "size": 15})
+    return out.select("doc_id", "score_u")
+
+
 def q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES simple_query_string (operators/simple_query.py): the lenient
     end-user grammar — AND junction (+), OR alternatives (|), negation
@@ -2352,6 +2366,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "es_frequent_item_sets", "es_geo_line", "ingest_pipeline",
     "simple_query_string", "es_cumulative_cardinality",
     "span_containing", "span_within_index", "es_reverse_nested",
+    "span_multi",
 ]
 
 
@@ -2406,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_query_string": q_simple_query_string,
         "span_containing": q_span_containing,
         "span_within_index": q_span_within_index,
+        "span_multi": q_span_multi,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
@@ -2984,6 +3000,10 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "(SELECT doc_id, text || chr(10) || 'shared footer line' || "
             "chr(10) || source AS text FROM documents)",
             min_docs=3),
+        "span_multi": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.relevance",
+            fromlist=["span_multi_sql"]).span_multi_sql(
+            "documents", "s?a*", kind="wildcard", max_expansions=10, k=15),
         "span_containing": __import__(
             "fluent_plugin_elasticsearch_spark.operators.relevance",
             fromlist=["span_containing_sql"]).span_containing_sql(

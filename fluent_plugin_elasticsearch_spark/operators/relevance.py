@@ -1360,6 +1360,111 @@ matched AS (
 """
 
 
+def _span_multi_like(value: str, kind: str) -> str:
+    """ES prefix/wildcard pattern → a SQL LIKE pattern shared verbatim by
+    Spark's Column.like and DuckDB LIKE."""
+    from ..plans.query_ast import UnsupportedQuery
+
+    if "%" in value or "_" in value:
+        raise UnsupportedQuery(
+            "span_multi pattern may not contain literal % or _")
+    if kind == "prefix":
+        return value + "%"
+    if kind == "wildcard":
+        return value.replace("*", "%").replace("?", "_")
+    raise UnsupportedQuery(
+        f"span_multi supports prefix/wildcard, got {kind}")
+
+
+def span_multi_df(docs: DataFrame, value: str, kind: str = "prefix",
+                  max_expansions: int = 50, k: int = 10,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES span_multi (Lucene SpanMultiTermQueryWrapper) over a prefix or
+    wildcard inner query: the pattern expands against the VOCABULARY
+    (term-ascending, capped at max_expansions — never the corpus rows),
+    then scores under the span_or contract: sf = total occurrences of any
+    expansion term, one saturation with the summed expansion idfs.
+    Because the expansion size is data-dependent, the idf sum is made
+    ORDER-FREE by quantizing each term idf to integer micro-nats before
+    the sum (the unigram/entropy integer-sum trick) — Spark, the index
+    kernel, and DuckDB all add the same integers. Returns (doc_id,
+    score_u), tie (score desc, doc_id asc)."""
+    like = _span_multi_like(value, kind)
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       simple_tokens_col(F.col(text_col)).alias("tokens"))
+    expansion = [r["term"] for r in
+                 (toks.select(F.explode(F.array_distinct("tokens"))
+                              .alias("term"))
+                  .filter(F.col("term").like(like))
+                  .distinct().orderBy(F.asc("term"))
+                  .limit(int(max_expansions)).collect())]
+    spark = docs.sparkSession
+    if not expansion:
+        return spark.createDataFrame([], "doc_id long, score_u long")
+    stats = corpus_stats_with_dfs(
+        toks, [F.array_contains("tokens", t) for t in expansion])
+    idf_u = None
+    for i in range(len(expansion)):
+        u = F.floor(F.log(1.0 + (F.col("n") - F.col(f"df{i}") + 0.5)
+                          / (F.col(f"df{i}") + 0.5)) * 1e6).cast("long")
+        idf_u = u if idf_u is None else idf_u + u
+    term_arr = F.array(*[F.lit(t) for t in expansion])
+    sf = F.size(F.filter(F.col("tokens"),
+                         lambda t: F.array_contains(term_arr, t)))
+    matched = (toks.withColumn("sf", sf).filter(F.col("sf") > 0)
+               .select("doc_id", F.size("tokens").alias("dl"), "sf"))
+    scored = matched.crossJoin(F.broadcast(stats))
+    score = ((idf_u / 1e6) * (k1 + 1.0) * F.col("sf")
+             / (F.col("sf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+    return (scored.select("doc_id",
+                          F.floor(score * 1e6).cast("long").alias("score_u"))
+            .orderBy(F.desc("score_u"), F.asc("doc_id"))
+            .limit(k))
+
+
+def span_multi_sql(table: str, value: str, kind: str = "prefix",
+                   max_expansions: int = 50, k: int = 10,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of span_multi_df — same LIKE expansion, same capped
+    term-ascending expansion order, same integer-quantized idf sum."""
+    like = "'" + _span_multi_like(value, kind).replace("'", "''") + "'"
+    toks = _TOKS_SQL.format(col=text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {table}
+),
+stats AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks),
+exp AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(tokens) AS t FROM toks)
+  WHERE t LIKE {like} ORDER BY term LIMIT {int(max_expansions)}
+),
+hits AS (
+  SELECT b.doc_id, b.dl, b.term
+  FROM (SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM toks) b
+  JOIN exp USING (term)
+),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+idf AS (
+  SELECT sum(CAST(floor(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 1e6)
+             AS BIGINT)) AS idf_u
+  FROM dfq d CROSS JOIN stats s
+),
+matched AS (
+  SELECT doc_id, any_value(dl) AS dl, count(*) AS sf FROM hits GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(floor((i.idf_u / 1e6) * {k1 + 1.0} * m.sf
+            / (m.sf + {k1} * (1.0 - {b} + {b} * m.dl / s.avgdl)) * 1e6)
+            AS BIGINT) AS score_u
+FROM matched m CROSS JOIN stats s CROSS JOIN idf i
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def intervals_match_df(docs: DataFrame, terms: list[str], max_gaps: int = -1,
                        ordered: bool = False, k: int = 10,
                        id_col: str = "doc_id", text_col: str = "text",

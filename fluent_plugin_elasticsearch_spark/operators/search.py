@@ -513,6 +513,43 @@ class InvertedIndex:
         local = blocks.groupBy("shard").applyInPandas(shard, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def span_multi(self, value: str, kind: str = "prefix",
+                   max_expansions: int = 50, k: int = 10) -> DataFrame:
+        """ES span_multi (prefix/wildcard inner query) served from the tf
+        index: the pattern expands against the TERM DICTIONARY (LIKE
+        pushdown on the sorted term_stats parquet, term-ascending, capped
+        — same expansion as relevance.span_multi_df, whose contract this
+        reproduces exactly: sf = Σ tf over expansion postings, one
+        saturation with the integer-quantized summed expansion idfs). No
+        positions needed; work per shard is the expansion terms'
+        postings only."""
+        import math as _m
+
+        from ..textproc import bm25_idf
+        from .relevance import _span_multi_like
+        from .wand import score_shard_span_or
+
+        like = _span_multi_like(value, kind)
+        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        exp_rows = (self.term_stats().filter(F.col("term").like(like))
+                    .orderBy(F.asc("term"))
+                    .limit(int(max_expansions)).collect())
+        if not exp_rows:
+            return empty
+        n_docs, avgdl = self.meta["n_docs"], self.meta["avgdl"]
+        k1, b = self.meta["k1"], self.meta["b"]
+        idf_u = sum(_m.floor(bm25_idf(r["df"], n_docs) * 1e6)
+                    for r in exp_rows)
+        idf_sum = idf_u / 1e6
+        terms = [r["term"] for r in exp_rows]
+
+        def shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard_span_or(pdf, idf_sum, k, avgdl, k1, b)
+
+        blocks = self.postings().filter(F.col("term").isin(terms))
+        local = blocks.groupBy("shard").applyInPandas(shard, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def span_containing(self, first: str, second: str, little: str,
                         slop: int = 0, k: int = 10,
                         within: bool = False) -> DataFrame:

@@ -653,7 +653,7 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
     if query and any(kq in query for kq in
                      ("span_near", "span_first", "span_or", "span_not",
                       "span_term", "span_containing", "span_within",
-                      "intervals")):
+                      "span_multi", "intervals")):
         # ES span/intervals queries (Lucene span family): single-term
         # clauses, served from a POSITIONAL index when one is registered
         # for the field (span_or needs only tf postings), else the
@@ -670,8 +670,35 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         kq = next(iter(set(query) & {"span_near", "span_first", "span_or",
                                      "span_not", "span_term",
                                      "span_containing", "span_within",
-                                     "intervals"}))
+                                     "span_multi", "intervals"}))
         spec = query[kq]
+        if kq == "span_multi":
+            # ES span_multi: a prefix/wildcard inner query wrapped as a
+            # span clause — dictionary expansion (term-asc, capped), then
+            # the span_or contract with an order-free integer-quantized
+            # idf sum. Postings-served from the tf index when present.
+            m = spec.get("match")
+            inner_kinds = set(m or ()) & {"prefix", "wildcard"}
+            if not isinstance(m, dict) or not inner_kinds:
+                raise UnsupportedQuery(
+                    "span_multi supports a prefix or wildcard match")
+            ik = next(iter(inner_kinds))
+            ((f_, v),) = m[ik].items()
+            val = v["value"] if isinstance(v, dict) else v
+            mx = int(v.get("max_expansions", 50)) if isinstance(v, dict) else 50
+            sm_index = _resolve_index(index, f_)
+            if sm_index is not None:
+                topk = sm_index.span_multi(
+                    val, kind=ik, max_expansions=mx, k=k).select(
+                    "doc_id", F.floor(F.col("score") * 1e6)
+                    .cast("long").alias("score_u"))
+            else:
+                topk = _rel.span_multi_df(docs, val, kind=ik,
+                                          max_expansions=mx, k=k,
+                                          text_col=f_)
+            return docs.join(F.broadcast(topk), "doc_id").orderBy(
+                F.desc("score_u"), F.asc("doc_id")
+            )
         if kq == "intervals":
             ((_field, ispec),) = spec.items()
             if "match" not in ispec:

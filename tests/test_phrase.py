@@ -379,3 +379,26 @@ def test_span_containing_within_index_matches_df(spark, sf_dir, pos_index,
         assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
         for g, e in zip(got, want):
             assert math.floor(g["score"] * 1e6) == e["score_u"]
+
+
+@pytest.mark.parametrize("value,kind,mx", [
+    ("mer", "prefix", 50),
+    ("th", "prefix", 50),
+    ("th", "prefix", 1),        # cap binds → same capped expansion
+    ("d?ta", "wildcard", 50),
+    ("qu*y", "wildcard", 50),
+    ("zzz", "prefix", 50),      # empty expansion
+])
+def test_span_multi_index_matches_df(spark, sf_dir, pos_index, value, kind, mx):
+    from fluent_plugin_elasticsearch_spark.operators.relevance import (
+        span_multi_df,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = InvertedIndex(spark, pos_index)
+    got = idx.span_multi(value, kind=kind, max_expansions=mx, k=10).collect()
+    want = span_multi_df(docs, value, kind=kind, max_expansions=mx,
+                         k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, e in zip(got, want):
+        assert math.floor(g["score"] * 1e6) == e["score_u"]

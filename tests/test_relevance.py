@@ -569,3 +569,32 @@ def test_span_containing_ast_route_and_raises(spark, docs):
                 {"span_term": {"text": "a"}},
                 {"span_term": {"lang": "b"}}]}},
             "little": {"span_term": {"text": "c"}}}}})
+
+
+def test_span_multi_semantics(spark, docs, duck):
+    # prefix 'quick': expansion {quick, quickly}; sf totals occurrences
+    got = {r["doc_id"]: r["score_u"] for r in
+           rel.span_multi_df(docs, "quick", "prefix", k=8).collect()}
+    assert set(got) == {0, 1, 2, 4}
+    _match(rel.span_multi_df(docs, "quick", "prefix", k=8), duck,
+           rel.span_multi_sql("docs", "quick", "prefix", k=8))
+    # wildcard with ? and *
+    _match(rel.span_multi_df(docs, "p?rt*", "wildcard", k=8), duck,
+           rel.span_multi_sql("docs", "p?rt*", "wildcard", k=8))
+    # expansion cap changes the idf sum AND the match set deterministically
+    _match(rel.span_multi_df(docs, "qu", "prefix", max_expansions=1, k=8),
+           duck, rel.span_multi_sql("docs", "qu", "prefix",
+                                    max_expansions=1, k=8))
+    # no vocabulary match → empty
+    assert rel.span_multi_df(docs, "zzz", "prefix", k=8).count() == 0
+
+
+def test_span_multi_ast_route_and_raises(spark, docs):
+    out = compile_query(docs, {"query": {"span_multi": {"match": {
+        "prefix": {"text": {"value": "quick"}}}}}, "size": 8})
+    assert {r["doc_id"] for r in out.collect()} == {0, 1, 2, 4}
+    with pytest.raises(UnsupportedQuery, match="prefix or wildcard"):
+        compile_query(docs, {"query": {"span_multi": {"match": {
+            "fuzzy": {"text": {"value": "quick"}}}}}})
+    with pytest.raises(UnsupportedQuery, match="literal"):
+        rel.span_multi_df(docs, "qu%", "prefix")
