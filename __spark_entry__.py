@@ -691,6 +691,27 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").cast("long").alias("n_words"))
 
 
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span removal (operators/textquality.
+    remove_repeated_ngrams — Lee et al. 2022): token 6-grams occurring
+    >= 2 times corpus-wide are excised position-wise. A shared promo
+    sentence is injected into every third doc so the operator has real
+    duplicated spans to strip at any sf (same injection pattern as
+    remove_boilerplate_lines)."""
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        remove_repeated_ngrams,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat_ws(" ", F.col("text"),
+                           F.lit("subscribe to our channel for more "
+                                 "great content")))
+        .otherwise(F.col("text")).alias("text"))
+    return remove_repeated_ngrams(docs, n=6, min_count=2)
+
+
 def q_stemmed_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Light plural stemming (operators/textquality.stem_token_col —
     Harman S-stemmer, the rule set of ES's light plural stemmers) as
@@ -2366,7 +2387,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "es_frequent_item_sets", "es_geo_line", "ingest_pipeline",
     "simple_query_string", "es_cumulative_cardinality",
     "span_containing", "span_within_index", "es_reverse_nested",
-    "span_multi",
+    "span_multi", "exact_substring_dedup",
 ]
 
 
@@ -2423,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_within_index": q_span_within_index,
         "span_multi": q_span_multi,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
+        "exact_substring_dedup": q_exact_substring_dedup,
         "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
         "distance_feature": q_distance_feature,
@@ -3026,6 +3048,13 @@ SELECT doc_id, 'prod' AS env,
        CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words
 FROM documents
 """,
+        "exact_substring_dedup": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.textquality",
+            fromlist=["remove_repeated_ngrams_sql"]).remove_repeated_ngrams_sql(
+            "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || "
+            "' subscribe to our channel for more great content' "
+            "ELSE text END AS text FROM documents)",
+            n=6, min_count=2),
         "stemmed_token_counts": (lambda _st=__import__(
             "fluent_plugin_elasticsearch_spark.operators.textquality",
             fromlist=["stem_sql_expr"]).stem_sql_expr("t"): (

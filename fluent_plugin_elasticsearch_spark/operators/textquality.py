@@ -411,3 +411,90 @@ SELECT doc_id, count(*) AS n_tokens,
        CAST(floor(sum(nll_u) * 1.0 / count(*)) AS BIGINT) AS mean_nll_micro
 FROM surp GROUP BY doc_id
 """
+
+
+def remove_repeated_ngrams(docs: DataFrame, n: int = 50, min_count: int = 2,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """ExactSubstr-style repeated-span removal (public recipe: Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    any token n-gram occurring >= ``min_count`` times across the corpus
+    (within-doc repeats included, like ExactSubstr) is a duplicated span;
+    every token position covered by a duplicated window is dropped and
+    the remaining tokens reassembled in order. The full suffix-array form
+    finds spans of EXACTLY >= n tokens; the windowed form is its
+    hash-join approximation — any duplicated span of length >= n is
+    fully covered by duplicated n-windows, so recall at the n threshold
+    is exact, and the window hash join is the 100 TB-shape (no global
+    suffix sort).
+
+    Plan: one map-side window expansion (explode of per-doc starts),
+    ONE shuffle on the md5 window key (partial-aggregated count), an
+    equi-join of duplicated keys back (never broadcast — the duplicate
+    set is corpus-sized at scale), one covered-position groupBy keyed by
+    doc_id, and a final index-lambda filter over the token array — no
+    per-token reassembly shuffle. Output text is the normalized token
+    stream (tokenizer spacing). Returns (doc_id, text, n_tokens,
+    n_removed); docs shorter than n tokens pass through untouched."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       simple_tokens_col(F.col(text_col)).alias("tokens"))
+    starts = F.when(
+        F.size("tokens") >= n, F.sequence(F.lit(1), F.size("tokens") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (toks.select("doc_id", "tokens", F.explode(starts).alias("s"))
+          .select("doc_id", "s",
+                  F.md5(F.concat_ws(" ", F.slice(F.col("tokens"), F.col("s"),
+                                                 n))).alias("h")))
+    dup = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= int(min_count)).select("h"))
+    cov = (sh.join(dup, "h", "left_semi")
+           .select("doc_id", F.explode(F.sequence(F.col("s"),
+                                                  F.col("s") + n - 1))
+                   .alias("p"))
+           .groupBy("doc_id").agg(F.collect_set("p").alias("cov")))
+    out = toks.join(cov, "doc_id", "left")
+    keep = F.filter(
+        F.col("tokens"),
+        lambda t, i: F.col("cov").isNull() | ~F.array_contains("cov", i + 1))
+    return out.select(
+        "doc_id",
+        F.array_join(keep, " ").alias("text"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"))
+
+
+def remove_repeated_ngrams_sql(table: str, n: int = 50, min_count: int = 2,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> str:
+    """DuckDB mirror of remove_repeated_ngrams — same tokenizer, same
+    window hashing, same coverage semantics, same reassembly."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+'),
+                     t -> t <> '') AS tokens
+  FROM {table}
+),
+sh AS (
+  SELECT doc_id, s,
+         md5(array_to_string(tokens[s:s + {n - 1}], ' ')) AS h
+  FROM (SELECT doc_id, tokens,
+               unnest(generate_series(1, greatest(len(tokens) - {n - 1}, 0)))
+                 AS s
+        FROM toks)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= {int(min_count)}),
+marked AS (SELECT doc_id, s FROM sh JOIN dup USING (h)),
+covp AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(s, s + {n - 1})) AS p
+  FROM marked
+),
+covl AS (SELECT doc_id, list(p) AS cov FROM covp GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(array_to_string(list_filter(t.tokens,
+         (x, i) -> c.cov IS NULL OR NOT list_contains(c.cov, i)), ' '), '')
+         AS text,
+       CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN covl c USING (doc_id)
+"""

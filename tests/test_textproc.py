@@ -219,3 +219,42 @@ def test_remove_repeated_lines(spark):
     for i in (1, 2, 3, 4):
         assert (duck[i][1], duck[i][2], duck[i][3]) == (
             out[i]["text"], out[i]["n_lines"], out[i]["n_removed"]), i
+
+
+def test_remove_repeated_ngrams(spark):
+    import duckdb
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        remove_repeated_ngrams,
+        remove_repeated_ngrams_sql,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        Row(doc_id=1, text=f"unique one here {shared} tail one"),
+        Row(doc_id=2, text=f"{shared} other content entirely two"),
+        Row(doc_id=3, text="loop loop loop loop loop loop shortend"),
+        Row(doc_id=4, text="tiny"),  # shorter than n → untouched
+        Row(doc_id=5, text="wholly distinct words nothing shared here"),
+    ]
+    docs = spark.createDataFrame(rows)
+    out = remove_repeated_ngrams(docs, n=5, min_count=2)
+    got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+           for r in out.collect()}
+    # the shared 5-gram is excised from both docs 1 and 2
+    assert got[1] == ("unique one here tail one", 10, 5)
+    assert got[2] == ("other content entirely two", 9, 5)
+    # within-doc repetition: 'loop'*6 has two identical 5-windows
+    # (1..5, 2..6) → positions 1..6 covered
+    assert got[3] == ("shortend", 7, 6)
+    assert got[4] == ("tiny", 1, 0)
+    assert got[5][2] == 0
+    # DuckDB mirror parity
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)",
+                    [(r.doc_id, r.text) for r in rows])
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        remove_repeated_ngrams_sql("d", n=5, min_count=2)).fetchall()}
+    assert got == want
