@@ -631,6 +631,37 @@ def q_span_within_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.floor(F.col("score") * 1e6).cast("long").alias("score_u"))
 
 
+_PERCOLATE_REGISTRY = [
+    (1, ["merge", "data"], 2),
+    (2, ["scan"], 1),
+    (3, ["zzznope"], 1),
+    (4, ["table", "quick", "fast"], 2),
+    (5, ["merge", "slow"], 1),
+    (6, ["data", "data", "merge"], 3),  # dup terms: distinct-match rule
+]
+_PERCOLATE_DOC = "fast merge of data tables and a quick scan"
+
+
+def q_percolate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolate QUERY clause (plans/query_ast.py): one inline
+    document matched against a stored-query registry — a pure filter
+    over the registry (doc terms are a literal array; matched-term
+    count via array_intersect), no join, no shuffle. The streaming
+    reverse-index form is operators/percolate.percolate_stream."""
+    from fluent_plugin_elasticsearch_spark.operators.percolate import (
+        make_query_registry,
+    )
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    reg = make_query_registry(spark, _PERCOLATE_REGISTRY)
+    out = compile_query(reg, {"query": {"percolate": {
+        "document": {"text": _PERCOLATE_DOC}}}})
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("msm").cast("long").alias("msm"),
+                      F.col("matched_terms").cast("long")
+                      .alias("matched_terms"))
+
+
 def q_span_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES span_multi (operators/relevance.span_multi_df via the AST):
     wildcard s?a* expanded against the vocabulary (term-asc, capped),
@@ -2387,7 +2418,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "es_frequent_item_sets", "es_geo_line", "ingest_pipeline",
     "simple_query_string", "es_cumulative_cardinality",
     "span_containing", "span_within_index", "es_reverse_nested",
-    "span_multi", "exact_substring_dedup",
+    "span_multi", "exact_substring_dedup", "percolate_query",
 ]
 
 
@@ -2443,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_containing": q_span_containing,
         "span_within_index": q_span_within_index,
         "span_multi": q_span_multi,
+        "percolate_query": q_percolate_query,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "exact_substring_dedup": q_exact_substring_dedup,
         "es_terms_options": q_es_terms_options,
@@ -3022,6 +3054,21 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "(SELECT doc_id, text || chr(10) || 'shared footer line' || "
             "chr(10) || source AS text FROM documents)",
             min_docs=3),
+        "percolate_query": (lambda regs=_PERCOLATE_REGISTRY,
+                            doc=_PERCOLATE_DOC: (
+            "WITH reg(query_id, terms, msm) AS (VALUES "
+            + ", ".join(
+                "({}, [{}], {})".format(
+                    q, ", ".join("'" + t + "'" for t in ts), m)
+                for q, ts, m in regs)
+            + "), d AS (SELECT CAST(query_id AS BIGINT) AS query_id, "
+            "CAST(msm AS BIGINT) AS msm, "
+            "CAST(len(list_intersect(list_distinct(terms), "
+            "list_distinct(list_filter(regexp_split_to_array(lower('"
+            + doc + "'), '[^a-z0-9]+'), t -> t <> '')))) AS BIGINT) "
+            "AS matched_terms FROM reg) "
+            "SELECT * FROM d WHERE matched_terms >= msm "
+            "ORDER BY query_id"))(),
         "span_multi": __import__(
             "fluent_plugin_elasticsearch_spark.operators.relevance",
             fromlist=["span_multi_sql"]).span_multi_sql(

@@ -797,6 +797,42 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score_u"), F.asc("doc_id")
         )
 
+    if query and "percolate" in query:
+        # ES percolate query — REVERSE search: `docs` is the REGISTRY of
+        # stored queries (query_id, terms, msm — operators/percolate.py's
+        # model) and the body carries ONE inline document; matching
+        # registry rows come back. The single-doc form is a pure filter
+        # over the registry (the doc's distinct terms are a literal
+        # array; matched-term count = array_intersect size) — no join,
+        # no shuffle; the registry scan is the whole plan. For STREAMS of
+        # documents use operators/percolate.percolate(_stream), the
+        # reverse-index join.
+        from ..textproc import tokenize_simple
+
+        spec = query["percolate"]
+        doc = spec.get("document")
+        if not isinstance(doc, dict):
+            raise UnsupportedQuery('percolate needs an inline "document"')
+        dfield = spec.get("document_field", "text")
+        if dfield not in doc:
+            raise UnsupportedQuery(
+                f"percolate document lacks field {dfield!r}")
+        for c in ("terms", "msm", "query_id"):
+            if c not in docs.columns:
+                raise UnsupportedQuery(
+                    "percolate runs against a stored-query registry "
+                    "(query_id, terms, msm)")
+        doc_terms = sorted(set(tokenize_simple(str(doc[dfield]))))
+        lit_arr = F.array(*[F.lit(t) for t in doc_terms]) if doc_terms \
+            else F.array().cast("array<string>")
+        hits = F.size(F.array_intersect(F.array_distinct("terms"), lit_arr))
+        out = (docs.withColumn("matched_terms", hits)
+               .filter(F.col("matched_terms") >= F.col("msm"))
+               .orderBy(F.asc("query_id")))
+        if size:
+            out = out.limit(int(size))
+        return out
+
     if query and "more_like_this" in query:
         # ES more_like_this (single liked doc by _id): seed-term
         # selection + BM25 over the selected terms — postings-served

@@ -102,3 +102,29 @@ def test_percolate_stream_alerts_per_batch(spark, tmp_path):
     assert (13, 2) not in seen  # doc 13 = 'all systems nominal': no match
     assert (10, 2) in seen      # disk+node doc in batch 2
     assert len(seen) > n1
+
+
+def test_percolate_query_clause(spark):
+    """AST route: one inline document against the registry — a pure
+    registry filter (no join/exchange in the plan)."""
+    from fluent_plugin_elasticsearch_spark.operators.percolate import (
+        make_query_registry,
+    )
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        UnsupportedQuery,
+        compile_query,
+    )
+
+    reg = make_query_registry(spark, [
+        (1, ["alpha", "beta"], 2), (2, ["alpha"], 1), (3, ["gamma"], 1)])
+    out = compile_query(reg, {"query": {"percolate": {
+        "document": {"text": "alpha beta delta"}}}})
+    assert [(r["query_id"], r["matched_terms"]) for r in out.collect()] \
+        == [(1, 2), (2, 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    with pytest.raises(UnsupportedQuery, match="inline"):
+        compile_query(reg, {"query": {"percolate": {}}})
+    with pytest.raises(UnsupportedQuery, match="registry"):
+        compile_query(reg.drop("msm"), {"query": {"percolate": {
+            "document": {"text": "alpha"}}}})
