@@ -642,6 +642,27 @@ _PERCOLATE_REGISTRY = [
 _PERCOLATE_DOC = "fast merge of data tables and a quick scan"
 
 
+def q_rrf_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.x RRF retriever (plans/query_ast.py): reciprocal rank fusion
+    of a span_near retriever and a simple_query_string retriever —
+    score = Σ 1/(60 + rank), ranks deterministic under the engine-wide
+    (score desc, doc_id asc) tie-break, fused sum quantized ×1e9."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {"retriever": {"rrf": {
+        "retrievers": [
+            {"standard": {"query": {"span_near": {
+                "clauses": [{"span_term": {"text": "table"}},
+                            {"span_term": {"text": "table"}}],
+                "slop": 0, "in_order": True}}}},
+            {"standard": {"query": {"simple_query_string": {
+                "query": "merge + data | scan*"}}}},
+        ],
+        "rank_constant": 60, "rank_window_size": 50}}, "size": 15})
+    return out.select("doc_id", "rrf_u")
+
+
 def q_percolate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percolate QUERY clause (plans/query_ast.py): one inline
     document matched against a stored-query registry — a pure filter
@@ -2419,6 +2440,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "simple_query_string", "es_cumulative_cardinality",
     "span_containing", "span_within_index", "es_reverse_nested",
     "span_multi", "exact_substring_dedup", "percolate_query",
+    "rrf_retriever",
 ]
 
 
@@ -2475,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_within_index": q_span_within_index,
         "span_multi": q_span_multi,
         "percolate_query": q_percolate_query,
+        "rrf_retriever": q_rrf_retriever,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "exact_substring_dedup": q_exact_substring_dedup,
         "es_terms_options": q_es_terms_options,
@@ -3054,6 +3077,32 @@ WHERE rn > 50 ORDER BY rn LIMIT 50
             "(SELECT doc_id, text || chr(10) || 'shared footer line' || "
             "chr(10) || source AS text FROM documents)",
             min_docs=3),
+        "rrf_retriever": (lambda mp=__import__(
+            "fluent_plugin_elasticsearch_spark.operators.relevance",
+            fromlist=["span_near_sql"]).span_near_sql(
+                "documents", "table", "table", slop=0, k=50),
+            sq=__import__(
+            "fluent_plugin_elasticsearch_spark.operators.simple_query",
+            fromlist=["simple_query_string_sql"]).simple_query_string_sql(
+                "documents", "merge + data | scan*", k=50): f"""
+WITH r0 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_u DESC, doc_id ASC) AS r
+  FROM ({mp}) s0
+),
+r1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_u DESC, doc_id ASC) AS r
+  FROM ({sq}) s1
+),
+f AS (
+  SELECT coalesce(r0.doc_id, r1.doc_id) AS doc_id,
+         CAST(floor((CASE WHEN r0.r IS NOT NULL THEN 1.0 / (60 + r0.r)
+                          ELSE 0.0 END
+                   + CASE WHEN r1.r IS NOT NULL THEN 1.0 / (60 + r1.r)
+                          ELSE 0.0 END) * 1e9) AS BIGINT) AS rrf_u
+  FROM r0 FULL OUTER JOIN r1 ON r0.doc_id = r1.doc_id
+)
+SELECT doc_id, rrf_u FROM f ORDER BY rrf_u DESC, doc_id ASC LIMIT 15
+""")(),
         "percolate_query": (lambda regs=_PERCOLATE_REGISTRY,
                             doc=_PERCOLATE_DOC: (
             "WITH reg(query_id, terms, msm) AS (VALUES "

@@ -372,6 +372,61 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
     size = body.get("size")
     out = docs
 
+    if "retriever" in body:
+        # ES 8.x retriever tree, rrf form: reciprocal rank fusion over
+        # N sub-retrievers — score(d) = Σᵢ 1/(rank_constant + rankᵢ(d))
+        # over the retrievers that returned d in their top
+        # rank_window_size. Each standard retriever compiles through
+        # this same compiler; ranks are deterministic (score desc,
+        # doc_id asc — the engine-wide tie-break), so the fused score
+        # is engine-independent: contributions are added in retriever
+        # order and quantized once (floor ×1e9 for resolution — the
+        # raw values are O(1/rank_constant)).
+        ret = body["retriever"]
+        if "rrf" not in ret:
+            raise UnsupportedQuery("retriever supports the rrf form")
+        rrf = ret["rrf"]
+        retrievers = rrf.get("retrievers") or []
+        if len(retrievers) < 2:
+            raise UnsupportedQuery("rrf needs >= 2 retrievers")
+        rk = int(rrf.get("rank_constant", 60))
+        window = int(rrf.get("rank_window_size", 100))
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy(F.lit(0)).orderBy(F.desc("score_u"),
+                                             F.asc("doc_id"))
+        fused = None
+        for i, r in enumerate(retrievers):
+            if not isinstance(r, dict) or "standard" not in r:
+                raise UnsupportedQuery("rrf supports standard retrievers")
+            sub = compile_query(docs, {"query": r["standard"]["query"],
+                                       "size": window}, index=index)
+            if "score_u" not in sub.columns:
+                if "score" in sub.columns:  # index-served float form
+                    sub = sub.withColumn(
+                        "score_u", F.floor(F.col("score") * 1e6).cast("long"))
+                else:
+                    raise UnsupportedQuery(
+                        "rrf retrievers must produce scored results")
+            ranked = (sub.select("doc_id", "score_u").limit(window)
+                      .withColumn(f"r{i}", F.row_number().over(w))
+                      .select("doc_id", f"r{i}"))
+            fused = ranked if fused is None else fused.join(
+                ranked, "doc_id", "full_outer")
+        contrib = None
+        for i in range(len(retrievers)):
+            c = F.when(F.col(f"r{i}").isNotNull(),
+                       1.0 / (rk + F.col(f"r{i}"))).otherwise(F.lit(0.0))
+            contrib = c if contrib is None else contrib + c
+        out = (fused.select("doc_id",
+                            F.floor(contrib * 1e9).cast("long")
+                            .alias("rrf_u"))
+               .orderBy(F.desc("rrf_u"), F.asc("doc_id")))
+        if size:
+            out = out.limit(int(size))
+        return docs.join(F.broadcast(out), "doc_id").orderBy(
+            F.desc("rrf_u"), F.asc("doc_id"))
+
     rt = body.get("runtime_mappings")
     if rt:
         # ES 8 runtime fields: computed columns available to query/sort/

@@ -598,3 +598,40 @@ def test_span_multi_ast_route_and_raises(spark, docs):
             "fuzzy": {"text": {"value": "quick"}}}}}})
     with pytest.raises(UnsupportedQuery, match="literal"):
         rel.span_multi_df(docs, "qu%", "prefix")
+
+
+def test_rrf_retriever_fusion(spark, docs):
+    # retriever A: span_or quick/fox; retriever B: span_or merge/partition
+    body = {"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"span_or": {"clauses": [
+            {"span_term": {"text": "quick"}},
+            {"span_term": {"text": "fox"}}]}}}},
+        {"standard": {"query": {"span_or": {"clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_term": {"text": "partition"}}]}}}},
+    ], "rank_constant": 60, "rank_window_size": 10}}, "size": 8}
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        compile_query as cq,
+    )
+
+    out = cq(docs, body)
+    rows = [(r["doc_id"], r["rrf_u"]) for r in out.collect()]
+    # brute-force expectation
+    a = [r["doc_id"] for r in rel.span_or_df(docs, ["quick", "fox"], k=10).collect()]
+    bq = [r["doc_id"] for r in rel.span_or_df(docs, ["merge", "partition"], k=10).collect()]
+    import math as m
+    exp = {}
+    for rank, d in enumerate(a, 1):
+        exp[d] = exp.get(d, 0.0) + 1.0 / (60 + rank)
+    for rank, d in enumerate(bq, 1):
+        exp[d] = exp.get(d, 0.0) + 1.0 / (60 + rank)
+    want = sorted(((m.floor(v * 1e9), d) for d, v in exp.items()),
+                  key=lambda t: (-t[0], t[1]))[:8]
+    assert rows == [(d, u) for u, d in want]
+    with pytest.raises(UnsupportedQuery, match=">= 2"):
+        cq(docs, {"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match_all": {}}}}]}}})
+    with pytest.raises(UnsupportedQuery, match="scored"):
+        cq(docs, {"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"term": {"lang": "en"}}}},
+            {"standard": {"query": {"term": {"lang": "fr"}}}}]}}})
