@@ -642,6 +642,23 @@ _PERCOLATE_REGISTRY = [
 _PERCOLATE_DOC = "fast merge of data tables and a quick scan"
 
 
+_GEO_SHAPE_RING = [[-50.0, -20.0], [60.0, -25.0], [10.0, 55.0]]
+
+
+def q_geo_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_shape query over geo_point docs (plans/query_ast.py):
+    point-in-polygon via an even-odd ray cast unrolled over the literal
+    ring edges — one boolean-XOR codegen chain, no UDF; the DuckDB
+    mirror is generated from the SAME ring (geo_shape_polygon_sql)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    geo = _geo_events(spark, sf_dir)
+    out = compile_query(geo, {"query": {"geo_shape": {"loc": {
+        "shape": {"type": "polygon", "coordinates": [_GEO_SHAPE_RING]},
+        "relation": "intersects"}}}})
+    return out.select("doc_id")
+
+
 def q_rrf_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES 8.x RRF retriever (plans/query_ast.py): reciprocal rank fusion
     of a span_near retriever and a simple_query_string retriever —
@@ -2440,7 +2457,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "simple_query_string", "es_cumulative_cardinality",
     "span_containing", "span_within_index", "es_reverse_nested",
     "span_multi", "exact_substring_dedup", "percolate_query",
-    "rrf_retriever",
+    "rrf_retriever", "geo_shape",
 ]
 
 
@@ -2498,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_multi": q_span_multi,
         "percolate_query": q_percolate_query,
         "rrf_retriever": q_rrf_retriever,
+        "geo_shape": q_geo_shape,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "exact_substring_dedup": q_exact_substring_dedup,
         "es_terms_options": q_es_terms_options,
@@ -3505,6 +3523,13 @@ FROM pg GROUP BY doc_id
         "geo_bounding_box": (
             "WITH g AS (" + _GEO_SQL_BASE + ") SELECT doc_id FROM g "
             "WHERE lat <= 40 AND lat >= 0 AND lon >= -10 AND lon <= 60"
+        ),
+        "geo_shape": (
+            "WITH g AS (" + _GEO_SQL_BASE + ") SELECT doc_id FROM g "
+            "WHERE " + __import__(
+                "fluent_plugin_elasticsearch_spark.plans.query_ast",
+                fromlist=["geo_shape_polygon_sql"]).geo_shape_polygon_sql(
+                "lat", "lon", _GEO_SHAPE_RING)
         ),
         "span_first": __import__(
             "fluent_plugin_elasticsearch_spark.operators.relevance",

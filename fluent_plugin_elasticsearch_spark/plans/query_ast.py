@@ -225,9 +225,71 @@ def _compile_clause(q: dict[str, Any], col=F.col) -> Column:
         ((field, center),) = spec.items()
         return haversine_m_col(col(field), float(center["lat"]),
                                float(center["lon"])) <= F.lit(dist_m)
+    if kind == "geo_shape":
+        # {"geo_shape": {field: {"shape": {"type": "polygon"|"envelope",
+        #   "coordinates": ...}, "relation": "intersects"}}} over
+        # geo_point docs. For points, intersects == within == a
+        # point-in-shape test. Polygon: GeoJSON [lon, lat] outer ring
+        # (holes raise), even-odd ray cast unrolled over the LITERAL
+        # edges — one boolean-XOR codegen chain, op order mirrored
+        # exactly by geo_shape_polygon_sql. Envelope reduces to the
+        # bounding-box ranges.
+        ((field, spec),) = body.items()
+        relation = spec.get("relation", "intersects")
+        if relation not in ("intersects", "within"):
+            raise UnsupportedQuery(
+                f"geo_shape relation {relation!r} (points support "
+                "intersects/within)")
+        shape = spec["shape"]
+        stype = str(shape["type"]).lower()
+        lat = col(field).getField("lat")
+        lon = col(field).getField("lon")
+        if stype == "envelope":
+            # GeoJSON-style [[min_lon, max_lat], [max_lon, min_lat]]
+            (x1, y1), (x2, y2) = shape["coordinates"]
+            return ((lat <= F.lit(float(y1))) & (lat >= F.lit(float(y2)))
+                    & (lon >= F.lit(float(x1))) & (lon <= F.lit(float(x2))))
+        if stype != "polygon":
+            raise UnsupportedQuery(f"geo_shape type {shape['type']!r}")
+        rings = shape["coordinates"]
+        if len(rings) != 1:
+            raise UnsupportedQuery("geo_shape polygon holes")
+        inside = F.lit(False)
+        for (x1, y1), (x2, y2) in _polygon_edges(rings[0]):
+            crosses = ((F.lit(y1) > lat) != (F.lit(y2) > lat)) & (
+                lon < (lat - F.lit(y1)) * F.lit(x2 - x1) / F.lit(y2 - y1)
+                + F.lit(x1))
+            inside = inside != crosses  # boolean != == XOR (parity)
+        return inside
     if kind == "match_all":
         return F.lit(True)
     raise UnsupportedQuery(f"unsupported query kind: {kind}")
+
+
+def _polygon_edges(ring) -> list[tuple[tuple[float, float],
+                                       tuple[float, float]]]:
+    """GeoJSON ring → literal edge list (closes the ring if the input
+    didn't repeat the first vertex)."""
+    pts = [(float(x), float(y)) for x, y in ring]
+    if len(pts) < 3:
+        raise UnsupportedQuery("geo_shape polygon needs >= 3 vertices")
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])
+    return list(zip(pts[:-1], pts[1:]))
+
+
+def geo_shape_polygon_sql(lat_expr: str, lon_expr: str, ring) -> str:
+    """DuckDB mirror of the geo_shape polygon ray cast — identical
+    literals, identical op order ((lat - y1) * (x2 - x1) / (y2 - y1) +
+    x1), XOR parity chain."""
+    expr = "FALSE"
+    for (x1, y1), (x2, y2) in _polygon_edges(ring):
+        part = (f"(({y1!r} > {lat_expr}) <> ({y2!r} > {lat_expr}) AND "
+                f"{lon_expr} < ({lat_expr} - {y1!r}) * {x2 - x1!r} / "
+                f"{y2 - y1!r} + {x1!r})")
+        expr = f"(({expr}) <> ({part}))"  # explicit left fold: <> is
+        # a comparison operator, not associative in SQL
+    return expr
 
 
 def resolve_date_math(expr: str, now=None):

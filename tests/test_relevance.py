@@ -635,3 +635,48 @@ def test_rrf_retriever_fusion(spark, docs):
         cq(docs, {"retriever": {"rrf": {"retrievers": [
             {"standard": {"query": {"term": {"lang": "en"}}}},
             {"standard": {"query": {"term": {"lang": "fr"}}}}]}}})
+
+
+def test_geo_shape_point_in_polygon(spark):
+    from pyspark.sql import Row
+
+    pts = spark.createDataFrame([
+        Row(doc_id=1, loc=Row(lat=0.5, lon=0.5)),    # inside unit square
+        Row(doc_id=2, loc=Row(lat=1.5, lon=0.5)),    # above
+        Row(doc_id=3, loc=Row(lat=0.5, lon=-0.5)),   # left
+        Row(doc_id=4, loc=Row(lat=0.25, lon=0.75)),  # inside
+        Row(doc_id=5, loc=Row(lat=-0.1, lon=0.5)),   # below
+    ])
+    square = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]
+    out = compile_query(pts, {"query": {"geo_shape": {"loc": {
+        "shape": {"type": "polygon", "coordinates": [square]}}}}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 4}
+    # concave polygon (L-shape): the notch at (1.5, 1.5) is OUTSIDE
+    ell = [[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0],
+           [1.0, 2.0], [0.0, 2.0]]
+    pts2 = spark.createDataFrame([
+        Row(doc_id=1, loc=Row(lat=0.5, lon=1.5)),   # in the fat arm
+        Row(doc_id=2, loc=Row(lat=1.5, lon=1.5)),   # in the notch → out
+        Row(doc_id=3, loc=Row(lat=1.5, lon=0.5)),   # in the tall arm
+    ])
+    out2 = compile_query(pts2, {"query": {"geo_shape": {"loc": {
+        "shape": {"type": "polygon", "coordinates": [ell]}}}}})
+    assert {r["doc_id"] for r in out2.collect()} == {1, 3}
+    # envelope form
+    env = compile_query(pts, {"query": {"geo_shape": {"loc": {
+        "shape": {"type": "envelope",
+                  "coordinates": [[0.0, 1.0], [1.0, 0.0]]}}}}})
+    assert {r["doc_id"] for r in env.collect()} == {1, 4}
+    # raises: holes, bad relation, degenerate ring
+    with pytest.raises(UnsupportedQuery, match="holes"):
+        compile_query(pts, {"query": {"geo_shape": {"loc": {
+            "shape": {"type": "polygon",
+                      "coordinates": [square, square]}}}}})
+    with pytest.raises(UnsupportedQuery, match="relation"):
+        compile_query(pts, {"query": {"geo_shape": {"loc": {
+            "shape": {"type": "polygon", "coordinates": [square]},
+            "relation": "disjoint"}}}})
+    with pytest.raises(UnsupportedQuery, match="3 vertices"):
+        compile_query(pts, {"query": {"geo_shape": {"loc": {
+            "shape": {"type": "polygon",
+                      "coordinates": [[[0.0, 0.0], [1.0, 1.0]]]}}}}})
