@@ -1014,6 +1014,21 @@ def q_es_date_histogram_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_es_terms_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-agg key partitioning (plans/aggs.py): huge-cardinality
+    paging — {"include": {"partition": 1, "num_partitions": 4}} keeps
+    only keys whose md5-derived hash lands in partition 1 (the documented
+    cross-engine hash contract), ordered by _key."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_aggs(ev, {"aggs": {"u": {"terms": {
+        "field": "user_id", "size": 50,
+        "include": {"partition": 1, "num_partitions": 4},
+        "order": {"_key": "asc"}}}}})["u"]
+    return out.select(F.col("key").cast("long").alias("key"), "doc_count")
+
+
 def q_es_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES nested + reverse_nested aggs (plans/aggs.py): aggregation over
     array-of-structs ELEMENTS (terms on evs.event_type buckets nested
@@ -2457,7 +2472,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "simple_query_string", "es_cumulative_cardinality",
     "span_containing", "span_within_index", "es_reverse_nested",
     "span_multi", "exact_substring_dedup", "percolate_query",
-    "rrf_retriever", "geo_shape",
+    "rrf_retriever", "geo_shape", "es_terms_partition",
 ]
 
 
@@ -2526,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_date_histogram_gaps": q_es_date_histogram_gaps,
         "es_cumulative_cardinality": q_es_cumulative_cardinality,
         "es_reverse_nested": q_es_reverse_nested,
+        "es_terms_partition": q_es_terms_partition,
         "es_sibling_buckets": q_es_sibling_buckets,
         "es_matrix_stats": q_es_matrix_stats,
         "es_frequent_item_sets": q_es_frequent_item_sets,
@@ -3353,6 +3369,14 @@ SELECT key, doc_count, sales,
                        - CAST(min(sales) OVER () AS DOUBLE))
             * 1e6) AS BIGINT) AS r100_u
 FROM b ORDER BY key
+""",
+        "es_terms_partition": """
+WITH agg AS (SELECT user_id AS key, count(*) AS doc_count
+             FROM events GROUP BY 1)
+SELECT key, doc_count FROM agg
+WHERE CAST(concat('0x', substring(md5(CAST(key AS VARCHAR)), 1, 8))
+      AS UBIGINT) % 4 = 1
+ORDER BY key ASC LIMIT 50
 """,
         "es_reverse_nested": """
 SELECT event_type AS key, count(*) AS doc_count,

@@ -347,7 +347,22 @@ def _compile_bucket_path(base: DataFrame, name: str, spec: dict[str, Any]) -> Da
         # ES terms options: include (anchored regex on keys), order by a
         # metric sub-agg ({"order": {"<metric>": "asc"|"desc"}} or _key)
         inc = inner0.get("include")
-        if inc:
+        if isinstance(inc, dict):
+            # ES key partitioning for huge-cardinality terms paging:
+            # {"include": {"partition": p, "num_partitions": n}} — each
+            # request sees the keys whose hash lands in its partition.
+            # The engine-independent hash contract is the first 8 hex
+            # chars of md5(key) mod n (ES's own hash is Lucene-internal;
+            # md5 is the documented cross-engine contract, mirrored in
+            # the DuckDB oracle).
+            p, np_ = int(inc["partition"]), int(inc["num_partitions"])
+            if not 0 <= p < np_:
+                raise UnsupportedQuery(
+                    "terms include.partition out of range")
+            bucket = F.conv(F.substring(F.md5(F.col("key").cast("string")),
+                                        1, 8), 16, 10).cast("long") % np_
+            df = df.filter(bucket == p)
+        elif inc:
             df = df.filter(F.col("key").cast("string").rlike(f"^(?:{inc})$"))
         exc = inner0.get("exclude")
         if exc:

@@ -1063,3 +1063,25 @@ def test_nested_reverse_nested_agg(spark):
     with pytest.raises(UnsupportedQuery, match="doc_id"):
         compile_aggs(nd.withColumnRenamed("doc_id", "x"),
                      {"aggs": {"e": {"nested": {"path": "evs"}}}})
+
+
+def test_terms_include_partition(events):
+    parts = []
+    for p in range(3):
+        out = compile_aggs(events, {"aggs": {"t": {"terms": {
+            "field": "event_type", "size": 10,
+            "include": {"partition": p, "num_partitions": 3}}}}})["t"]
+        parts.append({r["key"]: r["doc_count"] for r in out.collect()})
+    # partitions are disjoint and their union is the full key set
+    full = compile_aggs(events, {"aggs": {"t": {"terms": {
+        "field": "event_type", "size": 10}}}})["t"]
+    want = {r["key"]: r["doc_count"] for r in full.collect()}
+    merged = {}
+    for d in parts:
+        assert not set(d) & set(merged)
+        merged |= d
+    assert merged == want
+    with pytest.raises(UnsupportedQuery, match="out of range"):
+        compile_aggs(events, {"aggs": {"t": {"terms": {
+            "field": "event_type",
+            "include": {"partition": 3, "num_partitions": 3}}}}})
