@@ -760,6 +760,21 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").cast("long").alias("n_words"))
 
 
+def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing bag-of-words embeddings (operators/similarity.
+    feature_hash_embed): signed hashing trick, exact integer counts, ONE
+    codegen fold per row — no explode, no shuffle. Exploded to
+    (doc_id, i, v) for the oracle compare."""
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        feature_hash_embed,
+    )
+
+    emb = feature_hash_embed(_read(spark, sf_dir, "documents"), dim=16)
+    return emb.select("doc_id", F.posexplode("emb").alias("i", "v")) \
+        .select("doc_id", F.col("i").cast("long").alias("i"),
+                F.col("v").cast("long").alias("v"))
+
+
 def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style repeated-span removal (operators/textquality.
     remove_repeated_ngrams — Lee et al. 2022): token 6-grams occurring
@@ -2473,6 +2488,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "span_containing", "span_within_index", "es_reverse_nested",
     "span_multi", "exact_substring_dedup", "percolate_query",
     "rrf_retriever", "geo_shape", "es_terms_partition",
+    "feature_hash_embed",
 ]
 
 
@@ -2533,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape": q_geo_shape,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "feature_hash_embed": q_feature_hash_embed,
         "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
         "distance_feature": q_distance_feature,
@@ -3178,6 +3195,10 @@ SELECT doc_id, 'prod' AS env,
        CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words
 FROM documents
 """,
+        "feature_hash_embed": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.similarity",
+            fromlist=["feature_hash_embed_sql"]).feature_hash_embed_sql(
+            "documents", dim=16),
         "exact_substring_dedup": __import__(
             "fluent_plugin_elasticsearch_spark.operators.textquality",
             fromlist=["remove_repeated_ngrams_sql"]).remove_repeated_ngrams_sql(

@@ -677,3 +677,67 @@ cent{it} AS (
         prev = f"cent{it}"
     return ("WITH " + ",".join(ctes)
             + f"\nSELECT vec_id, cluster FROM a{iters} ORDER BY vec_id")
+
+
+def feature_hash_embed(docs: DataFrame, dim: int = 64,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Feature-hashing (hashing-trick) bag-of-words embeddings — the
+    model-free bridge from raw text to the vector operators (LSH/IVF/
+    k-means all accept any integer vector column): each token adds ±1 to
+    the dimension ``int(md5(token)[:8], 16) % dim``, sign from the 9th
+    hex nibble's parity (Weinberger et al. 2009's signed hashing — the
+    sign kills the accumulation bias). Values are EXACT INTEGER counts —
+    bit-identical on any partitioning or engine.
+
+    Plan: ONE whole-stage-codegen aggregate fold per row over the token
+    array — no explode, no shuffle, nothing leaves the row. O(len·dim)
+    arithmetic per doc, the declarative trade for shuffle-freedom.
+    Returns (doc_id, emb array<long> of length dim)."""
+    from ..extraction import simple_tokens_col
+
+    def bucket(t: Column) -> Column:
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
+
+    def sign(t: Column) -> Column:
+        return F.when(F.conv(F.substring(F.md5(t), 9, 1), 16, 10)
+                      .cast("long") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    emb = F.aggregate(
+        simple_tokens_col(F.col(text_col)),
+        zero,
+        lambda acc, t: F.transform(
+            acc, lambda x, i: x + F.when(bucket(t) == i.cast("long"),
+                                         sign(t)).otherwise(F.lit(0))))
+    return docs.select(F.col(id_col).alias("doc_id"), emb.alias("emb"))
+
+
+def feature_hash_embed_sql(table: str, dim: int = 64,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB mirror of feature_hash_embed in EXPLODED form
+    (doc_id, i, v) — arrays round-trip poorly through the oracle's
+    pandas fetch, integers don't."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+'),
+                     t -> t <> '') AS tokens
+  FROM {table}
+),
+tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(t), 1, 8)) AS UBIGINT) % {dim} AS i,
+         CASE WHEN CAST(concat('0x', substring(md5(t), 9, 1)) AS UBIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM tok
+),
+dims AS (
+  SELECT doc_id, unnest(generate_series(0, {dim - 1})) AS i FROM toks
+),
+agg AS (SELECT doc_id, i, sum(s) AS v FROM h GROUP BY doc_id, i)
+SELECT d.doc_id, CAST(d.i AS BIGINT) AS i, CAST(coalesce(a.v, 0) AS BIGINT) AS v
+FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id AND d.i = a.i
+"""

@@ -381,3 +381,37 @@ def test_msearch_multiplex(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         msearch(docs, [])
+
+
+def test_feature_hash_embed(spark):
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        feature_hash_embed,
+    )
+
+    rows = [Row(doc_id=1, text="alpha beta alpha"),
+            Row(doc_id=2, text=""), Row(doc_id=3, text="Alpha!")]
+    out = {r["doc_id"]: r["emb"] for r in
+           feature_hash_embed(spark.createDataFrame(rows), dim=8).collect()}
+
+    def ref(tokens, dim=8):
+        v = [0] * dim
+        for t in tokens:
+            h = hashlib.md5(t.encode()).hexdigest()
+            v[int(h[:8], 16) % dim] += 1 if int(h[8], 16) % 2 == 0 else -1
+        return v
+
+    assert out[1] == ref(["alpha", "beta", "alpha"])
+    assert out[2] == [0] * 8
+    assert out[3] == ref(["alpha"])  # tokenizer lowercases, strips punct
+    # exact-int determinism: same embedding under repartitioning
+    again = {r["doc_id"]: r["emb"] for r in feature_hash_embed(
+        spark.createDataFrame(rows).repartition(5), dim=8).collect()}
+    assert out == again
+    # shuffle-free plan: no Exchange at all
+    plan = (feature_hash_embed(spark.createDataFrame(rows), dim=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
