@@ -645,6 +645,21 @@ _PERCOLATE_DOC = "fast merge of data tables and a quick scan"
 _GEO_SHAPE_RING = [[-50.0, -20.0], [60.0, -25.0], [10.0, 55.0]]
 
 
+def q_post_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES post_filter (plans/query_ast.py): the hits are scored and
+    top-k'd by the simple_query_string retriever FIRST, then the
+    post_filter prunes them — faceted-navigation semantics (a plain
+    query-level filter would change the candidate set and ranks)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {
+        "query": {"simple_query_string": {"query": "merge data"}},
+        "post_filter": {"term": {"lang": "en"}},
+        "size": 30})
+    return out.select("doc_id", "score_u")
+
+
 def q_geo_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES geo_shape query over geo_point docs (plans/query_ast.py):
     point-in-polygon via an even-odd ray cast unrolled over the literal
@@ -2488,7 +2503,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "span_containing", "span_within_index", "es_reverse_nested",
     "span_multi", "exact_substring_dedup", "percolate_query",
     "rrf_retriever", "geo_shape", "es_terms_partition",
-    "feature_hash_embed",
+    "feature_hash_embed", "post_filter",
 ]
 
 
@@ -2547,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_query": q_percolate_query,
         "rrf_retriever": q_rrf_retriever,
         "geo_shape": q_geo_shape,
+        "post_filter": q_post_filter,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "exact_substring_dedup": q_exact_substring_dedup,
         "feature_hash_embed": q_feature_hash_embed,
@@ -3195,6 +3211,13 @@ SELECT doc_id, 'prod' AS env,
        CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words
 FROM documents
 """,
+        "post_filter": (lambda sq=__import__(
+            "fluent_plugin_elasticsearch_spark.operators.simple_query",
+            fromlist=["simple_query_string_sql"]).simple_query_string_sql(
+                "documents", "merge data", k=30): (
+            f"SELECT s.doc_id, s.score_u FROM ({sq}) s "
+            "JOIN documents d ON s.doc_id = d.doc_id WHERE d.lang = 'en' "
+            "ORDER BY s.score_u DESC, s.doc_id ASC"))(),
         "feature_hash_embed": __import__(
             "fluent_plugin_elasticsearch_spark.operators.similarity",
             fromlist=["feature_hash_embed_sql"]).feature_hash_embed_sql(

@@ -430,6 +430,14 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
     is a `match` full-text query and an InvertedIndex is provided, route to
     BM25 top-k (scores joined back onto the docs)."""
     body = dict(body or {})
+    if "post_filter" in body:
+        # ES post_filter: applied to the HITS after scoring/top-k (aggs —
+        # compiled separately by plans.aggs — intentionally don't see it,
+        # the faceted-navigation contract). Compile the rest of the body
+        # first, then filter the result frame.
+        pf = body.pop("post_filter")
+        return compile_query(docs, body, index=index).filter(
+            _compile_clause(pf))
     query = body.get("query")
     size = body.get("size")
     out = docs

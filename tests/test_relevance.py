@@ -680,3 +680,20 @@ def test_geo_shape_point_in_polygon(spark):
         compile_query(pts, {"query": {"geo_shape": {"loc": {
             "shape": {"type": "polygon",
                       "coordinates": [[[0.0, 0.0], [1.0, 1.0]]]}}}}})
+
+
+def test_post_filter_prunes_after_topk(spark, docs):
+    """post_filter must NOT change the candidate set/ranks — it prunes
+    the already-ranked hits (faceted-navigation semantics)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        compile_query as cq,
+    )
+
+    base = {"query": {"simple_query_string": {"query": "quick | merge"}},
+            "size": 3}
+    top3 = [r["doc_id"] for r in cq(docs, base).collect()]
+    pf = cq(docs, {**base, "post_filter": {"term": {"lang": "en"}}})
+    got = [r["doc_id"] for r in pf.collect()]
+    # exactly the en-lang subset of the SAME top-3, order preserved
+    assert got == [d for d in top3 if d % 2 == 0]  # lang 'en' = even ids
+    assert set(got) < set(top3) or got == top3
