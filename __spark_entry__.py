@@ -775,6 +775,25 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").cast("long").alias("n_words"))
 
 
+def q_embedding_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer covariance moments of the embeddings table
+    (operators/similarity.pca_cov_moments — the input to embedding_pca):
+    per-batch int64 Gram matmuls combined through decimal sums, so the
+    moments are partition-invariant exact integers. Leading 8 dims for
+    the oracle; projection invariants (orthogonality, eigen-variances,
+    whitening, determinism) are pinned in tests/test_dedup_similarity."""
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        pca_cov_moments,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = pca_cov_moments(emb, dims=8)
+    return out.select("i", "j", F.col("q").cast("double").alias("q"),
+                      F.col("si").cast("double").alias("si"),
+                      F.col("sj").cast("double").alias("sj"),
+                      F.col("n").cast("double").alias("n"))
+
+
 def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing bag-of-words embeddings (operators/similarity.
     feature_hash_embed): signed hashing trick, exact integer counts, ONE
@@ -2503,7 +2522,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "span_containing", "span_within_index", "es_reverse_nested",
     "span_multi", "exact_substring_dedup", "percolate_query",
     "rrf_retriever", "geo_shape", "es_terms_partition",
-    "feature_hash_embed", "post_filter",
+    "feature_hash_embed", "post_filter", "embedding_pca_moments",
 ]
 
 
@@ -2566,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "exact_substring_dedup": q_exact_substring_dedup,
         "feature_hash_embed": q_feature_hash_embed,
+        "embedding_pca_moments": q_embedding_pca_moments,
         "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
         "distance_feature": q_distance_feature,
@@ -3218,6 +3238,10 @@ FROM documents
             f"SELECT s.doc_id, s.score_u FROM ({sq}) s "
             "JOIN documents d ON s.doc_id = d.doc_id WHERE d.lang = 'en' "
             "ORDER BY s.score_u DESC, s.doc_id ASC"))(),
+        "embedding_pca_moments": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.similarity",
+            fromlist=["pca_cov_moments_sql"]).pca_cov_moments_sql(
+            "embeddings", dims=8),
         "feature_hash_embed": __import__(
             "fluent_plugin_elasticsearch_spark.operators.similarity",
             fromlist=["feature_hash_embed_sql"]).feature_hash_embed_sql(

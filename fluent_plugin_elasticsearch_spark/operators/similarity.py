@@ -741,3 +741,139 @@ agg AS (SELECT doc_id, i, sum(s) AS v FROM h GROUP BY doc_id, i)
 SELECT d.doc_id, CAST(d.i AS BIGINT) AS i, CAST(coalesce(a.v, 0) AS BIGINT) AS v
 FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id AND d.i = a.i
 """
+
+
+def pca_cov_moments(df: DataFrame, dims: int | None = None,
+                    quant: float = 1e6, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Exact integer second-moment matrix of an embedding column — the
+    covariance input for embedding_pca. Vectors are quantized
+    floor(x·quant) per coordinate; each Arrow batch computes its partial
+    Gram matrix and column sums with int64 matmuls (exact — per-batch
+    magnitude is bounded by batch_rows·quant², far under 2^63), and the
+    partials combine through a decimal(38,0) sum, so the global moments
+    are EXACT integers on any partitioning. Returns one row per (i, j)
+    with i <= j: (i, j, q = Σ xᵢxⱼ, si, sj, n) — everything needed for
+    cov(i,j) = (q - si·sj/n)/(n-1). `dims` limits to the leading
+    coordinates (the oracle uses a small prefix; None = all)."""
+    import pandas as pd  # noqa: F811 (kernel-local, ships to workers)
+
+    d_lim = dims
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy())
+            if d_lim is not None:
+                v = v[:, :d_lim]
+            vu = np.floor(v.astype(np.float64) * quant).astype(np.int64)
+            gram = vu.T @ vu
+            s = vu.sum(axis=0)
+            n = len(vu)
+            d = vu.shape[1]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({
+                "i": iu.astype("int64"), "j": ju.astype("int64"),
+                "q": gram[iu, ju],
+                "si": s[iu], "sj": s[ju],
+                "n": np.full(iu.size, n, dtype="int64")})
+
+    parts = df.select(vec_col).mapInPandas(
+        kernel, "i long, j long, q long, si long, sj long, n long")
+    dec = "decimal(38,0)"
+    return (parts.groupBy("i", "j")
+            .agg(F.sum(F.col("q").cast(dec)).alias("q"),
+                 F.sum(F.col("si").cast(dec)).alias("si"),
+                 F.sum(F.col("sj").cast(dec)).alias("sj"),
+                 F.sum(F.col("n").cast(dec)).alias("n"))
+            .orderBy("i", "j"))
+
+
+def pca_cov_moments_sql(table: str, dims: int, quant: float = 1e6,
+                        vec_col: str = "embedding") -> str:
+    """DuckDB mirror of pca_cov_moments over the leading `dims`
+    coordinates — same quantization, same exact integer sums (emitted as
+    DOUBLE to match the oracle harness's decimal→float64 pandas fetch)."""
+    return f"""
+WITH e AS (
+  SELECT list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)
+                                               * {quant!r}) AS BIGINT)) AS v
+  FROM {table}
+),
+x AS (
+  SELECT v, unnest(generate_series(1, {int(dims)})) AS i FROM e
+),
+p AS (
+  SELECT x.i - 1 AS i, jj.j - 1 AS j,
+         x.v[x.i] AS xi, x.v[jj.j] AS xj
+  FROM x, unnest(generate_series(1, {int(dims)})) AS jj(j)
+  WHERE jj.j >= x.i
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(sum(xi * xj) AS DOUBLE) AS q,
+       CAST(sum(xi) AS DOUBLE) AS si,
+       CAST(sum(xj) AS DOUBLE) AS sj,
+       CAST(count(*) AS DOUBLE) AS n
+FROM p GROUP BY i, j ORDER BY i, j
+"""
+
+
+def embedding_pca(df: DataFrame, out_dim: int = 8, whiten: bool = False,
+                  quant: float = 1e6, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """PCA projection of an embedding column (training-data embedding
+    compression / decorrelation): covariance from the EXACT integer
+    moments (pca_cov_moments — partition-invariant), eigendecomposition
+    of the dim×dim matrix on the driver (numpy eigh; coordinator-sized,
+    like ES's reduce phase), components sign-normalized (largest-|.|
+    entry positive) so the basis is deterministic, then a broadcast GEMM
+    projection per Arrow batch. whiten=True divides each component by
+    sqrt(eigenvalue). Returns (vec_id, pca array<double> length
+    out_dim)."""
+    import pandas as pd  # noqa: F811
+
+    moms = pca_cov_moments(df, quant=quant, id_col=id_col,
+                           vec_col=vec_col).collect()
+    if not moms:
+        raise ValueError("embedding_pca: empty input")
+    d = max(int(r["j"]) for r in moms) + 1
+    n = int(moms[0]["n"])
+    if n < 2:
+        raise ValueError("embedding_pca needs >= 2 vectors")
+    s = np.zeros(d)
+    cov = np.zeros((d, d))
+    for r in moms:
+        if int(r["i"]) == int(r["j"]):
+            s[int(r["i"])] = float(r["si"])
+    for r in moms:
+        i, j = int(r["i"]), int(r["j"])
+        c = (float(r["q"]) - s[i] * s[j] / n) / (n - 1)
+        cov[i, j] = cov[j, i] = c
+    cov /= quant * quant  # back to input units
+    mean = s / n / quant
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:out_dim]
+    comp = evecs[:, order]          # d × out_dim
+    lam = np.maximum(evals[order], 0.0)
+    # deterministic sign: the largest-|entry| of each component positive
+    for c_ in range(comp.shape[1]):
+        k = np.argmax(np.abs(comp[:, c_]))
+        if comp[k, c_] < 0:
+            comp[:, c_] = -comp[:, c_]
+    if whiten:
+        comp = comp / np.sqrt(np.where(lam > 0, lam, 1.0))
+    comp_b = comp.copy()
+    mean_b = mean.copy()
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            p = (v - mean_b) @ comp_b
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(),
+                                "pca": list(p)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, "vec_id long, pca array<double>")

@@ -415,3 +415,62 @@ def test_feature_hash_embed(spark):
     plan = (feature_hash_embed(spark.createDataFrame(rows), dim=8)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_pca_cov_moments_exact(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 5).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        pca_cov_moments,
+    )
+
+    got = {(int(r["i"]), int(r["j"])): (int(r["q"]), int(r["si"]), int(r["n"]))
+           for r in pca_cov_moments(df).collect()}
+    vu = np.floor(vecs.astype("float64") * 1e6).astype(object)
+    for (i, j), (q, si, n) in got.items():
+        assert q == int(sum(vu[:, i] * vu[:, j]))
+        assert si == int(sum(vu[:, i]))
+        assert n == 40
+    # partition-invariant (exact ints)
+    again = {(int(r["i"]), int(r["j"])): int(r["q"])
+             for r in pca_cov_moments(df.repartition(7)).collect()}
+    assert again == {k: v[0] for k, v in got.items()}
+
+
+def test_embedding_pca_invariants(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(60, 3) @ rng.randn(3, 6)  # rank-3 structure in 6-d
+    base += rng.randn(60, 6) * 0.01
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        embedding_pca,
+    )
+
+    out = embedding_pca(df, out_dim=3)
+    p = np.stack([r["pca"] for r in out.orderBy("vec_id").collect()])
+    assert p.shape == (60, 3)
+    # projected coordinates are centered and mutually uncorrelated
+    assert np.allclose(p.mean(axis=0), 0, atol=1e-6)
+    c = (p.T @ p) / (60 - 1)
+    off = c - np.diag(np.diag(c))
+    assert np.allclose(off, 0, atol=1e-6)
+    # components capture descending variance; rank-3 data → 3 big evals
+    v = np.diag(c)
+    assert v[0] >= v[1] >= v[2] > 0.001
+    # deterministic under repartitioning (exact moments + fixed signs)
+    p2 = np.stack([r["pca"] for r in
+                   embedding_pca(df.repartition(9), out_dim=3)
+                   .orderBy("vec_id").collect()])
+    assert np.array_equal(p, p2)
+    # whiten → unit variances
+    pw = np.stack([r["pca"] for r in embedding_pca(df, out_dim=3,
+                                                   whiten=True)
+                   .orderBy("vec_id").collect()])
+    assert np.allclose(pw.var(axis=0, ddof=1), 1.0, atol=1e-6)
