@@ -775,6 +775,26 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").cast("long").alias("n_words"))
 
 
+def q_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _reindex (operators/apis.reindex): filtered source → CowTable
+    dest through an ingest pipeline — query pushdown on the source scan,
+    touched-bucket-only write; returns the reindexed table contents."""
+    import tempfile
+
+    from fluent_plugin_elasticsearch_spark.operators.apis import reindex
+    from fluent_plugin_elasticsearch_spark.sinks.cow_table import CowTable
+
+    docs = _read(spark, sf_dir, "documents")
+    t = CowTable(spark, tempfile.mkdtemp(prefix="reidx_") + "/t",
+                 id_col="doc_id", n_buckets=8)
+    reindex(docs, t, {
+        "source": {"query": {"term": {"lang": "en"}}},
+        "pipeline": [
+            {"set": {"field": "env", "value": "reindexed"}},
+            {"uppercase": {"field": "lang", "target_field": "lang_uc"}}]})
+    return t.read().select("doc_id", "lang", "lang_uc", "env", "n_chars")
+
+
 def q_embedding_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer covariance moments of the embeddings table
     (operators/similarity.pca_cov_moments — the input to embedding_pca):
@@ -2523,6 +2543,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "span_multi", "exact_substring_dedup", "percolate_query",
     "rrf_retriever", "geo_shape", "es_terms_partition",
     "feature_hash_embed", "post_filter", "embedding_pca_moments",
+    "reindex",
 ]
 
 
@@ -2586,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": q_exact_substring_dedup,
         "feature_hash_embed": q_feature_hash_embed,
         "embedding_pca_moments": q_embedding_pca_moments,
+        "reindex": q_reindex,
         "es_terms_options": q_es_terms_options,
         "script_score": q_script_score,
         "distance_feature": q_distance_feature,
@@ -3238,6 +3260,10 @@ FROM documents
             f"SELECT s.doc_id, s.score_u FROM ({sq}) s "
             "JOIN documents d ON s.doc_id = d.doc_id WHERE d.lang = 'en' "
             "ORDER BY s.score_u DESC, s.doc_id ASC"))(),
+        "reindex": """
+SELECT doc_id, lang, upper(lang) AS lang_uc, 'reindexed' AS env, n_chars
+FROM documents WHERE lang = 'en'
+""",
         "embedding_pca_moments": __import__(
             "fluent_plugin_elasticsearch_spark.operators.similarity",
             fromlist=["pca_cov_moments_sql"]).pca_cov_moments_sql(

@@ -189,3 +189,61 @@ def rank_eval(docs: DataFrame, requests: list[dict], metric: dict,
     return spark.createDataFrame(
         rows, "request_id string, metric_u long, unrated_docs long"
     ).orderBy("request_id")
+
+
+def reindex(source: DataFrame, dest, body: dict | None = None) -> dict:
+    """ES _reindex: copy source → dest with the body's options — the
+    operational API the reference's users pair with template changes
+    (out_elasticsearch.rb rollover/template flow assumes reindex for
+    breaking mapping changes).
+
+    Supported body (loud raises elsewhere): source.query (compiled
+    through the filter-clause compiler — predicate pushdown on the source
+    scan), source._source (column projection), max_docs, pipeline (an
+    ingest-pipeline processor list — functions/ingest_pipeline),
+    dest.op_type "index" (default: upsert — existing ids overwritten) or
+    "create" (only ids absent from dest land; conflicts are skipped,
+    ES's conflicts=proceed). `dest` is a sinks.cow_table.CowTable; the
+    write rewrites only touched buckets. `script` raises — per-record
+    painless is the reference's T13 anti-pattern; use `pipeline`.
+    Returns {"total", "created", "updated"} (exact, from frame counts —
+    coordinator-sized scalars)."""
+    from ..plans.query_ast import UnsupportedQuery, _compile_clause
+
+    body = dict(body or {})
+    if "script" in body:
+        raise UnsupportedQuery(
+            "reindex script: use pipeline (vectorized processors) — "
+            "per-record painless is the T13 anti-pattern")
+    src = body.get("source") or {}
+    df = source
+    if src.get("query"):
+        df = df.filter(_compile_clause(src["query"]))
+    proj = src.get("_source")
+    if isinstance(proj, list):
+        need = set(proj) | {dest.id_col}
+        df = df.select(*[c for c in df.columns if c in need])
+    if body.get("max_docs") is not None:
+        df = df.orderBy(F.asc(dest.id_col)).limit(int(body["max_docs"]))
+    pipe = body.get("pipeline")
+    if pipe:
+        from ..functions.ingest_pipeline import apply_ingest_pipeline
+
+        df = apply_ingest_pipeline(df, pipe)
+    op_type = (body.get("dest") or {}).get("op_type", "index")
+    if op_type not in ("index", "create"):
+        raise UnsupportedQuery(f"reindex dest.op_type {op_type!r}")
+    total = df.count()
+    if not dest.exists():
+        dest.create(df)
+        return {"total": total, "created": total, "updated": 0}
+    existing = dest.read().select(dest.id_col)
+    if op_type == "create":
+        batch = df.join(existing, dest.id_col, "left_anti")
+        created = batch.count()
+        if created:
+            dest.upsert(batch)
+        return {"total": total, "created": created, "updated": 0}
+    created = df.join(existing, dest.id_col, "left_anti").count()
+    dest.upsert(df)
+    return {"total": total, "created": created, "updated": total - created}

@@ -108,3 +108,42 @@ def test_rank_eval_metrics(spark):
 
     with _pytest.raises(ValueError, match="metric"):
         run({"nope": {}})
+
+
+def test_reindex_filter_pipeline_optypes(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.apis import reindex
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        UnsupportedQuery,
+    )
+    from fluent_plugin_elasticsearch_spark.sinks.cow_table import CowTable
+
+    src = spark.createDataFrame([
+        Row(doc_id=i, text=f"doc {i}", lang=["en", "fr"][i % 2])
+        for i in range(10)])
+    dest = CowTable(spark, str(tmp_path / "t"), id_col="doc_id",
+                    n_buckets=4)
+    stats = reindex(src, dest, {
+        "source": {"query": {"term": {"lang": "en"}}},
+        "pipeline": [{"set": {"field": "env", "value": "re"}},
+                     {"uppercase": {"field": "lang"}}]})
+    assert stats == {"total": 5, "created": 5, "updated": 0}
+    rows = {r["doc_id"]: r for r in dest.read().collect()}
+    assert set(rows) == {0, 2, 4, 6, 8}
+    assert rows[0]["lang"] == "EN" and rows[0]["env"] == "re"
+    # op_type create: existing ids skipped, new ones land
+    from pyspark.sql import functions as F
+
+    src2 = src.withColumn("env", F.lit("x")).withColumn(
+        "lang", F.upper("lang"))
+    stats2 = reindex(src2, dest, {"dest": {"op_type": "create"}})
+    assert stats2 == {"total": 10, "created": 5, "updated": 0}
+    rows = {r["doc_id"]: r for r in dest.read().collect()}
+    assert len(rows) == 10 and rows[0]["env"] == "re"  # not clobbered
+    # default index op_type overwrites
+    stats3 = reindex(src2, dest, {"max_docs": 3})
+    assert stats3 == {"total": 3, "created": 0, "updated": 3}
+    assert {r["doc_id"]: r["env"] for r in dest.read().collect()}[0] == "x"
+    with pytest.raises(UnsupportedQuery, match="pipeline"):
+        reindex(src, dest, {"script": {"source": "ctx.x = 1"}})
