@@ -1124,6 +1124,26 @@ def q_es_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("v_sum").cast("long").alias("v_sum"))
 
 
+def q_es_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES x-pack bucket_correlation (plans/aggs._sibling_bucket): Pearson
+    correlation between a per-day doc_count series (key order) and a
+    provided expectations curve — integer-valued series so every moment
+    sum is exact in float64, making the quantized corr engine-exact."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    exp = [float((i * 7) % 13 + 1) for i in range(31)]
+    out = compile_aggs(ev, {"aggs": {
+        "per_day": {"date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"}},
+        "corr": {"bucket_correlation": {
+            "buckets_path": "per_day>_count",
+            "function": {"count_correlation": {
+                "indicator": {"expectations": exp}}}}},
+    }})["corr"]
+    return out
+
+
 def q_es_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES cumulative_cardinality + the canonical derivative pairing
     (incremental churn: distinct users ever seen per day, and per-day new
@@ -2543,7 +2563,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "span_multi", "exact_substring_dedup", "percolate_query",
     "rrf_retriever", "geo_shape", "es_terms_partition",
     "feature_hash_embed", "post_filter", "embedding_pca_moments",
-    "reindex",
+    "reindex", "es_bucket_correlation",
 ]
 
 
@@ -2615,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_ip_range": q_es_ip_range,
         "es_date_histogram_gaps": q_es_date_histogram_gaps,
         "es_cumulative_cardinality": q_es_cumulative_cardinality,
+        "es_bucket_correlation": q_es_bucket_correlation,
         "es_reverse_nested": q_es_reverse_nested,
         "es_terms_partition": q_es_terms_partition,
         "es_sibling_buckets": q_es_sibling_buckets,
@@ -3478,6 +3499,28 @@ SELECT event_type AS key, count(*) AS doc_count,
        CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum
 FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
 """,
+        "es_bucket_correlation": (lambda exp=[float((i * 7) % 13 + 1)
+                                              for i in range(31)]: f"""
+WITH agg AS (
+  SELECT date_trunc('day', ts) AS key, count(*) AS c FROM events GROUP BY 1
+),
+p AS (
+  SELECT CAST(c AS DOUBLE) AS x,
+         ([{', '.join(repr(v) for v in exp)}])[
+           row_number() OVER (ORDER BY key)] AS y
+  FROM agg
+),
+f AS (SELECT x, y FROM p WHERE y IS NOT NULL),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM f
+)
+SELECT CAST(floor((sxy - sx * sy / n)
+       / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) * 1e6) AS BIGINT)
+       AS corr_corr_u
+FROM m
+""")(),
         "es_cumulative_cardinality": """
 WITH agg AS (
   SELECT date_trunc('day', ts) AS key, count(*) AS doc_count,

@@ -1018,7 +1018,7 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
 
 
 _SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
-                  "stats_bucket", "percentiles_bucket")
+                  "stats_bucket", "percentiles_bucket", "bucket_correlation")
 
 
 def _sibling_bucket(compiled: dict[str, DataFrame], name: str, kind: str,
@@ -1066,6 +1066,44 @@ def _sibling_bucket(compiled: dict[str, DataFrame], name: str, kind: str,
                 f"{name}_p" + f"{float(p):g}".replace(".", "_"))
             for p in percents
         ])
+    if kind == "bucket_correlation":
+        # ES x-pack bucket_correlation, count_correlation function
+        # (simplified documented contract): PEARSON correlation between
+        # the sibling's key-ordered metric series and the provided
+        # `expectations` array. The series is the reduced bucket frame
+        # (coordinator-sized — see the module scale note); pairing is a
+        # row_number over the key order, the correlation one aggregate
+        # with the textbook moment formula, quantized ×1e6.
+        from pyspark.sql import Window
+
+        fn = (inner.get("function") or {}).get("count_correlation") or {}
+        exp = (fn.get("indicator") or {}).get("expectations")
+        if not exp:
+            raise UnsupportedQuery(
+                "bucket_correlation needs function.count_correlation."
+                "indicator.expectations")
+        exp = [float(x) for x in exp]
+        w = Window.partitionBy(F.lit(0)).orderBy(F.asc("key"))
+        ycol = F.element_at(
+            F.array(*[F.lit(v) for v in exp]),
+            F.row_number().over(w))
+        paired = (src.select(F.col(col).cast("double").alias("x"),
+                             ycol.alias("y"))
+                  .filter(F.col("y").isNotNull()))  # buckets beyond the
+        # expectations array are ignored (ES errors; documented subset)
+        mom = paired.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"))
+        n = F.col("n").cast("double")
+        den2 = ((F.col("sxx") - F.col("sx") * F.col("sx") / n)
+                * (F.col("syy") - F.col("sy") * F.col("sy") / n))
+        corr = F.when(  # zero-variance series → undefined corr → NULL
+            den2 > 0,
+            (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(den2))
+        return mom.select(F.floor(corr * 1e6).cast("long")
+                          .alias(f"{name}_corr_u"))
     raise UnsupportedQuery(f"unsupported sibling pipeline agg: {kind}")
 
 

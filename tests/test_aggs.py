@@ -1085,3 +1085,39 @@ def test_terms_include_partition(events):
         compile_aggs(events, {"aggs": {"t": {"terms": {
             "field": "event_type",
             "include": {"partition": 3, "num_partitions": 3}}}}})
+
+
+def test_bucket_correlation(events):
+    import numpy as np
+
+    per_day = compile_aggs(events, {"aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"vs": {"sum": {"field": "value"}}}}}})["d"].collect()
+    series = [r["vs"] for r in per_day]
+    exp = [3.0, 1.0, 4.0, 1.0][:len(series)]
+    body = {"aggs": {
+        "d": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+              "aggs": {"vs": {"sum": {"field": "value"}}}},
+        "c": {"bucket_correlation": {
+            "buckets_path": "d>vs",
+            "function": {"count_correlation": {
+                "indicator": {"expectations": exp}}}}},
+    }}
+    out = compile_aggs(events, body)["c"].collect()[0]["c_corr_u"]
+    want = np.corrcoef(np.array(series, float), np.array(exp))[0, 1]
+    import math
+    assert out == math.floor(want * 1e6)
+    # zero-variance doc_count series (75 per day) -> NULL, not an error
+    degen = compile_aggs(events, {"aggs": {
+        "d": {"date_histogram": {"field": "ts", "calendar_interval": "day"}},
+        "c": {"bucket_correlation": {
+            "buckets_path": "d>_count",
+            "function": {"count_correlation": {
+                "indicator": {"expectations": exp}}}}},
+    }})["c"].collect()[0]["c_corr_u"]
+    assert degen is None
+    with pytest.raises(UnsupportedQuery, match="expectations"):
+        compile_aggs(events, {"aggs": {
+            "d": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "day"}},
+            "c": {"bucket_correlation": {"buckets_path": "d>_count"}}}})
