@@ -1124,6 +1124,23 @@ def q_es_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("v_sum").cast("long").alias("v_sum"))
 
 
+def q_es_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _downsample / TSDB rollup (operators/apis.downsample): one doc
+    per (dimension, day bucket) with min/max/sum/value_count per metric
+    — ONE partial-aggregated groupBy. Metric pre-quantized to integer
+    centi-units so the sums are engine-exact."""
+    from fluent_plugin_elasticsearch_spark.operators.apis import downsample
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long"))
+    out = downsample(ev, "1d", ["event_type"], ["value_u"])
+    return out.select(
+        "@timestamp", "event_type", "_doc_count",
+        "value_u_min", "value_u_max",
+        F.col("value_u_sum").cast("long").alias("value_u_sum"),
+        "value_u_value_count")
+
+
 def q_es_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES x-pack bucket_correlation (plans/aggs._sibling_bucket): Pearson
     correlation between a per-day doc_count series (key order) and a
@@ -2563,7 +2580,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "span_multi", "exact_substring_dedup", "percolate_query",
     "rrf_retriever", "geo_shape", "es_terms_partition",
     "feature_hash_embed", "post_filter", "embedding_pca_moments",
-    "reindex", "es_bucket_correlation",
+    "reindex", "es_bucket_correlation", "es_downsample",
 ]
 
 
@@ -2636,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_date_histogram_gaps": q_es_date_histogram_gaps,
         "es_cumulative_cardinality": q_es_cumulative_cardinality,
         "es_bucket_correlation": q_es_bucket_correlation,
+        "es_downsample": q_es_downsample,
         "es_reverse_nested": q_es_reverse_nested,
         "es_terms_partition": q_es_terms_partition,
         "es_sibling_buckets": q_es_sibling_buckets,
@@ -3498,6 +3516,16 @@ SELECT event_type AS key, count(*) AS doc_count,
        count(DISTINCT user_id) AS docs_doc_count,
        CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum
 FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
+""",
+        "es_downsample": """
+SELECT date_trunc('day', ts) AS "@timestamp", event_type,
+       count(*) AS _doc_count,
+       min(CAST(floor(value * 1e2) AS BIGINT)) AS value_u_min,
+       max(CAST(floor(value * 1e2) AS BIGINT)) AS value_u_max,
+       CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT)
+         AS value_u_sum,
+       count(CAST(floor(value * 1e2) AS BIGINT)) AS value_u_value_count
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "es_bucket_correlation": (lambda exp=[float((i * 7) % 13 + 1)
                                               for i in range(31)]: f"""

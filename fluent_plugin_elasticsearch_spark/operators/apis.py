@@ -247,3 +247,34 @@ def reindex(source: DataFrame, dest, body: dict | None = None) -> dict:
     created = df.join(existing, dest.id_col, "left_anti").count()
     dest.upsert(df)
     return {"total": total, "created": created, "updated": total - created}
+
+
+def downsample(df: DataFrame, fixed_interval: str, dims: list[str],
+               metrics: list[str], ts_col: str = "ts") -> DataFrame:
+    """ES _downsample (TSDB rollup): replace raw time-series docs with
+    one doc per (dimensions, time bucket) carrying min/max/sum/
+    value_count per metric — the storage-shrink API the reference's
+    metric-shipping users pair with ILM (out_elasticsearch.rb ILM flow;
+    ES runs downsampling as the ILM rollup action). One partial-
+    aggregated groupBy — the same single shuffle as any rollup; avg is
+    derivable (sum/value_count) and deliberately not materialized,
+    matching ES's downsampled-index shape. Buckets are UTC-truncated;
+    intervals map to date_trunc units (calendar-irregular intervals like
+    90m raise rather than silently drift)."""
+    from ..plans.query_ast import UnsupportedQuery
+
+    units = {"1s": "second", "1m": "minute", "1h": "hour", "1d": "day"}
+    if fixed_interval not in units:
+        raise UnsupportedQuery(
+            f"downsample fixed_interval {fixed_interval!r} (supported: "
+            f"{sorted(units)})")
+    key = F.date_trunc(units[fixed_interval], F.col(ts_col)).alias(
+        "@timestamp")
+    aggs = [F.count(F.lit(1)).alias("_doc_count")]
+    for m in metrics:
+        aggs += [F.min(m).alias(f"{m}_min"), F.max(m).alias(f"{m}_max"),
+                 F.sum(m).alias(f"{m}_sum"),
+                 F.count(m).alias(f"{m}_value_count")]
+    return (df.groupBy(key, *[F.col(d) for d in dims])
+            .agg(*aggs)
+            .orderBy(F.asc("@timestamp"), *[F.asc(d) for d in dims]))

@@ -147,3 +147,27 @@ def test_reindex_filter_pipeline_optypes(spark, tmp_path):
     assert {r["doc_id"]: r["env"] for r in dest.read().collect()}[0] == "x"
     with pytest.raises(UnsupportedQuery, match="pipeline"):
         reindex(src, dest, {"script": {"source": "ctx.x = 1"}})
+
+
+def test_downsample(spark):
+    import datetime as dt
+
+    from fluent_plugin_elasticsearch_spark.operators.apis import downsample
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        UnsupportedQuery,
+    )
+
+    rows = [Row(ts=dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m),
+                host=h, cpu=(float(v) if v is not None else None))
+            for m, h, v in [(1, "a", 10), (2, "a", 30), (61, "a", 50),
+                            (1, "b", 5), (2, "b", None)]]
+    df = spark.createDataFrame(rows)
+    out = downsample(df, "1h", ["host"], ["cpu"])
+    got = {(r["@timestamp"].hour, r["host"]):
+           (r["_doc_count"], r["cpu_min"], r["cpu_max"], r["cpu_sum"],
+            r["cpu_value_count"]) for r in out.collect()}
+    assert got[(10, "a")] == (2, 10.0, 30.0, 40.0, 2)
+    assert got[(11, "a")] == (1, 50.0, 50.0, 50.0, 1)
+    assert got[(10, "b")] == (2, 5.0, 5.0, 5.0, 1)  # null metric skipped
+    with pytest.raises(UnsupportedQuery, match="fixed_interval"):
+        downsample(df, "90m", ["host"], ["cpu"])
