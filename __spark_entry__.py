@@ -1124,6 +1124,21 @@ def q_es_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("v_sum").cast("long").alias("v_sum"))
 
 
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE trainer round (operators/bpe.bpe_pair_stats):
+    adjacent character-pair counts over the word-frequency table — the
+    per-round aggregation of Sennrich-style vocabulary induction. Two
+    partial-aggregated shuffles total (word freqs, pair counts), never
+    the raw corpus; tie-break (cnt desc, pair asc) is engine-exact."""
+    from fluent_plugin_elasticsearch_spark.operators.bpe import (
+        bpe_pair_stats,
+        word_freqs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_pair_stats(word_freqs(docs), top=20)
+
+
 def q_es_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _downsample / TSDB rollup (operators/apis.downsample): one doc
     per (dimension, day bucket) with min/max/sum/value_count per metric
@@ -2581,6 +2596,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "rrf_retriever", "geo_shape", "es_terms_partition",
     "feature_hash_embed", "post_filter", "embedding_pca_moments",
     "reindex", "es_bucket_correlation", "es_downsample",
+    "bpe_pair_stats",
 ]
 
 
@@ -2654,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_cumulative_cardinality": q_es_cumulative_cardinality,
         "es_bucket_correlation": q_es_bucket_correlation,
         "es_downsample": q_es_downsample,
+        "bpe_pair_stats": q_bpe_pair_stats,
         "es_reverse_nested": q_es_reverse_nested,
         "es_terms_partition": q_es_terms_partition,
         "es_sibling_buckets": q_es_sibling_buckets,
@@ -3517,6 +3534,10 @@ SELECT event_type AS key, count(*) AS doc_count,
        CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS v_sum
 FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
 """,
+        "bpe_pair_stats": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.bpe",
+            fromlist=["bpe_pair_stats_sql"]).bpe_pair_stats_sql(
+                "documents", top=20),
         "es_downsample": """
 SELECT date_trunc('day', ts) AS "@timestamp", event_type,
        count(*) AS _doc_count,

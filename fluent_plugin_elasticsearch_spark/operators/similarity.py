@@ -696,6 +696,9 @@ def feature_hash_embed(docs: DataFrame, dim: int = 64,
     Returns (doc_id, emb array<long> of length dim)."""
     from ..extraction import simple_tokens_col
 
+    if not 1 <= int(dim) <= 4096:
+        raise ValueError(f"feature_hash_embed dim out of range: {dim}")
+
     def bucket(t: Column) -> Column:
         return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
 
