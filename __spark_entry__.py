@@ -938,6 +938,43 @@ def q_es_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "doc_count")
 
 
+def q_es_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_prefix agg (plans/aggs._ip_prefix_agg): one bucket per /12
+    network of an IPv4 string column — split/cast to uint32, exact
+    integer mod masks the host bits, ONE partial-aggregated groupBy,
+    numeric-ip bucket order. Same deterministic ip derivation as
+    es_ip_range (the pinned schema has no ip column)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat_ws(".", F.lit("10"), (F.col("user_id") % 256).cast("string"),
+                    (F.col("event_id") % 256).cast("string"),
+                    ((F.col("event_id") * 7) % 256).cast("string")
+                    ).alias("client_ip"))
+    out = compile_aggs(ev, {"aggs": {"nets": {"ip_prefix": {
+        "field": "client_ip", "prefix_length": 12,
+        "append_prefix_length": True}}}})["nets"]
+    return out.select("key", "doc_count")
+
+
+def q_es_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES x-pack change_point sibling agg (plans/aggs._sibling_bucket):
+    most-likely step change in the per-day doc_count series via the
+    pooled-t split scan over exact prefix sums — argmax |t|, key-asc
+    tie-break, ×1e6 floor quantization (integer counts → every moment
+    sum exact in float64, so the statistic is engine-exact)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_aggs(ev, {"aggs": {
+        "per_day": {"date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"}},
+        "cp": {"change_point": {"buckets_path": "per_day>_count"}},
+    }})["cp"]
+    return out.select("cp_key", "cp_type", "cp_t_u")
+
+
 def _events_value_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with value pre-quantized to integer cents — exact long sums
     on both engines (the cross-engine float-accumulation guard used by
@@ -2596,7 +2633,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "rrf_retriever", "geo_shape", "es_terms_partition",
     "feature_hash_embed", "post_filter", "embedding_pca_moments",
     "reindex", "es_bucket_correlation", "es_downsample",
-    "bpe_pair_stats",
+    "bpe_pair_stats", "es_ip_prefix", "es_change_point",
 ]
 
 
@@ -2671,6 +2708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_bucket_correlation": q_es_bucket_correlation,
         "es_downsample": q_es_downsample,
         "bpe_pair_stats": q_bpe_pair_stats,
+        "es_ip_prefix": q_es_ip_prefix,
+        "es_change_point": q_es_change_point,
         "es_reverse_nested": q_es_reverse_nested,
         "es_terms_partition": q_es_terms_partition,
         "es_sibling_buckets": q_es_sibling_buckets,
@@ -3538,6 +3577,60 @@ FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
             "fluent_plugin_elasticsearch_spark.operators.bpe",
             fromlist=["bpe_pair_stats_sql"]).bpe_pair_stats_sql(
                 "documents", top=20),
+        "es_ip_prefix": """
+WITH e AS (
+  SELECT 10 * 16777216 + (user_id % 256) * 65536 + (event_id % 256) * 256
+         + ((event_id * 7) % 256) AS ip32
+  FROM events
+),
+g AS (
+  SELECT ip32 - (ip32 % 1048576) AS net, count(*) AS doc_count
+  FROM e GROUP BY 1
+)
+SELECT CAST(net // 16777216 AS VARCHAR) || '.'
+       || CAST((net // 65536) % 256 AS VARCHAR) || '.'
+       || CAST((net // 256) % 256 AS VARCHAR) || '.'
+       || CAST(net % 256 AS VARCHAR) || '/12' AS key,
+       doc_count
+FROM g ORDER BY net ASC
+""",
+        "es_change_point": """
+WITH agg AS (
+  SELECT date_trunc('day', ts) AS key, CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT key, x,
+         row_number() OVER (ORDER BY key) AS k,
+         sum(x) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS cs,
+         sum(x * x) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS cq,
+         lead(key) OVER (ORDER BY key) AS nkey,
+         count(*) OVER () AS n_tot,
+         sum(x) OVER () AS s_tot,
+         sum(x * x) OVER () AS q_tot
+  FROM agg
+),
+c AS (
+  SELECT nkey,
+         CASE WHEN ((cq - cs * cs / k)
+                    + ((q_tot - cq)
+                       - (s_tot - cs) * (s_tot - cs) / (n_tot - k)))
+                   / (n_tot - 2) > 0
+              THEN (cs / k - (s_tot - cs) / (n_tot - k))
+                   / sqrt((((cq - cs * cs / k)
+                            + ((q_tot - cq)
+                               - (s_tot - cs) * (s_tot - cs) / (n_tot - k)))
+                           / (n_tot - 2))
+                          * (1.0 / k + 1.0 / (n_tot - k)))
+         END AS t
+  FROM p WHERE k < n_tot AND n_tot >= 3
+)
+SELECT CASE WHEN t IS NOT NULL THEN nkey END AS cp_key,
+       CASE WHEN t IS NOT NULL THEN 'step_change'
+            ELSE 'stationary' END AS cp_type,
+       CAST(floor(t * 1e6) AS BIGINT) AS cp_t_u
+FROM c ORDER BY abs(t) DESC NULLS LAST, nkey ASC LIMIT 1
+""",
         "es_downsample": """
 SELECT date_trunc('day', ts) AS "@timestamp", event_type,
        count(*) AS _doc_count,

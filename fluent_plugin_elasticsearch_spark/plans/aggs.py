@@ -707,6 +707,8 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out[name] = _geo_distance_agg(base, inner, sub)
         elif kind == "ip_range":
             out[name] = _ip_range_agg(base, inner, sub)
+        elif kind == "ip_prefix":
+            out[name] = _ip_prefix_agg(base, inner, sub)
         elif kind == "auto_date_histogram":
             out[name] = _auto_date_histogram(base, inner, sub)
         elif kind == "missing":
@@ -1018,7 +1020,8 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
 
 
 _SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
-                  "stats_bucket", "percentiles_bucket", "bucket_correlation")
+                  "stats_bucket", "percentiles_bucket", "bucket_correlation",
+                  "change_point")
 
 
 def _sibling_bucket(compiled: dict[str, DataFrame], name: str, kind: str,
@@ -1104,6 +1107,53 @@ def _sibling_bucket(compiled: dict[str, DataFrame], name: str, kind: str,
             (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(den2))
         return mom.select(F.floor(corr * 1e6).cast("long")
                           .alias(f"{name}_corr_u"))
+    if kind == "change_point":
+        # ES x-pack change_point (simplified documented contract): the
+        # most likely STEP CHANGE in the sibling's key-ordered metric
+        # series. ES runs a battery of hypothesis tests; the
+        # deterministic engine-exact variant here is the classic
+        # two-sample pooled-t scan — for every split k the statistic
+        # t_k = (mean_left − mean_right) / √(v_pooled (1/k + 1/(n−k)))
+        # from EXACT prefix sums (one pass of running-window sums over
+        # the coordinator-sized bucket frame), argmax |t_k| with key-asc
+        # tie-break. A constant series has every v_pooled = 0 → type
+        # 'stationary' with NULL key, mirroring ES's stationary verdict.
+        # Output: ({name}_key = first bucket of the changed regime,
+        # {name}_type, {name}_t_u = t ×1e6 floor-quantized).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.lit(0)).orderBy(F.asc("key"))
+        wall = Window.partitionBy(F.lit(0))
+        x = F.col(col).cast("double")
+        pre = (src.select(F.col("key"), x.alias("x"))
+               .select("key",
+                       F.row_number().over(w).alias("k"),
+                       F.sum("x").over(w).alias("cs"),
+                       F.sum(F.col("x") * F.col("x")).over(w).alias("cq"),
+                       F.lead("key").over(w).alias("nkey"),
+                       F.count(F.lit(1)).over(wall).alias("n_tot"),
+                       F.sum("x").over(wall).alias("s_tot"),
+                       F.sum(F.col("x") * F.col("x")).over(wall).alias("q_tot")))
+        n1 = F.col("k").cast("double")
+        n2 = (F.col("n_tot") - F.col("k")).cast("double")
+        s1, q1 = F.col("cs"), F.col("cq")
+        s2 = F.col("s_tot") - F.col("cs")
+        q2 = F.col("q_tot") - F.col("cq")
+        ntd = F.col("n_tot").cast("double")
+        vp = ((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2)) / (ntd - 2.0)
+        t = F.when(vp > 0,
+                   (s1 / n1 - s2 / n2) / F.sqrt(vp * (1.0 / n1 + 1.0 / n2)))
+        cand = (pre.filter((F.col("k") < F.col("n_tot"))
+                           & (F.col("n_tot") >= 3))
+                .select("nkey", t.alias("t"))
+                .orderBy(F.desc_nulls_last(F.abs(F.col("t"))), F.asc("nkey"))
+                .limit(1))
+        return cand.select(
+            F.when(F.col("t").isNotNull(), F.col("nkey"))
+            .alias(f"{name}_key"),
+            F.when(F.col("t").isNotNull(), F.lit("step_change"))
+            .otherwise(F.lit("stationary")).alias(f"{name}_type"),
+            F.floor(F.col("t") * 1e6).cast("long").alias(f"{name}_t_u"))
     raise UnsupportedQuery(f"unsupported sibling pipeline agg: {kind}")
 
 
@@ -1549,6 +1599,43 @@ def _ip_range_agg(base: DataFrame, inner: dict[str, Any],
     for p_ in parts[1:]:
         df = df.unionByName(p_)
     return df.orderBy(F.asc("bucket_idx"))
+
+
+def _ip_prefix_agg(base: DataFrame, inner: dict[str, Any],
+                   sub: dict[str, Any] | None) -> DataFrame:
+    """ES ip_prefix agg (8.x): one bucket per network prefix of an IPv4
+    string field ({"field": f, "prefix_length": n, optional
+    "append_prefix_length", "min_doc_count"}). The row side is one
+    split/cast projection to uint32 plus an exact integer mod to mask
+    the host bits (no loop, no float), then ONE partial-aggregated
+    groupBy on the network address; buckets come back key-ascending in
+    NUMERIC ip order (ES semantics — dotted-quad string order would put
+    10.10 after 10.2). is_ipv6 raises: the pinned corpus is v4-only."""
+    field = inner["field"]
+    nbits = int(inner["prefix_length"])
+    if inner.get("is_ipv6"):
+        raise UnsupportedQuery("ip_prefix is_ipv6 (corpus is IPv4)")
+    if not 1 <= nbits <= 32:
+        raise UnsupportedQuery(f"ip_prefix prefix_length out of range: {nbits}")
+    block = 1 << (32 - nbits)
+    ipl = ip_col_to_long(F.col(field))
+    net = (ipl - (ipl % F.lit(block))).alias("__net")
+    quad = F.concat_ws(
+        ".",
+        (F.col("__net") / 16777216).cast("long").cast("string"),
+        ((F.col("__net") / 65536).cast("long") % 256).cast("string"),
+        ((F.col("__net") / 256).cast("long") % 256).cast("string"),
+        (F.col("__net") % 256).cast("string"))
+    key = F.concat(quad, F.lit(f"/{nbits}")) if inner.get(
+        "append_prefix_length") else quad
+    out = (base.select(net, "*")
+           .groupBy("__net")
+           .agg(F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
+           .filter(F.col("doc_count") >= int(inner.get("min_doc_count", 1)))
+           .orderBy(F.asc("__net"))
+           .select(key.alias("key"), "*")
+           .drop("__net"))
+    return out
 
 
 def _geo_distance_agg(base: DataFrame, inner: dict[str, Any],

@@ -1121,3 +1121,88 @@ def test_bucket_correlation(events):
             "d": {"date_histogram": {"field": "ts",
                                      "calendar_interval": "day"}},
             "c": {"bucket_correlation": {"buckets_path": "d>_count"}}}})
+
+
+def test_ip_prefix_agg(spark):
+    rows = [Row(i=i, ip=f"10.{[2, 10][i % 2]}.{i}.{i * 3 % 256}")
+            for i in range(10)]
+    d = spark.createDataFrame(rows)
+    out = compile_aggs(d, {"aggs": {"n": {"ip_prefix": {
+        "field": "ip", "prefix_length": 16}}}})["n"].collect()
+    # numeric ip bucket order: 10.2.0.0 BEFORE 10.10.0.0 (string order
+    # would invert them)
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        ("10.2.0.0", 5), ("10.10.0.0", 5)]
+    # /30 masks the low 2 host bits of the last octet
+    out30 = compile_aggs(d, {"aggs": {"n": {"ip_prefix": {
+        "field": "ip", "prefix_length": 30,
+        "append_prefix_length": True}}}})["n"].collect()
+    want = {}
+    for i in range(10):
+        m = (i * 3) % 256
+        k = f"10.{[2, 10][i % 2]}.{i}.{m - m % 4}/30"
+        want[k] = want.get(k, 0) + 1
+    assert {r["key"]: r["doc_count"] for r in out30} == want
+    # min_doc_count prunes singleton buckets
+    out2 = compile_aggs(d, {"aggs": {"n": {"ip_prefix": {
+        "field": "ip", "prefix_length": 16, "min_doc_count": 6}}}})["n"]
+    assert out2.collect() == []
+    with pytest.raises(UnsupportedQuery, match="is_ipv6"):
+        compile_aggs(d, {"aggs": {"n": {"ip_prefix": {
+            "field": "ip", "prefix_length": 16, "is_ipv6": True}}}})
+    with pytest.raises(UnsupportedQuery, match="out of range"):
+        compile_aggs(d, {"aggs": {"n": {"ip_prefix": {
+            "field": "ip", "prefix_length": 0}}}})
+
+
+def _ref_change_point(xs, keys):
+    import math
+
+    n = len(xs)
+    best = None
+    for k in range(1, n):
+        s1, q1 = sum(xs[:k]), sum(v * v for v in xs[:k])
+        s2, q2 = sum(xs[k:]), sum(v * v for v in xs[k:])
+        vp = ((q1 - s1 * s1 / k) + (q2 - s2 * s2 / (n - k))) / (n - 2)
+        if vp <= 0:
+            continue
+        t = (s1 / k - s2 / (n - k)) / math.sqrt(
+            vp * (1 / k + 1 / (n - k)))
+        if best is None or abs(t) > best[0]:
+            best = (abs(t), keys[k], t)
+    return best
+
+
+def test_change_point_step(spark):
+    import math
+
+    rows = []
+    for d in range(8):
+        n = (10 if d < 5 else 40) + d % 3  # step at day 6 plus noise
+        rows.extend(Row(event_id=d * 1000 + j,
+                        ts=dt.datetime(2024, 1, 1 + d, 9))
+                    for j in range(n))
+    df = spark.createDataFrame(rows)
+    out = compile_aggs(df, {"aggs": {
+        "per_day": {"date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"}},
+        "cp": {"change_point": {"buckets_path": "per_day>_count"}},
+    }})["cp"].collect()[0]
+    xs = [float((10 if d < 5 else 40) + d % 3) for d in range(8)]
+    keys = [dt.datetime(2024, 1, 1 + d) for d in range(8)]
+    _, want_key, want_t = _ref_change_point(xs, keys)
+    assert out["cp_type"] == "step_change"
+    assert out["cp_key"] == want_key == dt.datetime(2024, 1, 6)
+    assert out["cp_t_u"] == math.floor(want_t * 1e6)
+
+
+def test_change_point_stationary(events):
+    # the fixture's per-day doc_count is a constant 75 -> every pooled
+    # variance is exactly 0 -> stationary verdict, NULL key/statistic
+    out = compile_aggs(events, {"aggs": {
+        "per_day": {"date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"}},
+        "cp": {"change_point": {"buckets_path": "per_day>_count"}},
+    }})["cp"].collect()[0]
+    assert out["cp_type"] == "stationary"
+    assert out["cp_key"] is None and out["cp_t_u"] is None
