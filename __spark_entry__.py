@@ -2026,6 +2026,25 @@ def q_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 kNN body with an explicit sort (plans/query_ast): the k
+    NEAREST hits are retrieved by cosine, then PRESENTED in the sort
+    order (label desc, similarity rank as tie-break) — sort reorders the
+    hit page, never the candidate set."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding", "label"
+    )
+    body = {"knn": {"field": "embedding", "query_vector": [1.0] * 64, "k": 10},
+            "sort": [{"label": {"order": "desc"}}]}
+    out = compile_query(docs, body)
+    return out.select(
+        "doc_id", F.col("label").cast("int").alias("label"),
+        F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_u"), "rank"
+    )
+
+
 def q_bm25_wand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path under the oracle gate: build the compressed
     block-max index over `documents` (simple tokenizer), run block-max WAND
@@ -2633,7 +2652,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "rrf_retriever", "geo_shape", "es_terms_partition",
     "feature_hash_embed", "post_filter", "embedding_pca_moments",
     "reindex", "es_bucket_correlation", "es_downsample",
-    "bpe_pair_stats", "es_ip_prefix", "es_change_point",
+    "bpe_pair_stats", "es_ip_prefix", "es_change_point", "knn_sorted",
 ]
 
 
@@ -2799,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "knn_query": q_knn_query,
+        "knn_sorted": q_knn_sorted,
         "bm25_wand_index": q_bm25_wand_index,
         "suggest": q_suggest,
         "ngram_overlap_top20": q_ngram_overlap_top20,
@@ -4004,6 +4024,24 @@ scored AS (
 SELECT doc_id, CAST(floor(cosine * 1e6) AS BIGINT) AS cosine_u,
        CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT) AS rank
 FROM scored ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
+        "knn_sorted": f"""
+WITH q AS (SELECT [{", ".join(["1.0"] * 64)}]::DOUBLE[] AS qv),
+scored AS (
+  SELECT e.vec_id AS doc_id, e.label,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+topk AS (
+  SELECT doc_id, label, CAST(floor(cosine * 1e6) AS BIGINT) AS cosine_u,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT)
+           AS rank
+  FROM scored ORDER BY cosine DESC, doc_id ASC LIMIT 10
+)
+SELECT doc_id, label, cosine_u, rank
+FROM topk ORDER BY label DESC, rank ASC
 """,
         "ngram_overlap_top20": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),

@@ -540,8 +540,9 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
                     "hybrid knn+query supports only self-contained scorers"
                     f" {sorted(_HYBRID_OK)}; got {sorted(query)} — use"
                     " knn.filter for pre-filtering")
-        if body.get("sort"):
-            raise UnsupportedQuery("knn results are score-ordered; explicit sort unsupported")
+        if body.get("sort") and query:
+            raise UnsupportedQuery(
+                "hybrid knn+query is score-ordered; explicit sort unsupported")
         from ..operators.similarity import cosine_topk
 
         spec = body["knn"]
@@ -573,9 +574,25 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
                 .orderBy(F.desc("score_u"), F.asc("doc_id")).limit(n))
             return docs.join(F.broadcast(combined), "doc_id").orderBy(
                 F.desc("score_u"), F.asc("doc_id"))
+        # explicit sort on pure-knn results (ES 8: the k NEAREST hits are
+        # retrieved by similarity, then presented in the requested order —
+        # sort changes presentation, never the candidate set); `rank`
+        # stays as the similarity rank and breaks ties deterministically
+        sort_exprs = []
+        for s in body.get("sort") or []:
+            if s == "_doc":
+                continue
+            if isinstance(s, str):
+                sort_exprs.append(F.col(s).asc())
+            else:
+                ((sfield, sspec),) = s.items()
+                sorder = (sspec.get("order", "asc")
+                          if isinstance(sspec, dict) else sspec)
+                sort_exprs.append(F.col(sfield).desc() if sorder == "desc"
+                                  else F.col(sfield).asc())
         out = (
             cand.join(F.broadcast(top.select(F.col("vec_id").alias("doc_id"), "cosine", "rank")), "doc_id")
-            .orderBy("rank")
+            .orderBy(*sort_exprs, F.asc("rank"))
         )
         src = body.get("_source")
         if src is False:

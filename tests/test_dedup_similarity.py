@@ -474,3 +474,30 @@ def test_embedding_pca_invariants(spark):
                                                    whiten=True)
                    .orderBy("vec_id").collect()])
     assert np.allclose(pw.var(axis=0, ddof=1), 1.0, atol=1e-6)
+
+
+def test_knn_body_with_explicit_sort(spark, sf_dir):
+    """knn + top-level sort: the hit SET is the k nearest (identical to
+    the unsorted body), presentation order follows the sort spec with
+    similarity rank as tie-break; hybrid knn+query+sort still raises."""
+    import pytest
+
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        UnsupportedQuery,
+        compile_query,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding", "label"
+    )
+    knn = {"field": "embedding", "query_vector": [1.0] * 64, "k": 5}
+    plain = compile_query(docs, {"knn": knn}).collect()
+    sorted_ = compile_query(docs, {
+        "knn": knn, "sort": [{"label": {"order": "desc"}}]}).collect()
+    assert {r["doc_id"] for r in sorted_} == {r["doc_id"] for r in plain}
+    keys = [(-r["label"], r["rank"]) for r in sorted_]
+    assert keys == sorted(keys)
+    with pytest.raises(UnsupportedQuery, match="score-ordered"):
+        compile_query(docs, {
+            "knn": knn, "sort": [{"label": "desc"}],
+            "query": {"multi_match": {"query": "x", "fields": ["text"]}}})
