@@ -1508,6 +1508,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tq.unigram_logprob_scores(_read(spark, sf_dir, "documents"))
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy: per-doc mean surprisal under the
+    corpus's own bigram model, first token scored by unigram, integer
+    micro-nat quantization (textquality.bigram_logprob_scores)."""
+    return _tq.bigram_logprob_scores(_read(spark, sf_dir, "documents"))
+
+
 def q_es_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percentile_ranks: % of values <= each given value, exact count
     ratio quantized to 1e-4 % (plans/aggs._metric_cols)."""
@@ -2653,6 +2660,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "feature_hash_embed", "post_filter", "embedding_pca_moments",
     "reindex", "es_bucket_correlation", "es_downsample",
     "bpe_pair_stats", "es_ip_prefix", "es_change_point", "knn_sorted",
+    "bigram_logprob",
 ]
 
 
@@ -2768,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_score": q_random_score,
         "wrapper_query": q_wrapper_query,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "es_mad": q_es_mad,
         "es_top_metrics": q_es_top_metrics,
         "es_geo_centroid": q_es_geo_centroid,
@@ -3036,6 +3045,7 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE lang = 'en' AND n_chars >= 300 ORDER BY doc_id ASC
 """,
         "unigram_logprob": _tq.unigram_logprob_sql("documents", _TOKS),
+        "bigram_logprob": _tq.bigram_logprob_sql("documents", _TOKS),
         "es_percentile_ranks": """
 SELECT CAST(floor(avg(CASE WHEN value <= 10.0 THEN 1.0 ELSE 0.0 END) * 1e6) AS BIGINT) AS pr_rank_10_u,
        CAST(floor(avg(CASE WHEN value <= 50.0 THEN 1.0 ELSE 0.0 END) * 1e6) AS BIGINT) AS pr_rank_50_u,

@@ -413,6 +413,94 @@ FROM surp GROUP BY doc_id
 """
 
 
+def bigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Bigram-LM perplexity proxy: per-doc mean negative log-prob under
+    the corpus's own bigram model — the next-order fluency filter above
+    unigram_logprob_scores (catches shuffled-word salad that unigram
+    statistics cannot: every word common, every TRANSITION rare).
+
+    p(t_i | t_{i-1}) = c(t_{i-1}, t_i) / c_ctx(t_{i-1}) — pure MLE is
+    well-defined because the corpus is scored under its OWN model, so
+    every observed bigram has count >= 1. Each doc's first token is
+    scored by the unigram p(t_1) (standard sentence-start handling).
+    Same engine-exactness contract as the unigram scorer: per-token
+    surprisal floor-quantized to integer micro-nats BEFORE the per-doc
+    mean, so cross-engine sums are exact integer sums.
+
+    Plan: one map-side bigram expansion, partial-aggregated groupBys on
+    the bigram and context keys, equi-joins back (never broadcast — the
+    bigram table is corpus-vocabulary²-bounded), one per-doc groupBy.
+    All shuffles key-partitioned; nothing driver-side. Returns
+    (doc_id, n_tokens, mean_nll_micro)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       simple_tokens_col(F.col(text_col)).alias("tokens"))
+    pair = F.when(
+        F.size("tokens") >= 2,
+        F.transform(F.sequence(F.lit(2), F.size("tokens")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("tokens"), i - 1).alias("prev"),
+                        F.element_at(F.col("tokens"), i).alias("cur")))
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bi = (toks.select("doc_id", F.explode(pair).alias("bg"))
+          .select("doc_id", F.col("bg.prev").alias("prev"),
+                  F.col("bg.cur").alias("cur")))
+    bc = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
+    cc = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("cc"))
+    bigram_nll = (
+        bi.join(bc, ["prev", "cur"]).join(cc, "prev")
+        .select("doc_id",
+                F.floor(-F.log(F.col("bc") / F.col("cc")) * 1e6)
+                .cast("long").alias("nll_u")))
+    exploded = toks.select("doc_id", F.explode("tokens").alias("term"))
+    uc = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = exploded.agg(F.count(F.lit(1)).alias("total"))
+    first_nll = (
+        toks.filter(F.size("tokens") >= 1)
+        .select("doc_id", F.element_at(F.col("tokens"), 1).alias("term"))
+        .join(uc, "term").crossJoin(F.broadcast(total))
+        .select("doc_id",
+                F.floor(-F.log(F.col("tc") / F.col("total")) * 1e6)
+                .cast("long").alias("nll_u")))
+    return (first_nll.unionByName(bigram_nll)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.floor(F.sum("nll_u") / F.count(F.lit(1))).cast("long")
+                 .alias("mean_nll_micro")))
+
+
+def bigram_logprob_sql(table: str, toks_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of bigram_logprob_scores — same tokenizer, same
+    MLE conditionals, same micro-nat quantization order."""
+    return f"""
+WITH tk AS (SELECT {id_col} AS doc_id, {toks_sql} AS tokens FROM {table}),
+bi AS (
+  SELECT doc_id, tokens[i - 1] AS prev, tokens[i] AS cur
+  FROM (SELECT doc_id, tokens,
+               unnest(generate_series(2, len(tokens))) AS i FROM tk)
+),
+bc AS (SELECT prev, cur, count(*) AS bc FROM bi GROUP BY prev, cur),
+cc AS (SELECT prev, count(*) AS cc FROM bi GROUP BY prev),
+ex AS (SELECT doc_id, unnest(tokens) AS term FROM tk),
+uc AS (SELECT term, count(*) AS tc FROM ex GROUP BY term),
+total AS (SELECT count(*) AS total FROM ex),
+surp AS (
+  SELECT b.doc_id,
+         CAST(floor(-ln(bc.bc * 1.0 / cc.cc) * 1e6) AS BIGINT) AS nll_u
+  FROM bi b JOIN bc ON b.prev = bc.prev AND b.cur = bc.cur
+            JOIN cc ON b.prev = cc.prev
+  UNION ALL
+  SELECT f.doc_id,
+         CAST(floor(-ln(u.tc * 1.0 / t.total) * 1e6) AS BIGINT) AS nll_u
+  FROM (SELECT doc_id, tokens[1] AS term FROM tk WHERE len(tokens) >= 1) f
+  JOIN uc u USING (term) CROSS JOIN total t
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(floor(sum(nll_u) * 1.0 / count(*)) AS BIGINT) AS mean_nll_micro
+FROM surp GROUP BY doc_id
+"""
+
+
 def remove_repeated_ngrams(docs: DataFrame, n: int = 50, min_count: int = 2,
                            id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:

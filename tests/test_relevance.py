@@ -697,3 +697,38 @@ def test_post_filter_prunes_after_topk(spark, docs):
     # exactly the en-lang subset of the SAME top-3, order preserved
     assert got == [d for d in top3 if d % 2 == 0]  # lang 'en' = even ids
     assert set(got) < set(top3) or got == top3
+
+
+def test_bigram_logprob(docs, duck, spark):
+    import math
+
+    from fluent_plugin_elasticsearch_spark.operators import textquality as tq
+
+    out = tq.bigram_logprob_scores(docs)
+    toks_sql = ("list_filter(regexp_split_to_array(lower(text), "
+                "'[^a-z0-9]+'), t -> t <> '')")
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(int(x) for x in r)
+                  for r in duck.sql(
+                      tq.bigram_logprob_sql("docs", toks_sql)).fetchall())
+    assert got == want
+    # hand-check on a two-doc corpus: "a b a b" + "a b c" —
+    # c(a,b)=3 ctx(a)=3, c(b,a)=1 ctx(b)=2, c(b,c)=1
+    d2 = spark.createDataFrame([Row(doc_id=1, text="a b a b"),
+                                Row(doc_id=2, text="a b c")])
+    r = {x["doc_id"]: x for x in tq.bigram_logprob_scores(d2).collect()}
+    # doc 1: first 'a' unigram p=3/7, then p(b|a)=1, p(a|b)=1/2, p(b|a)=1
+    nll = [math.floor(-math.log(3 / 7) * 1e6), 0,
+           math.floor(-math.log(1 / 2) * 1e6), 0]
+    assert r[1]["n_tokens"] == 4
+    assert r[1]["mean_nll_micro"] == math.floor(sum(nll) / 4)
+    # word salad scores worse than fluent text under the bigram model
+    # even when every WORD is common: shuffle doc 0's first words
+    base = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    words = base.split()
+    salad = " ".join(words[::-1])
+    aug = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame([Row(doc_id=999, text=salad)]))
+    sc = {x["doc_id"]: x["mean_nll_micro"]
+          for x in tq.bigram_logprob_scores(aug).collect()}
+    assert sc[999] > sc[0]
