@@ -975,6 +975,36 @@ def q_es_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cp_key", "cp_type", "cp_t_u")
 
 
+def q_es_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES x-pack bucket_count_ks_test sibling agg (plans/aggs._sibling_
+    bucket): two-sided KS distance between the per-day doc_count
+    distribution and uniform — exact running sums, ×1e6 quantization."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events")
+    out = compile_aggs(ev, {"aggs": {
+        "per_day": {"date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"}},
+        "ks": {"bucket_count_ks_test": {"buckets_path": "per_day>_count"}},
+    }})["ks"]
+    return out.select("ks_d_u")
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle (operators/packing.
+    epoch_shuffle): md5-keyed global permutation, reproducible on any
+    engine/partitioning. Entry pins the first 100 docs of epoch 1's
+    order (the permutation prefix a resuming trainer would read)."""
+    from fluent_plugin_elasticsearch_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    out = epoch_shuffle(docs, epoch=1)
+    return (out.orderBy(F.asc("shuffle_key")).limit(100)
+            .select("doc_id", "shuffle_key"))
+
+
 def _events_value_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with value pre-quantized to integer cents — exact long sums
     on both engines (the cross-engine float-accumulation guard used by
@@ -2660,7 +2690,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "feature_hash_embed", "post_filter", "embedding_pca_moments",
     "reindex", "es_bucket_correlation", "es_downsample",
     "bpe_pair_stats", "es_ip_prefix", "es_change_point", "knn_sorted",
-    "bigram_logprob",
+    "bigram_logprob", "es_ks_test", "epoch_shuffle",
 ]
 
 
@@ -2737,6 +2767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_stats": q_bpe_pair_stats,
         "es_ip_prefix": q_es_ip_prefix,
         "es_change_point": q_es_change_point,
+        "es_ks_test": q_es_ks_test,
+        "epoch_shuffle": q_epoch_shuffle,
         "es_reverse_nested": q_es_reverse_nested,
         "es_terms_partition": q_es_terms_partition,
         "es_sibling_buckets": q_es_sibling_buckets,
@@ -3623,6 +3655,26 @@ SELECT CAST(net // 16777216 AS VARCHAR) || '.'
        || CAST(net % 256 AS VARCHAR) || '/12' AS key,
        doc_count
 FROM g ORDER BY net ASC
+""",
+        "es_ks_test": """
+WITH agg AS (
+  SELECT date_trunc('day', ts) AS key, CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT row_number() OVER (ORDER BY key) AS k,
+         sum(x) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS cs,
+         count(*) OVER () AS n_tot,
+         sum(x) OVER () AS s_tot
+  FROM agg
+)
+SELECT CAST(floor(max(abs(cs / s_tot - CAST(k AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+                  * 1e6) AS BIGINT) AS ks_d_u
+FROM p
+""",
+        "epoch_shuffle": """
+SELECT doc_id, md5('epoch1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents ORDER BY shuffle_key ASC LIMIT 100
 """,
         "es_change_point": """
 WITH agg AS (

@@ -232,3 +232,23 @@ WITH t AS (SELECT {ths} FROM {table})
 SELECT d.{id_col} AS doc_id, d.{score_col}, CAST({binc} AS INT) AS bin
 FROM {table} d CROSS JOIN t
 """
+
+
+def epoch_shuffle(df: DataFrame, epoch: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: epoch e
+    orders the corpus by md5('epoch<e>|' || id) — a reproducible
+    pseudo-random permutation that is INDEPENDENT across epochs and
+    identical on any engine, cluster size, or partitioning (the
+    property a resumable training run needs: worker k of N can read
+    its slice of the epoch order without coordination).
+
+    Plan: one projection for the key, then range-partition + local sort
+    — Spark's global-sort form, ONE shuffle, no global window, no
+    driver funnel; writers consume the order via sortWithinPartitions.
+    Returns the frame with a `shuffle_key` column, globally ordered."""
+    key = F.md5(F.concat(F.lit(f"epoch{int(epoch)}|"),
+                         F.col(id_col).cast("string")))
+    return (df.select("*", key.alias("shuffle_key"))
+            .repartitionByRange(F.col("shuffle_key"))
+            .sortWithinPartitions("shuffle_key"))

@@ -1021,7 +1021,7 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
 
 _SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
                   "stats_bucket", "percentiles_bucket", "bucket_correlation",
-                  "change_point")
+                  "change_point", "bucket_count_ks_test")
 
 
 def _sibling_bucket(compiled: dict[str, DataFrame], name: str, kind: str,
@@ -1107,6 +1107,51 @@ def _sibling_bucket(compiled: dict[str, DataFrame], name: str, kind: str,
             (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(den2))
         return mom.select(F.floor(corr * 1e6).cast("long")
                           .alias(f"{name}_corr_u"))
+    if kind == "bucket_count_ks_test":
+        # ES x-pack bucket_count_ks_test (simplified documented
+        # contract): two-sided Kolmogorov–Smirnov distance between the
+        # sibling's key-ordered bucket-count distribution and the
+        # provided `fractions` (default uniform) — D = max |CDF_obs −
+        # CDF_exp| from exact running sums over the coordinator-sized
+        # bucket frame, ×1e6 floor-quantized. ES returns p-values per
+        # `alternatives`; the statistic is the deterministic,
+        # engine-exact core, so that is what this emits. Non-two_sided
+        # alternatives and sampling methods raise rather than silently
+        # approximate.
+        from pyspark.sql import Window
+
+        alts = inner.get("alternatives", ["two_sided"])
+        if alts != ["two_sided"]:
+            raise UnsupportedQuery(
+                "bucket_count_ks_test supports alternatives=['two_sided']")
+        if inner.get("sampling_method"):
+            raise UnsupportedQuery("bucket_count_ks_test sampling_method")
+        fracs = inner.get("fractions")
+        w = Window.partitionBy(F.lit(0)).orderBy(F.asc("key"))
+        wall = Window.partitionBy(F.lit(0))
+        x = F.col(col).cast("double")
+        pre = (src.select(F.col("key"), x.alias("x"))
+               .select(F.row_number().over(w).alias("k"),
+                       F.sum("x").over(w).alias("cs"),
+                       F.count(F.lit(1)).over(wall).alias("n_tot"),
+                       F.sum("x").over(wall).alias("s_tot")))
+        if fracs is not None:
+            fr = [float(v) for v in fracs]
+            tot = sum(fr)
+            cum = []
+            acc = 0.0
+            for v in fr:
+                acc = acc + v
+                cum.append(acc / tot)
+            cdf_exp = F.element_at(F.array(*[F.lit(c) for c in cum]),
+                                   F.col("k"))
+        else:
+            cdf_exp = (F.col("k").cast("double")
+                       / F.col("n_tot").cast("double"))
+        d = F.abs(F.col("cs") / F.col("s_tot") - cdf_exp)
+        return (pre.filter(cdf_exp.isNotNull())
+                .agg(F.floor(F.max(d) * 1e6).cast("long")
+                     .alias(f"{name}_d_u")))
     if kind == "change_point":
         # ES x-pack change_point (simplified documented contract): the
         # most likely STEP CHANGE in the sibling's key-ordered metric

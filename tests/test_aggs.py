@@ -1206,3 +1206,36 @@ def test_change_point_stationary(events):
     }})["cp"].collect()[0]
     assert out["cp_type"] == "stationary"
     assert out["cp_key"] is None and out["cp_t_u"] is None
+
+
+def test_bucket_count_ks_test(events):
+    # uniform per-day counts (75 each) -> observed CDF == uniform CDF
+    # exactly -> D = 0
+    body = {"aggs": {
+        "d": {"date_histogram": {"field": "ts", "calendar_interval": "day"}},
+        "ks": {"bucket_count_ks_test": {"buckets_path": "d>_count"}}}}
+    assert compile_aggs(events, body)["ks"].collect()[0]["ks_d_u"] == 0
+    # skewed expected fractions -> D matches the hand-computed max gap
+    fr = [0.7, 0.1, 0.1, 0.1]
+    body2 = {"aggs": {
+        "d": {"date_histogram": {"field": "ts", "calendar_interval": "day"}},
+        "ks": {"bucket_count_ks_test": {"buckets_path": "d>_count",
+                                        "fractions": fr}}}}
+    got = compile_aggs(events, body2)["ks"].collect()[0]["ks_d_u"]
+    import math
+    obs = [0.25, 0.5, 0.75, 1.0]
+    # replicate the engine's normalization float-op-for-float-op
+    # (sum then cumulative acc/tot) — 0.7 is not exactly representable
+    tot = sum(fr)
+    exp, acc = [], 0.0
+    for v in fr:
+        acc = acc + v
+        exp.append(acc / tot)
+    want = math.floor(max(abs(o - e) for o, e in zip(obs, exp)) * 1e6)
+    assert got == want
+    with pytest.raises(UnsupportedQuery, match="two_sided"):
+        compile_aggs(events, {"aggs": {
+            "d": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "day"}},
+            "ks": {"bucket_count_ks_test": {"buckets_path": "d>_count",
+                                            "alternatives": ["less"]}}}})

@@ -43,3 +43,27 @@ def test_quality_bins_no_global_window(spark):
     # plan check: no single-partition window exchange
     plan = quality_bins(d, "score", n_bins=4)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_epoch_shuffle_deterministic_and_epoch_independent(spark):
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    d = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    e1 = [r["doc_id"] for r in
+          epoch_shuffle(d, 1).orderBy("shuffle_key").collect()]
+    # identical on a different partitioning
+    e1b = [r["doc_id"] for r in
+           epoch_shuffle(d.repartition(7), 1).orderBy("shuffle_key").collect()]
+    assert e1 == e1b
+    # a different epoch is a different permutation of the same ids
+    e2 = [r["doc_id"] for r in
+          epoch_shuffle(d, 2).orderBy("shuffle_key").collect()]
+    assert sorted(e1) == sorted(e2) == list(range(200))
+    assert e1 != e2
+    # the plan is range-partition + local sort, not a global window
+    plan = epoch_shuffle(d, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower() and "Window" not in plan
