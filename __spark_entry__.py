@@ -975,6 +975,17 @@ def q_es_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cp_key", "cp_type", "cp_t_u")
 
 
+def q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _terms_enum API (operators/apis.terms_enum): term-ascending
+    autocomplete listing with doc frequencies — map-side per-doc dedup,
+    one partial-aggregated shuffle (index path serves the same contract
+    from the term_stats dictionary)."""
+    from fluent_plugin_elasticsearch_spark.operators.apis import terms_enum
+
+    return terms_enum(_read(spark, sf_dir, "documents"), "text",
+                      string="s", size=15)
+
+
 def q_es_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES x-pack bucket_count_ks_test sibling agg (plans/aggs._sibling_
     bucket): two-sided KS distance between the per-day doc_count
@@ -2690,7 +2701,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "feature_hash_embed", "post_filter", "embedding_pca_moments",
     "reindex", "es_bucket_correlation", "es_downsample",
     "bpe_pair_stats", "es_ip_prefix", "es_change_point", "knn_sorted",
-    "bigram_logprob", "es_ks_test", "epoch_shuffle",
+    "bigram_logprob", "es_ks_test", "epoch_shuffle", "terms_enum",
 ]
 
 
@@ -2769,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_change_point": q_es_change_point,
         "es_ks_test": q_es_ks_test,
         "epoch_shuffle": q_epoch_shuffle,
+        "terms_enum": q_terms_enum,
         "es_reverse_nested": q_es_reverse_nested,
         "es_terms_partition": q_es_terms_partition,
         "es_sibling_buckets": q_es_sibling_buckets,
@@ -3655,6 +3667,13 @@ SELECT CAST(net // 16777216 AS VARCHAR) || '.'
        || CAST(net % 256 AS VARCHAR) || '/12' AS key,
        doc_count
 FROM g ORDER BY net ASC
+""",
+        "terms_enum": f"""
+WITH ex AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents
+)
+SELECT term, count(*) AS df FROM ex WHERE term LIKE 's%'
+GROUP BY term ORDER BY term ASC LIMIT 15
 """,
         "es_ks_test": """
 WITH agg AS (

@@ -278,3 +278,29 @@ def downsample(df: DataFrame, fixed_interval: str, dims: list[str],
     return (df.groupBy(key, *[F.col(d) for d in dims])
             .agg(*aggs)
             .orderBy(F.asc("@timestamp"), *[F.asc(d) for d in dims]))
+
+
+def terms_enum(docs: DataFrame, field: str, string: str = "",
+               size: int = 10, case_insensitive: bool = False,
+               index=None) -> DataFrame:
+    """ES _terms_enum (8.x autocomplete API): up to `size` distinct
+    index terms of `field` starting with `string`, TERM-ASCENDING (the
+    API's contract, unlike the df-ranked completion suggester). With an
+    InvertedIndex present the scan is the tiny term_stats dictionary
+    (StringStartsWith pushed to parquet, term-range file pruning); the
+    no-index fallback tokenizes `field`, de-dups per doc map-side
+    (array_distinct BEFORE the explode, so df is DOC frequency like the
+    index dictionary's) — one partial-aggregated shuffle on the term.
+    Returns (term, df)."""
+    if case_insensitive:
+        string = string.lower()  # both dictionaries are lowercased
+    if index is not None:
+        cand = index.term_stats().select("term", "df")
+        return (cand.filter(F.col("term").startswith(string))
+                .orderBy(F.asc("term")).limit(int(size)))
+    toks = docs.select(
+        F.explode(F.array_distinct(simple_tokens_col(F.col(field))))
+        .alias("term"))
+    return (toks.filter(F.col("term").startswith(string))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.asc("term")).limit(int(size)))

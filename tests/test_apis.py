@@ -171,3 +171,32 @@ def test_downsample(spark):
     assert got[(10, "b")] == (2, 5.0, 5.0, 5.0, 1)  # null metric skipped
     with pytest.raises(UnsupportedQuery, match="fixed_interval"):
         downsample(df, "90m", ["host"], ["cpu"])
+
+
+def test_terms_enum(spark, docs, index_dir):
+    from fluent_plugin_elasticsearch_spark.operators.search import (
+        InvertedIndex,
+    )
+
+    # fallback path: df is DOC frequency (repeats within a doc count
+    # once), output term-ascending
+    out = [(r["term"], r["df"])
+           for r in apis.terms_enum(docs, "text", string="").collect()]
+    assert out == [("cat", 2), ("dog", 2), ("mat", 2),
+                   ("on", 1), ("sat", 1), ("the", 3)]
+    assert [(r["term"], r["df"]) for r in
+            apis.terms_enum(docs, "text", string="ca").collect()] == [
+        ("cat", 2)]
+    # case_insensitive lowercases the probe to match the dictionary
+    assert [r["term"] for r in
+            apis.terms_enum(docs, "text", string="CA",
+                            case_insensitive=True).collect()] == ["cat"]
+    assert apis.terms_enum(docs, "text", string="zz").collect() == []
+    # index path: same contract served from the term dictionary
+    idx = InvertedIndex(spark, index_dir)
+    got = [r["term"] for r in
+           apis.terms_enum(None, "text", string="t", size=5,
+                           index=idx).collect()]
+    want = sorted(r["term"] for r in
+                  idx.term_stats().filter("term like 't%'").collect())[:5]
+    assert got == want
