@@ -1350,6 +1350,19 @@ def q_analyze_stop_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_tokens")
 
 
+def q_analyze_synonym_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _analyze: standard analyzer + synonym replace filter + 2-word
+    shingles (operators/analyze.analyze_col) — the phrase-index chain."""
+    from fluent_plugin_elasticsearch_spark.operators.analyze import analyze_api
+
+    out = analyze_api(_read(spark, sf_dir, "documents"), "text",
+                      "standard",
+                      synonyms={"fast": "quick", "src1": "source"},
+                      shingles=2)
+    return out.select("doc_id", F.concat_ws(" ", "tokens").alias("tokens"),
+                      "n_tokens")
+
+
 def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_bool_prefix (search-as-you-type): BM25 full terms +
     constant-score prefix clause on the last term
@@ -2702,6 +2715,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "reindex", "es_bucket_correlation", "es_downsample",
     "bpe_pair_stats", "es_ip_prefix", "es_change_point", "knn_sorted",
     "bigram_logprob", "es_ks_test", "epoch_shuffle", "terms_enum",
+    "analyze_synonym_shingle",
 ]
 
 
@@ -2799,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_percentile_ranks": q_es_percentile_ranks,
         "analyze_edge_ngram": q_analyze_edge_ngram,
         "analyze_stop_stem": q_analyze_stop_stem,
+        "analyze_synonym_shingle": q_analyze_synonym_shingle,
         "match_bool_prefix": q_match_bool_prefix,
         "explain_api": q_explain_api,
         "mixture_sample": q_mixture_sample,
@@ -2991,6 +3006,9 @@ FROM events
         "analyze_edge_ngram": _analyze_sql_entry("edge_ngram", min_gram=2, max_gram=4),
         "analyze_stop_stem": _analyze_sql_entry(
             "standard", stopwords=["the", "a", "of", "and"], stem=True),
+        "analyze_synonym_shingle": _analyze_sql_entry(
+            "standard", synonyms={"fast": "quick", "src1": "source"},
+            shingles=2),
         "match_bool_prefix": match_bool_prefix_sql("documents", ["merge", "ta"], k=15),
         "explain_api": explain_sql("documents", ["merge", "table", "window"], doc_id=42),
         "mixture_sample": _mixture_sql_entry(),

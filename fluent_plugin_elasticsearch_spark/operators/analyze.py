@@ -33,7 +33,9 @@ def fold_ascii_sql(e: str) -> str:
 def analyze_col(c: Column, analyzer: str = "standard",
                 min_gram: int = 2, max_gram: int = 4,
                 stopwords: list[str] | None = None,
-                stem: bool = False, folding: bool = False) -> Column:
+                stem: bool = False, folding: bool = False,
+                synonyms: dict[str, str] | None = None,
+                shingles: int | None = None) -> Column:
     """Tokenize `c` with the named analyzer + optional filters; returns
     array<string>. Gram analyzers emit DISTINCT grams in SORTED order
     (DuckDB's list_distinct does not preserve order, so the shared,
@@ -70,13 +72,31 @@ def analyze_col(c: Column, analyzer: str = "standard",
         from .textquality import stem_token_col
 
         toks = F.transform(toks, stem_token_col)
+    if synonyms:
+        # ES synonym token filter, replace form (a => b): map lookup per
+        # token, identity fallback — one broadcast-literal map, no join
+        syn_map = F.create_map(*[F.lit(x) for kv in sorted(synonyms.items())
+                                 for x in kv])
+        toks = F.transform(
+            toks, lambda t: F.coalesce(F.element_at(syn_map, t), t))
+    if shingles:
+        # ES shingle filter, output_unigrams=false form: word k-grams
+        # joined by space (the phrase-index building block)
+        k = int(shingles)
+        toks = F.when(
+            F.size(toks) >= k,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - k + 1),
+                        lambda i: F.array_join(F.slice(toks, i, k), " "))
+        ).otherwise(F.array().cast("array<string>"))
     return toks
 
 
 def analyze_sql(e: str, analyzer: str = "standard",
                 min_gram: int = 2, max_gram: int = 4,
                 stopwords: list[str] | None = None,
-                stem: bool = False, folding: bool = False) -> str:
+                stem: bool = False, folding: bool = False,
+                synonyms: dict[str, str] | None = None,
+                shingles: int | None = None) -> str:
     """DuckDB mirror of analyze_col."""
     if folding:
         e = fold_ascii_sql(f"lower({e})")
@@ -107,6 +127,18 @@ def analyze_sql(e: str, analyzer: str = "standard",
         from .textquality import stem_sql_expr
 
         toks = f"list_transform({toks}, t -> {stem_sql_expr('t')})"
+    if synonyms:
+        arms = " ".join(
+            f"WHEN '{a.replace(chr(39), chr(39) * 2)}'"
+            f" THEN '{b.replace(chr(39), chr(39) * 2)}'"
+            for a, b in sorted(synonyms.items()))
+        toks = f"list_transform({toks}, t -> CASE t {arms} ELSE t END)"
+    if shingles:
+        k = int(shingles)
+        toks = (f"CASE WHEN len({toks}) >= {k} THEN"
+                f" list_transform(range(1, len({toks}) - {k} + 2),"
+                f" i -> array_to_string(({toks})[i:i+{k}-1], ' '))"
+                f" ELSE [] END")
     return toks
 
 

@@ -258,3 +258,38 @@ def test_remove_repeated_ngrams(spark):
     want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
         remove_repeated_ngrams_sql("d", n=5, min_count=2)).fetchall()}
     assert got == want
+
+
+def test_analyze_synonyms_and_shingles(spark):
+    import duckdb
+
+    from pyspark.sql import Row
+    from fluent_plugin_elasticsearch_spark.operators.analyze import (
+        analyze_api, analyze_sql)
+
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text="the fast cat runs fast"),
+         Row(doc_id=1, text="slow")])
+    syn = {"fast": "quick", "runs": "run"}
+    got = {r["doc_id"]: r["tokens"]
+           for r in analyze_api(d, "text", "standard",
+                                synonyms=syn).collect()}
+    assert got[0] == ["the", "quick", "cat", "run", "quick"]
+    sh = {r["doc_id"]: r["tokens"]
+          for r in analyze_api(d, "text", "standard", synonyms=syn,
+                               shingles=2).collect()}
+    assert sh[0] == ["the quick", "quick cat", "cat run", "run quick"]
+    assert sh[1] == []  # shorter than the shingle size
+    # three-word shingles compose after stopword removal
+    sh3 = analyze_api(d, "text", "standard", stopwords=["the"],
+                      shingles=3).collect()[0]["tokens"]
+    assert sh3 == ["fast cat runs", "cat runs fast"]
+    # DuckDB mirror agrees token-for-token
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(0, "the fast cat runs fast"), (1, "slow")])
+    toks = analyze_sql("text", "standard", synonyms=syn, shingles=2)
+    want = dict(con.execute(
+        f"SELECT doc_id, {toks} FROM t").fetchall())
+    assert {k: list(v) for k, v in want.items()} == sh
