@@ -1803,6 +1803,34 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), "merge", "window", slop=2, k=20)
 
 
+def q_span_near_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near with THREE ordered clauses, slop=10 — the query AST
+    lowers n-clause span_near to the intervals chain (span_near's slop
+    is exactly the intervals max_gaps bound), DF scorer here."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    body = {"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "merge"}},
+        {"span_term": {"text": "group"}},
+        {"span_term": {"text": "filter"}}],
+        "slop": 10, "in_order": True}}, "size": 20}
+    return compile_query(docs, body).select("doc_id", "score_u")
+
+
+def q_span_near_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near, two clauses, in_order=false, slop=2 — lowered to
+    the unordered intervals pair by the query AST."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    body = {"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "hash"}},
+        {"span_term": {"text": "table"}}],
+        "slop": 2, "in_order": False}}, "size": 20}
+    return compile_query(docs, body).select("doc_id", "score_u")
+
+
 def q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES span_or over single-term clauses (relevance.span_or_df): any
     occurrence of any clause term, span-contract scoring."""
@@ -2715,7 +2743,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "reindex", "es_bucket_correlation", "es_downsample",
     "bpe_pair_stats", "es_ip_prefix", "es_change_point", "knn_sorted",
     "bigram_logprob", "es_ks_test", "epoch_shuffle", "terms_enum",
-    "analyze_synonym_shingle",
+    "analyze_synonym_shingle", "span_near_multi", "span_near_unordered",
 ]
 
 
@@ -2860,6 +2888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not": q_span_not,
         "intervals_ordered": q_intervals_ordered,
         "intervals_unordered": q_intervals_unordered,
+        "span_near_multi": q_span_near_multi,
+        "span_near_unordered": q_span_near_unordered,
         "hybrid_knn_query": q_hybrid_knn_query,
         "es_pipeline_aggs": q_es_pipeline_aggs,
         "terms_lookup": q_terms_lookup,
@@ -3205,6 +3235,11 @@ FROM documents WHERE lang = 'en' ORDER BY doc_id ASC LIMIT 200
         "intervals_ordered": _rel.intervals_match_sql(
             "documents", ["merge", "group", "filter"], max_gaps=10, ordered=True, k=20),
         "intervals_unordered": _rel.intervals_match_sql(
+            "documents", ["hash", "table"], max_gaps=2, ordered=False, k=20),
+        "span_near_multi": _rel.intervals_match_sql(
+            "documents", ["merge", "group", "filter"], max_gaps=10,
+            ordered=True, k=20),
+        "span_near_unordered": _rel.intervals_match_sql(
             "documents", ["hash", "table"], max_gaps=2, ordered=False, k=20),
         "hybrid_knn_query": f"""
 WITH q AS ({multi_match_sql("documents", ["fast", "table", "src1"],

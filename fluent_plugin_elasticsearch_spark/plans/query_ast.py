@@ -864,15 +864,40 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         else:
             if kq == "span_near":
                 pairs = [_span_term(c) for c in spec["clauses"]]
-                if len(pairs) != 2:
-                    raise UnsupportedQuery("span_near supports two clauses")
-                if not spec.get("in_order", True):
-                    raise UnsupportedQuery("span_near supports in_order=true")
-                if pairs[0][0] != pairs[1][0]:
+                if len(pairs) < 2:
+                    raise UnsupportedQuery("span_near needs >= 2 clauses")
+                if len({f_ for f_, _t in pairs}) != 1:
                     raise UnsupportedQuery("span clauses must share a field")
                 _field = pairs[0][0]
-                args = dict(first=pairs[0][1], second=pairs[1][1],
-                            slop=int(spec.get("slop", 0)))
+                sn_terms = [t for _f, t in pairs]
+                sn_slop = int(spec.get("slop", 0))
+                # ES SpanNearQueryBuilder.DEFAULT_IN_ORDER = true
+                in_order = bool(spec.get("in_order", True))
+                if not in_order and len(sn_terms) > 2:
+                    raise UnsupportedQuery(
+                        "unordered span_near supports exactly 2 clauses")
+                if in_order and len(sn_terms) == 2:
+                    args = dict(first=sn_terms[0], second=sn_terms[1],
+                                slop=sn_slop)
+                else:
+                    # n-clause ordered / 2-clause unordered lower to the
+                    # intervals chain: span_near's slop IS the intervals
+                    # max_gaps bound ((span width - n) <= slop), so the
+                    # positional kernel and DF scorer serve both shapes
+                    sn_index = _resolve_index(index, _field)
+                    if (sn_index is not None
+                            and sn_index.meta.get("with_positions")):
+                        topk = sn_index.intervals_match(
+                            sn_terms, max_gaps=sn_slop, ordered=in_order,
+                            k=k).select(
+                            "doc_id", F.floor(F.col("score") * 1e6)
+                            .cast("long").alias("score_u"))
+                    else:
+                        topk = _rel.intervals_match_df(
+                            docs, sn_terms, max_gaps=sn_slop,
+                            ordered=in_order, k=k, text_col=_field)
+                    return docs.join(F.broadcast(topk), "doc_id").orderBy(
+                        F.desc("score_u"), F.asc("doc_id"))
             elif kq == "span_first":
                 _field, t = _span_term(spec["match"])
                 args = dict(term=t, end=int(spec["end"]))

@@ -279,6 +279,17 @@ def test_query_ast_span_clauses_route(spark, sf_dir, pos_index):
         {"query": {"intervals": {"text": {"match": {
             "query": "the data", "max_gaps": 2, "ordered": True}}}},
          "size": 5},
+        # n-clause ordered + 2-clause unordered span_near lower to the
+        # intervals chain on both paths
+        {"query": {"span_near": {
+            "clauses": [{"span_term": {"text": "the"}},
+                        {"span_term": {"text": "data"}},
+                        {"span_term": {"text": "query"}}],
+            "slop": 4, "in_order": True}}, "size": 5},
+        {"query": {"span_near": {
+            "clauses": [{"span_term": {"text": "merge"}},
+                        {"span_term": {"text": "window"}}],
+            "slop": 2, "in_order": False}}, "size": 5},
     ]
     for b in bodies:
         got = [(r["doc_id"], r["score_u"]) for r in
@@ -292,9 +303,10 @@ def test_query_ast_span_clauses_route(spark, sf_dir, pos_index):
         compile_query(docs, {"query": {"span_near": {"clauses": [
             {"span_term": {"text": "a"}}, {"span_term": {"lang": "b"}}],
             "slop": 1}}}, index=None)
-    with pytest.raises(UnsupportedQuery, match="in_order"):
+    with pytest.raises(UnsupportedQuery, match="unordered span_near"):
         compile_query(docs, {"query": {"span_near": {"clauses": [
-            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}},
+            {"span_term": {"text": "c"}}],
             "slop": 1, "in_order": False}}}, index=None)
 
 
