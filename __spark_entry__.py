@@ -1831,6 +1831,34 @@ def q_span_near_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_query(docs, body).select("doc_id", "score_u")
 
 
+def q_intervals_any_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals any_of rule: union of single-term match sub-rules —
+    the AST lowers it onto the span_or scorer (interval freq = summed
+    occurrences)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    body = {"query": {"intervals": {"text": {"any_of": {"intervals": [
+        {"match": {"query": "merge"}},
+        {"match": {"query": "window"}}]}}}}, "size": 20}
+    return compile_query(docs, body).select("doc_id", "score_u")
+
+
+def q_intervals_all_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals all_of rule: ordered conjunction of single-term
+    sub-rules with the combinator's own max_gaps — lowered onto the
+    intervals match chain by the AST."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    body = {"query": {"intervals": {"text": {"all_of": {
+        "intervals": [{"match": {"query": "merge"}},
+                      {"match": {"query": "group"}},
+                      {"match": {"query": "filter"}}],
+        "max_gaps": 10, "ordered": True}}}}, "size": 20}
+    return compile_query(docs, body).select("doc_id", "score_u")
+
+
 def q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES span_or over single-term clauses (relevance.span_or_df): any
     occurrence of any clause term, span-contract scoring."""
@@ -2744,6 +2772,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "bpe_pair_stats", "es_ip_prefix", "es_change_point", "knn_sorted",
     "bigram_logprob", "es_ks_test", "epoch_shuffle", "terms_enum",
     "analyze_synonym_shingle", "span_near_multi", "span_near_unordered",
+    "intervals_any_of", "intervals_all_of",
 ]
 
 
@@ -2890,6 +2919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_unordered": q_intervals_unordered,
         "span_near_multi": q_span_near_multi,
         "span_near_unordered": q_span_near_unordered,
+        "intervals_any_of": q_intervals_any_of,
+        "intervals_all_of": q_intervals_all_of,
         "hybrid_knn_query": q_hybrid_knn_query,
         "es_pipeline_aggs": q_es_pipeline_aggs,
         "terms_lookup": q_terms_lookup,
@@ -3241,6 +3272,11 @@ FROM documents WHERE lang = 'en' ORDER BY doc_id ASC LIMIT 200
             ordered=True, k=20),
         "span_near_unordered": _rel.intervals_match_sql(
             "documents", ["hash", "table"], max_gaps=2, ordered=False, k=20),
+        "intervals_any_of": _rel.span_or_sql(
+            "documents", ["merge", "window"], k=20),
+        "intervals_all_of": _rel.intervals_match_sql(
+            "documents", ["merge", "group", "filter"], max_gaps=10,
+            ordered=True, k=20),
         "hybrid_knn_query": f"""
 WITH q AS ({multi_match_sql("documents", ["fast", "table", "src1"],
                             ["text", "source"], k=10, match_type="best_fields")}),

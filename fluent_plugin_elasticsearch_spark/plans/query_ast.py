@@ -843,16 +843,63 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             )
         if kq == "intervals":
             ((_field, ispec),) = spec.items()
-            if "match" not in ispec:
-                raise UnsupportedQuery("intervals supports the match rule")
-            m = ispec["match"]
             from ..textproc import tokenize_simple
 
-            iterms = tokenize_simple(m["query"])
-            mg = int(m.get("max_gaps", -1))
-            ordered = bool(m.get("ordered", False))
+            def _single_terms(subs, rule):
+                # any_of/all_of combinators over SINGLE-TERM match
+                # sub-rules lower onto existing kernels; richer nesting
+                # (prefix/wildcard/fuzzy sub-rules, recursive combos)
+                # raises rather than approximating
+                out_ = []
+                for s_ in subs:
+                    if set(s_) != {"match"}:
+                        raise UnsupportedQuery(
+                            f"intervals {rule} supports match sub-rules")
+                    ts = tokenize_simple(s_["match"]["query"])
+                    if len(ts) != 1:
+                        raise UnsupportedQuery(
+                            f"intervals {rule} sub-rules must be one term")
+                    out_.append(ts[0])
+                return out_
+
             sp_index = _resolve_index(index, _field)
-            if sp_index is not None and sp_index.meta.get("with_positions"):
+            has_pos = (sp_index is not None
+                       and sp_index.meta.get("with_positions"))
+            if "any_of" in ispec:
+                # union of single-term intervals: interval freq = summed
+                # occurrences — exactly the span_or contract
+                aterms = _single_terms(
+                    ispec["any_of"].get("intervals", []), "any_of")
+                if not aterms:
+                    raise UnsupportedQuery("intervals any_of needs intervals")
+                if sp_index is not None:
+                    topk = sp_index.span_or(aterms, k=k).select(
+                        "doc_id", F.floor(F.col("score") * 1e6)
+                        .cast("long").alias("score_u"))
+                else:
+                    topk = _rel.span_or_df(docs, terms=aterms, k=k,
+                                           text_col=_field)
+                return docs.join(F.broadcast(topk), "doc_id").orderBy(
+                    F.desc("score_u"), F.asc("doc_id"))
+            if "all_of" in ispec:
+                # conjunction of single-term intervals under the
+                # combinator's own ordered/max_gaps — the match chain
+                aspec = ispec["all_of"]
+                iterms = _single_terms(aspec.get("intervals", []), "all_of")
+                if len(iterms) < 2:
+                    raise UnsupportedQuery(
+                        "intervals all_of needs >= 2 intervals")
+                mg = int(aspec.get("max_gaps", -1))
+                ordered = bool(aspec.get("ordered", False))
+            elif "match" in ispec:
+                m = ispec["match"]
+                iterms = tokenize_simple(m["query"])
+                mg = int(m.get("max_gaps", -1))
+                ordered = bool(m.get("ordered", False))
+            else:
+                raise UnsupportedQuery(
+                    "intervals supports the match/any_of/all_of rules")
+            if has_pos:
                 topk = sp_index.intervals_match(
                     iterms, max_gaps=mg, ordered=ordered, k=k)
                 topk = topk.select("doc_id", F.floor(F.col("score") * 1e6)

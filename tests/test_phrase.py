@@ -414,3 +414,48 @@ def test_span_multi_index_matches_df(spark, sf_dir, pos_index, value, kind, mx):
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     for g, e in zip(got, want):
         assert math.floor(g["score"] * 1e6) == e["score_u"]
+
+
+def test_query_ast_intervals_combinators(spark, sf_dir, pos_index):
+    """any_of lowers to span_or, all_of to the intervals chain — both
+    identical through the positional registry and the DataFrame path;
+    unsupported nesting raises."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        UnsupportedQuery,
+        compile_query,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reg = {"text": InvertedIndex(spark, pos_index)}
+    bodies = [
+        {"query": {"intervals": {"text": {"any_of": {"intervals": [
+            {"match": {"query": "merge"}},
+            {"match": {"query": "window"}}]}}}}, "size": 5},
+        {"query": {"intervals": {"text": {"all_of": {
+            "intervals": [{"match": {"query": "the"}},
+                          {"match": {"query": "data"}}],
+            "max_gaps": 3, "ordered": True}}}}, "size": 5},
+    ]
+    for b in bodies:
+        got = [(r["doc_id"], r["score_u"]) for r in
+               compile_query(docs, b, index=reg)
+               .select("doc_id", "score_u").collect()]
+        want = [(r["doc_id"], r["score_u"]) for r in
+                compile_query(docs, b, index=None)
+                .select("doc_id", "score_u").collect()]
+        assert got == want and got, next(iter(b["query"]))
+    # any_of identity with the direct span_or clause
+    direct = compile_query(docs, {"query": {"span_or": {"clauses": [
+        {"span_term": {"text": "merge"}},
+        {"span_term": {"text": "window"}}]}}, "size": 5}, index=None)
+    via = compile_query(docs, bodies[0], index=None)
+    assert ([(r["doc_id"], r["score_u"]) for r in direct.collect()]
+            == [(r["doc_id"], r["score_u"]) for r in via.collect()])
+    with pytest.raises(UnsupportedQuery, match="one term"):
+        compile_query(docs, {"query": {"intervals": {"text": {"any_of": {
+            "intervals": [{"match": {"query": "two words"}}]}}}}},
+            index=None)
+    with pytest.raises(UnsupportedQuery, match="match sub-rules"):
+        compile_query(docs, {"query": {"intervals": {"text": {"all_of": {
+            "intervals": [{"prefix": {"prefix": "me"}},
+                          {"match": {"query": "a"}}]}}}}}, index=None)
