@@ -695,6 +695,31 @@ def q_rrf_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "rrf_u")
 
 
+def q_linear_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.16 linear retriever (plans/query_ast.py): weighted sum of
+    per-retriever normalized scores — a span_near retriever under
+    minmax (weight 2) fused with a simple_query_string retriever under
+    l2_norm (weight 1); absent docs contribute 0, fused sum quantized
+    ×1e9. Normalization happens over each retriever's own
+    rank_window_size result set, per the ES contract."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {"retriever": {"linear": {
+        "retrievers": [
+            {"retriever": {"standard": {"query": {"span_near": {
+                "clauses": [{"span_term": {"text": "table"}},
+                            {"span_term": {"text": "table"}}],
+                "slop": 0, "in_order": True}}}},
+             "weight": 2.0, "normalizer": "minmax"},
+            {"retriever": {"standard": {"query": {"simple_query_string": {
+                "query": "merge + data | scan*"}}}},
+             "weight": 1.0, "normalizer": "l2_norm"},
+        ],
+        "rank_window_size": 40}}, "size": 15})
+    return out.select("doc_id", "linear_u")
+
+
 def q_percolate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percolate QUERY clause (plans/query_ast.py): one inline
     document matched against a stored-query registry — a pure filter
@@ -2757,6 +2782,7 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 
 
 _NEVER_DRIVER_SAMPLED_R6 = [
+    "linear_retriever",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -2830,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_multi": q_span_multi,
         "percolate_query": q_percolate_query,
         "rrf_retriever": q_rrf_retriever,
+        "linear_retriever": q_linear_retriever,
         "geo_shape": q_geo_shape,
         "post_filter": q_post_filter,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
@@ -3469,6 +3496,42 @@ f AS (
   FROM r0 FULL OUTER JOIN r1 ON r0.doc_id = r1.doc_id
 )
 SELECT doc_id, rrf_u FROM f ORDER BY rrf_u DESC, doc_id ASC LIMIT 15
+""")(),
+        "linear_retriever": (lambda mp=__import__(
+            "fluent_plugin_elasticsearch_spark.operators.relevance",
+            fromlist=["span_near_sql"]).span_near_sql(
+                "documents", "table", "table", slop=0, k=40),
+            sq=__import__(
+            "fluent_plugin_elasticsearch_spark.operators.simple_query",
+            fromlist=["simple_query_string_sql"]).simple_query_string_sql(
+                "documents", "merge + data | scan*", k=40): f"""
+WITH s0 AS ({mp}),
+n0 AS (
+  SELECT doc_id,
+         CASE WHEN max(score_u / 1e6) OVER () = min(score_u / 1e6) OVER ()
+              THEN CASE WHEN score_u / 1e6 > 0 THEN 1.0 ELSE 0.0 END
+              ELSE (score_u / 1e6 - min(score_u / 1e6) OVER ())
+                   / (max(score_u / 1e6) OVER () - min(score_u / 1e6) OVER ())
+         END AS n
+  FROM s0
+),
+s1 AS ({sq}),
+n1 AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(sum((score_u / 1e6) * (score_u / 1e6)) OVER ()) = 0
+              THEN 0.0
+              ELSE (score_u / 1e6)
+                   / sqrt(sum((score_u / 1e6) * (score_u / 1e6)) OVER ())
+         END AS n
+  FROM s1
+),
+f AS (
+  SELECT coalesce(n0.doc_id, n1.doc_id) AS doc_id,
+         CAST(floor((coalesce(n0.n, 0.0) * 2.0
+                   + coalesce(n1.n, 0.0) * 1.0) * 1e9) AS BIGINT) AS linear_u
+  FROM n0 FULL OUTER JOIN n1 ON n0.doc_id = n1.doc_id
+)
+SELECT doc_id, linear_u FROM f ORDER BY linear_u DESC, doc_id ASC LIMIT 15
 """)(),
         "percolate_query": (lambda regs=_PERCOLATE_REGISTRY,
                             doc=_PERCOLATE_DOC: (

@@ -424,6 +424,82 @@ def haversine_m_sql(lat_expr: str, lon_expr: str,
     )
 
 
+def _compile_linear_retriever(docs: DataFrame, lin: dict[str, Any],
+                              size, *, index=None) -> DataFrame:
+    """ES 8.16 linear retriever: score(d) = Σᵢ wᵢ · normᵢ(sᵢ(d)) over the
+    sub-retrievers whose top rank_window_size contains d (absent → 0
+    contribution). Normalizers per ES's ScoreNormalizer set: "minmax"
+    ((s-min)/(max-min) over that retriever's retrieved window; degenerate
+    max==min window → 1.0 for positive scores, ES's MinMaxScoreNormalizer
+    contract), "l2_norm" (s/‖s‖₂ over the window; all-zero → 0), "none"
+    (raw score). Each sub-result is window-bounded (≤ rank_window_size
+    rows), so the per-retriever min/max/‖·‖ single-partition window agg
+    is bounded the same way as the pipeline aggs — never corpus-sized.
+    The fused sum is quantized once (floor ×1e9, column linear_u) so
+    Spark and the DuckDB mirror compare bit-exactly.
+    Reference: the plugin delegates search bodies verbatim
+    (out_elasticsearch.rb:957 client.search); the retriever tree is the
+    ES 8.x server-side surface for that body."""
+    from pyspark.sql import Window as _W
+
+    retrievers = lin.get("retrievers") or []
+    if len(retrievers) < 2:
+        raise UnsupportedQuery("linear retriever needs >= 2 retrievers")
+    window = int(lin.get("rank_window_size", 100))
+    wall = _W.partitionBy(F.lit(0))
+    fused = None
+    weights, norms = [], []
+    for i, r in enumerate(retrievers):
+        if not isinstance(r, dict) or "retriever" not in r:
+            raise UnsupportedQuery(
+                "linear retriever entries need a nested 'retriever'")
+        inner = r["retriever"]
+        if "standard" not in inner:
+            raise UnsupportedQuery("linear supports standard sub-retrievers")
+        norm = r.get("normalizer", "none")
+        if norm not in ("minmax", "l2_norm", "none"):
+            raise UnsupportedQuery(f"linear normalizer {norm!r}")
+        weights.append(float(r.get("weight", 1.0)))
+        norms.append(norm)
+        sub = compile_query(docs, {"query": inner["standard"]["query"],
+                                   "size": window}, index=index)
+        if "score_u" not in sub.columns:
+            if "score" in sub.columns:
+                sub = sub.withColumn(
+                    "score_u", F.floor(F.col("score") * 1e6).cast("long"))
+            else:
+                raise UnsupportedQuery(
+                    "linear sub-retrievers must produce scored results")
+        sub = sub.select("doc_id", "score_u").limit(window)
+        s = F.col("score_u").cast("double") / 1e6
+        if norm == "minmax":
+            mn = F.min(s).over(wall)
+            mx = F.max(s).over(wall)
+            nv = (F.when(mx == mn, F.when(s > 0, F.lit(1.0))
+                         .otherwise(F.lit(0.0)))
+                  .otherwise((s - mn) / (mx - mn)))
+        elif norm == "l2_norm":
+            l2 = F.sqrt(F.sum(s * s).over(wall))
+            nv = F.when(l2 == 0, F.lit(0.0)).otherwise(s / l2)
+        else:
+            nv = s
+        ranked = sub.select("doc_id", nv.alias(f"n{i}"))
+        fused = ranked if fused is None else fused.join(
+            ranked, "doc_id", "full_outer")
+    contrib = None
+    for i, w in enumerate(weights):
+        c = F.coalesce(F.col(f"n{i}"), F.lit(0.0)) * F.lit(w)
+        contrib = c if contrib is None else contrib + c
+    out = (fused.select("doc_id",
+                        F.floor(contrib * 1e9).cast("long")
+                        .alias("linear_u"))
+           .orderBy(F.desc("linear_u"), F.asc("doc_id")))
+    if size:
+        out = out.limit(int(size))
+    return docs.join(F.broadcast(out), "doc_id").orderBy(
+        F.desc("linear_u"), F.asc("doc_id"))
+
+
 def compile_query(docs: DataFrame, body: dict[str, Any], *,
                   index=None) -> DataFrame:
     """Compile an ES-style query body over the docs DataFrame. If the body
@@ -453,8 +529,11 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         # order and quantized once (floor ×1e9 for resolution — the
         # raw values are O(1/rank_constant)).
         ret = body["retriever"]
+        if "linear" in ret:
+            return _compile_linear_retriever(docs, ret["linear"], size,
+                                             index=index)
         if "rrf" not in ret:
-            raise UnsupportedQuery("retriever supports the rrf form")
+            raise UnsupportedQuery("retriever supports rrf and linear forms")
         rrf = ret["rrf"]
         retrievers = rrf.get("retrievers") or []
         if len(retrievers) < 2:

@@ -637,6 +637,70 @@ def test_rrf_retriever_fusion(spark, docs):
             {"standard": {"query": {"term": {"lang": "fr"}}}}]}}})
 
 
+def test_linear_retriever_fusion(spark, docs):
+    import math as m
+
+    body = {"retriever": {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {"span_or": {"clauses": [
+            {"span_term": {"text": "quick"}},
+            {"span_term": {"text": "fox"}}]}}}},
+         "weight": 2.0, "normalizer": "minmax"},
+        {"retriever": {"standard": {"query": {"span_or": {"clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_term": {"text": "partition"}}]}}}},
+         "weight": 1.0, "normalizer": "l2_norm"},
+    ], "rank_window_size": 10}}, "size": 8}
+    out = compile_query(docs, body)
+    rows = [(r["doc_id"], r["linear_u"]) for r in out.collect()]
+    a = [(r["doc_id"], r["score_u"] / 1e6)
+         for r in rel.span_or_df(docs, ["quick", "fox"], k=10).collect()]
+    b = [(r["doc_id"], r["score_u"] / 1e6)
+         for r in rel.span_or_df(docs, ["merge", "partition"], k=10).collect()]
+    exp = {}
+    mn, mx = min(s for _, s in a), max(s for _, s in a)
+    for d, s in a:
+        n = (1.0 if s > 0 else 0.0) if mx == mn else (s - mn) / (mx - mn)
+        exp[d] = exp.get(d, 0.0) + 2.0 * n
+    l2 = m.sqrt(sum(s * s for _, s in b))
+    for d, s in b:
+        exp[d] = exp.get(d, 0.0) + (0.0 if l2 == 0 else s / l2)
+    want = sorted(((m.floor(v * 1e9), d) for d, v in exp.items()),
+                  key=lambda t: (-t[0], t[1]))[:8]
+    assert rows == [(d, u) for u, d in want]
+
+
+def test_linear_retriever_degenerate_minmax_none_and_raises(spark, docs):
+    import math as m
+
+    body = {"retriever": {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {"span_or": {"clauses": [
+            {"span_term": {"text": "gardening"}}]}}}},
+         "weight": 3.0, "normalizer": "minmax"},
+        {"retriever": {"standard": {"query": {"span_or": {"clauses": [
+            {"span_term": {"text": "fox"}}]}}}},
+         "weight": 1.0, "normalizer": "none"},
+    ], "rank_window_size": 10}}, "size": 8}
+    by = {r["doc_id"]: r["linear_u"]
+          for r in compile_query(docs, body).collect()}
+    # doc 6 is the only 'gardening' hit: degenerate max==min window with a
+    # positive score normalizes to 1.0 → weight 3 → exactly 3e9
+    assert by[6] == 3_000_000_000
+    # 'none' keeps the raw float score (score_u / 1e6), weight 1
+    fox = {r["doc_id"]: r["score_u"]
+           for r in rel.span_or_df(docs, ["fox"], k=10).collect()}
+    for d, su in fox.items():
+        assert by[d] == m.floor((su / 1e6) * 1e9)
+    with pytest.raises(UnsupportedQuery, match=">= 2"):
+        compile_query(docs, {"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {"match_all": {}}}}}]}}})
+    with pytest.raises(UnsupportedQuery, match="normalizer"):
+        compile_query(docs, {"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {"match_all": {}}}},
+             "normalizer": "softmax"},
+            {"retriever": {"standard": {"query": {"match_all": {}}}}},
+        ]}}})
+
+
 def test_geo_shape_point_in_polygon(spark):
     from pyspark.sql import Row
 
