@@ -695,6 +695,21 @@ def q_rrf_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "rrf_u")
 
 
+_SPARSE_QV = {"data": 2.25, "merge": 1.5, "scan": 0.75, "table": 0.4}
+
+
+def q_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.15 sparse_vector query (operators/relevance.py): weighted-
+    token dot product — query weights quantized ×1e3 in the planner,
+    doc side BoW tf ×1e3, integer sum == DuckDB bit-exactly."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {"query": {"sparse_vector": {
+        "field": "text", "query_vector": _SPARSE_QV}}, "size": 15})
+    return out.select("doc_id", "score_u")
+
+
 def q_linear_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES 8.16 linear retriever (plans/query_ast.py): weighted sum of
     per-retriever normalized scores — a span_near retriever under
@@ -2782,7 +2797,7 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 
 
 _NEVER_DRIVER_SAMPLED_R6 = [
-    "linear_retriever",
+    "linear_retriever", "sparse_vector",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -2857,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_query": q_percolate_query,
         "rrf_retriever": q_rrf_retriever,
         "linear_retriever": q_linear_retriever,
+        "sparse_vector": q_sparse_vector,
         "geo_shape": q_geo_shape,
         "post_filter": q_post_filter,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
@@ -3497,6 +3513,10 @@ f AS (
 )
 SELECT doc_id, rrf_u FROM f ORDER BY rrf_u DESC, doc_id ASC LIMIT 15
 """)(),
+        "sparse_vector": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.relevance",
+            fromlist=["sparse_vector_sql"]).sparse_vector_sql(
+            "documents", _SPARSE_QV, k=15),
         "linear_retriever": (lambda mp=__import__(
             "fluent_plugin_elasticsearch_spark.operators.relevance",
             fromlist=["span_near_sql"]).span_near_sql(

@@ -1745,3 +1745,88 @@ FROM {table}
 ORDER BY score_u DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def _sparse_query_units(query_vector: dict) -> list[tuple[str, int]]:
+    """Quantize the query-side weights ONCE in the planner (×1e3,
+    Python round) so the Spark scorer and the DuckDB mirror embed the
+    same integer literals and executors do integer math only."""
+    from ..plans.query_ast import UnsupportedQuery
+
+    if not isinstance(query_vector, dict) or not query_vector:
+        raise UnsupportedQuery("sparse_vector needs a non-empty query_vector")
+    if len(query_vector) > 64:
+        raise UnsupportedQuery("sparse_vector query_vector capped at 64 tokens")
+    items = sorted((str(t), float(w)) for t, w in query_vector.items())
+    return [(t, int(round(w * 1e3))) for t, w in items]
+
+
+def sparse_vector_df(docs: DataFrame, query_vector: dict, k: int = 10,
+                     id_col: str = "doc_id", field: str = "text") -> DataFrame:
+    """ES 8.15 sparse_vector query (the ELSER/learned-sparse serving
+    clause; legacy name text_expansion): score(d) = Σ_t q(t) · d(t) over
+    the query's weighted tokens. Reference contract: the plugin ships
+    search bodies verbatim to ES (out_elasticsearch.rb:957 client.search);
+    ES scores rank_features term impacts with this dot product.
+
+    Doc-side weights: a map<string,numeric> rank_features column is used
+    directly; a string column is featurized to BoW term frequency (the
+    deterministic stand-in for model expansion — inference models are
+    environment-blocked and raise in the AST route). Both sides quantize
+    per token to 1e3 units before the INTEGER dot product, so score_u
+    carries the engine-wide ×1e6 scale and Spark == DuckDB bit-exactly.
+    The scorer is one codegen projection over the corpus (per-token tf
+    via a bounded array filter — no explode, no shuffle before top-k),
+    exactly the WAND no-index fallback shape."""
+    from ..extraction import simple_tokens_col
+    from ..plans.query_ast import UnsupportedQuery
+
+    qus = _sparse_query_units(query_vector)
+    dt = dict(docs.dtypes).get(field, "")
+    if dt.startswith("map<"):
+        def du(t):
+            return F.coalesce(
+                F.round(F.element_at(F.col(field), F.lit(t))
+                        .cast("double") * 1e3).cast("long"), F.lit(0))
+    elif dt == "string":
+        toks = simple_tokens_col(F.col(field))
+
+        def du(t):
+            return (F.size(F.filter(toks, lambda x: x == F.lit(t)))
+                    .cast("long") * F.lit(1000))
+    else:
+        raise UnsupportedQuery(
+            f"sparse_vector field {field!r} must be map or string, got {dt!r}")
+    contrib = None
+    for t, qu in qus:
+        c = du(t) * F.lit(qu)
+        contrib = c if contrib is None else contrib + c
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        contrib.alias("score_u"))
+            .filter(F.col("score_u") > 0)
+            .orderBy(F.desc("score_u"), F.asc("doc_id"))
+            .limit(int(k)))
+
+
+def sparse_vector_sql(table: str, query_vector: dict, k: int = 10,
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror of sparse_vector_df's string-column (BoW tf) form —
+    same planner-side integer query units, same tokenizer regex."""
+    qus = _sparse_query_units(query_vector)
+    terms = " + ".join(
+        "len(list_filter(tokens, t -> t = '{}')) * 1000 * {}".format(
+            t.replace("'", "''"), qu)
+        for t, qu in qus)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+'),
+                     t -> t <> '') AS tokens
+  FROM {table}
+)
+SELECT doc_id, score_u FROM (
+  SELECT doc_id, CAST({terms} AS BIGINT) AS score_u FROM toks
+) WHERE score_u > 0
+ORDER BY score_u DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -845,6 +845,33 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             F.desc("score_u"), F.asc("doc_id")
         )
 
+    if query and ("sparse_vector" in query or "text_expansion" in query):
+        # ES 8.15 sparse_vector (legacy text_expansion): weighted-token
+        # dot product against a rank_features doc field or a BoW-tf
+        # featurized text field (operators/relevance.py). Only the
+        # pre-computed query_vector form is servable here — model
+        # inference (inference_id / model_id expansion) needs an ML node
+        # and raises loudly, like every other environment-blocked path.
+        from ..operators.relevance import sparse_vector_df
+
+        if "text_expansion" in query:
+            raise UnsupportedQuery(
+                "text_expansion needs model inference; precompute the "
+                "expansion and use sparse_vector with query_vector")
+        spec = query["sparse_vector"]
+        if "inference_id" in spec or "query_vector" not in spec:
+            raise UnsupportedQuery(
+                "sparse_vector supports the pre-computed query_vector "
+                "form (inference is not available in this engine)")
+        topk = sparse_vector_df(docs, spec["query_vector"],
+                                k=size or 10, field=spec.get("field", "text"))
+        if min_score is not None:
+            topk = topk.filter(
+                F.col("score_u") >= int(float(min_score) * 1e6))
+        return docs.join(F.broadcast(topk), "doc_id").orderBy(
+            F.desc("score_u"), F.asc("doc_id")
+        )
+
     if query and "simple_query_string" in query:
         # ES simple_query_string: the lenient end-user grammar, compiled
         # to a flat bool of term/phrase/prefix clauses and scored in two

@@ -637,6 +637,52 @@ def test_rrf_retriever_fusion(spark, docs):
             {"standard": {"query": {"term": {"lang": "fr"}}}}]}}})
 
 
+def test_sparse_vector_text_and_map_paths(spark, docs, duck):
+    qv = {"quick": 1.5, "fox": 0.25, "merge": -0.5}
+    df = rel.sparse_vector_df(docs, qv, k=8)
+    _match(df, duck, rel.sparse_vector_sql("docs", qv, k=8))
+    # brute force on the text form: score_u = Σ tf·1000·round(w·1e3)
+    got = {r["doc_id"]: r["score_u"] for r in df.collect()}
+    for i, t in enumerate(TEXTS):
+        toks = [w for w in __import__("re").split(r"[^a-z0-9]+", t.lower()) if w]
+        s = sum(toks.count(tok) * 1000 * round(w * 1e3)
+                for tok, w in qv.items())
+        if s > 0:
+            assert got[i] == s
+        else:
+            assert i not in got
+    # map<string,double> rank_features column is used directly
+    mdocs = spark.createDataFrame(
+        [Row(doc_id=0, feats={"quick": 2.0, "fox": 0.5}),
+         Row(doc_id=1, feats={"merge": 3.0}),
+         Row(doc_id=2, feats={"quick": 0.001})])
+    out = {r["doc_id"]: r["score_u"]
+           for r in rel.sparse_vector_df(mdocs, {"quick": 1.0, "fox": 2.0},
+                                         k=5, field="feats").collect()}
+    # doc0: 2000·1000 + 500·2000 = 3_000_000; doc2: 1·1000 = 1000
+    assert out == {0: 3_000_000, 2: 1000}
+
+
+def test_sparse_vector_ast_route_and_raises(spark, docs):
+    out = compile_query(docs, {"query": {"sparse_vector": {
+        "field": "text", "query_vector": {"quick": 1.0}}}, "size": 5})
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert set(ids) == {0, 1, 4}  # the quick-bearing docs, tf-ranked
+    with pytest.raises(UnsupportedQuery, match="query_vector"):
+        compile_query(docs, {"query": {"sparse_vector": {
+            "field": "text", "inference_id": "elser",
+            "query": "quick fox"}}})
+    with pytest.raises(UnsupportedQuery, match="model inference"):
+        compile_query(docs, {"query": {"text_expansion": {
+            "ml.tokens": {"model_id": "elser", "model_text": "x"}}}})
+    with pytest.raises(UnsupportedQuery, match="non-empty"):
+        rel.sparse_vector_df(docs, {})
+    with pytest.raises(UnsupportedQuery, match="capped"):
+        rel.sparse_vector_df(docs, {f"t{i}": 1.0 for i in range(65)})
+    with pytest.raises(UnsupportedQuery, match="map or string"):
+        rel.sparse_vector_df(docs, {"a": 1.0}, field="doc_id")
+
+
 def test_linear_retriever_fusion(spark, docs):
     import math as m
 
