@@ -1056,6 +1056,31 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "shuffle_key"))
 
 
+def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-ratios (operators/packing.dsir_logratio_scores,
+    Xie et al. 2023): hashed unigram+bigram models on target (lang='en')
+    vs the raw corpus; per-bucket log-ratio quantized to micro-nats
+    before the exact per-doc integer sum."""
+    from fluent_plugin_elasticsearch_spark.operators.packing import (
+        dsir_logratio_scores,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_logratio_scores(docs, "lang = 'en'", buckets=512)
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k resampling (operators/packing.dsir_resample):
+    k docs sampled ∝ importance weight via deterministic md5-derived
+    Gumbel noise — identical selection on any partitioning/engine."""
+    from fluent_plugin_elasticsearch_spark.operators.packing import (
+        dsir_resample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_resample(docs, "lang = 'en'", k=50, buckets=512, seed=7)
+
+
 def _events_value_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with value pre-quantized to integer cents — exact long sums
     on both engines (the cross-engine float-accumulation guard used by
@@ -2797,7 +2822,7 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 
 
 _NEVER_DRIVER_SAMPLED_R6 = [
-    "linear_retriever", "sparse_vector",
+    "linear_retriever", "sparse_vector", "dsir_logratio", "dsir_resample",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -2894,6 +2919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_change_point": q_es_change_point,
         "es_ks_test": q_es_ks_test,
         "epoch_shuffle": q_epoch_shuffle,
+        "dsir_logratio": q_dsir_logratio,
+        "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
         "es_reverse_nested": q_es_reverse_nested,
         "es_terms_partition": q_es_terms_partition,
@@ -3863,6 +3890,14 @@ SELECT CAST(floor(max(abs(cs / s_tot - CAST(k AS DOUBLE) / CAST(n_tot AS DOUBLE)
                   * 1e6) AS BIGINT) AS ks_d_u
 FROM p
 """,
+        "dsir_logratio": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.packing",
+            fromlist=["dsir_logratio_sql"]).dsir_logratio_sql(
+            "documents", "lang = 'en'", buckets=512),
+        "dsir_resample": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.packing",
+            fromlist=["dsir_resample_sql"]).dsir_resample_sql(
+            "documents", "lang = 'en'", k=50, buckets=512, seed=7),
         "epoch_shuffle": """
 SELECT doc_id, md5('epoch1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
 FROM documents ORDER BY shuffle_key ASC LIMIT 100

@@ -252,3 +252,156 @@ def epoch_shuffle(df: DataFrame, epoch: int,
     return (df.select("*", key.alias("shuffle_key"))
             .repartitionByRange(F.col("shuffle_key"))
             .sortWithinPartitions("shuffle_key"))
+
+
+def _hashed_ngram_buckets(docs: DataFrame, target_pred: str, buckets: int,
+                          id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, tgt, b): one row per unigram+bigram occurrence, hashed to
+    a bucket id — the DSIR feature expansion. Map-side only (explode of a
+    per-row array); the md5→first-8-hex→mod idiom matches the engine's
+    other deterministic hashing (stratified_sample, random_score) and is
+    reproducible in DuckDB as CAST('0x'||substring(md5(x),1,8) AS BIGINT)."""
+    from ..extraction import simple_tokens_col
+
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.expr(target_pred).alias("tgt"),
+                       simple_tokens_col(F.col(text_col)).alias("tokens"))
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.transform(F.sequence(F.lit(2), F.size("tokens")),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(F.col("tokens"), i - 1),
+                        F.element_at(F.col("tokens"), i)))
+    ).otherwise(F.array().cast("array<string>"))
+    ng = toks.select("doc_id", "tgt",
+                     F.explode(F.concat(F.col("tokens"), bigrams)).alias("ng"))
+    return ng.select(
+        "doc_id", "tgt",
+        (F.conv(F.substring(F.md5(F.col("ng")), 1, 8), 16, 10).cast("long")
+         % F.lit(int(buckets))).alias("b"))
+
+
+def dsir_logratio_scores(docs: DataFrame, target_pred: str,
+                         buckets: int = 1024, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """DSIR importance weights (public recipe: Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): fit
+    bag-of-hashed-ngram models on a TARGET (in-domain) subset p and the
+    RAW corpus q, then score every document with the importance
+    log-ratio  log w(d) = Σ_b c_b(d) · (log p_b − log q_b)  over its
+    hashed unigram+bigram counts, add-1 smoothed over `buckets` buckets.
+
+    Engine exactness: the per-bucket log-ratio is floor-quantized to
+    integer micro-nats BEFORE the per-doc sum (the unigram/bigram-LM
+    contract), so the doc score is an exact integer sum — partition-
+    invariant and bit-equal to the DuckDB mirror.
+
+    Plan at 100 TB: one map-side feature expansion, ONE partial-
+    aggregated shuffle to the `buckets`-bounded stats table, totals via
+    a broadcast cross join (no driver collect), the per-bucket ratio
+    broadcast-joined back (the table is ≤ `buckets` rows by
+    construction), one per-doc groupBy. No windows, no corpus-sized
+    broadcast. Docs with zero features (empty text) carry no score row.
+    Returns (doc_id, n_features, logratio_micro)."""
+    bx = _hashed_ngram_buckets(docs, target_pred, buckets, id_col, text_col)
+    bs = bx.groupBy("b").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cq"))
+    tot = bs.agg(F.sum("ct").alias("tt"), F.sum("cq").alias("tq"))
+    lr = (bs.crossJoin(F.broadcast(tot))
+          .select("b", F.floor(
+              (F.log((F.col("ct") + 1.0) / (F.col("tt") + float(buckets)))
+               - F.log((F.col("cq") + 1.0) / (F.col("tq") + float(buckets))))
+              * 1e6).cast("long").alias("lr_u")))
+    return (bx.join(F.broadcast(lr), "b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 F.sum("lr_u").alias("logratio_micro")))
+
+
+def dsir_resample(docs: DataFrame, target_pred: str, k: int,
+                  buckets: int = 1024, seed: int = 0,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DSIR selection step: sample k docs WITHOUT replacement with
+    probability ∝ w(d) via the Gumbel top-k trick — key(d) =
+    log w(d) + Gumbel(d), take the k largest. Gumbel noise is
+    deterministic (−ln(−ln(u)), u = (first-8-hex of md5(seed|doc_id)
+    + 0.5) / 2^32 ∈ (0,1) strictly), so the SAME documents are selected
+    on any cluster size / partitioning, and the key is an exact integer
+    (micro-nat log-weight + floor-quantized micro-nat noise).
+    Returns (doc_id, key_u) for the selected docs, key desc."""
+    scores = dsir_logratio_scores(docs, target_pred, buckets,
+                                  id_col, text_col)
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{int(seed)}|"),
+                       F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double") + 0.5) / F.lit(float(2 ** 32)))
+    g_u = F.floor(-F.log(-F.log(u)) * 1e6).cast("long")
+    return (scores.select("doc_id",
+                          (F.col("logratio_micro") + g_u).alias("key_u"))
+            .orderBy(F.desc("key_u"), F.asc("doc_id"))
+            .limit(int(k)))
+
+
+def _dsir_scores_cte(table: str, target_pred_sql: str, buckets: int,
+                     id_col: str, text_col: str) -> str:
+    return f"""
+tk AS (
+  SELECT {id_col} AS doc_id, ({target_pred_sql}) AS tgt,
+         list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+'),
+                     t -> t <> '') AS tokens
+  FROM {table}
+),
+ng AS (
+  SELECT doc_id, tgt, unnest(tokens) AS ng FROM tk
+  UNION ALL
+  SELECT doc_id, tgt, tokens[i - 1] || ' ' || tokens[i] AS ng
+  FROM (SELECT doc_id, tgt, tokens,
+               unnest(generate_series(2, len(tokens))) AS i FROM tk)
+),
+bx AS (
+  SELECT doc_id, tgt,
+         CAST('0x' || substring(md5(ng), 1, 8) AS BIGINT) % {buckets} AS b
+  FROM ng
+),
+bs AS (
+  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, count(*) AS cq
+  FROM bx GROUP BY b
+),
+tot AS (SELECT sum(ct) AS tt, sum(cq) AS tq FROM bs),
+lr AS (
+  SELECT b, CAST(floor((ln((ct + 1.0) / (tt + {float(buckets)}))
+                      - ln((cq + 1.0) / (tq + {float(buckets)}))) * 1e6)
+                 AS BIGINT) AS lr_u
+  FROM bs CROSS JOIN tot
+),
+sc AS (
+  SELECT doc_id, count(*) AS n_features,
+         CAST(sum(lr_u) AS BIGINT) AS logratio_micro
+  FROM bx JOIN lr USING (b) GROUP BY doc_id
+)"""
+
+
+def dsir_logratio_sql(table: str, target_pred_sql: str, buckets: int = 1024,
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror of dsir_logratio_scores — same hashing, same
+    smoothing, same micro-nat quantization order."""
+    cte = _dsir_scores_cte(table, target_pred_sql, buckets, id_col, text_col)
+    return f"WITH {cte}\nSELECT doc_id, n_features, logratio_micro FROM sc"
+
+
+def dsir_resample_sql(table: str, target_pred_sql: str, k: int,
+                      buckets: int = 1024, seed: int = 0,
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror of dsir_resample — same Gumbel construction."""
+    cte = _dsir_scores_cte(table, target_pred_sql, buckets, id_col, text_col)
+    return f"""WITH {cte}
+SELECT doc_id,
+       logratio_micro + CAST(floor(-ln(-ln(
+         (CAST('0x' || substring(md5('{int(seed)}|' || CAST(doc_id AS VARCHAR)),
+               1, 8) AS BIGINT) + 0.5) / {float(2 ** 32)})) * 1e6) AS BIGINT)
+         AS key_u
+FROM sc
+ORDER BY key_u DESC, doc_id ASC
+LIMIT {int(k)}
+"""

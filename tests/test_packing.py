@@ -67,3 +67,83 @@ def test_epoch_shuffle_deterministic_and_epoch_independent(spark):
     # the plan is range-partition + local sort, not a global window
     plan = epoch_shuffle(d, 1)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower() and "Window" not in plan
+
+
+def test_dsir_logratio_brute_force_and_partition_invariance(spark):
+    import hashlib
+    import math
+    import re
+
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.packing import (
+        dsir_logratio_scores,
+    )
+
+    texts = [("the quick brown fox", True),
+             ("quick quick brown", True),
+             ("merge sorted partitions", False),
+             ("wholly unrelated roses", False),
+             ("the fox and the dog", False),
+             ("", False)]
+    rows = [Row(doc_id=i, text=t, tgt=is_t) for i, (t, is_t) in
+            enumerate(texts)]
+    d = spark.createDataFrame(rows)
+    B = 64
+    out = {r["doc_id"]: (r["n_features"], r["logratio_micro"])
+           for r in dsir_logratio_scores(d, "tgt", buckets=B).collect()}
+
+    def bucket(ng):
+        return int(hashlib.md5(ng.encode()).hexdigest()[:8], 16) % B
+
+    ct, cq, feats = {}, {}, {}
+    for i, (t, is_t) in enumerate(texts):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        ngs = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        feats[i] = [bucket(n) for n in ngs]
+        for b in feats[i]:
+            cq[b] = cq.get(b, 0) + 1
+            if is_t:
+                ct[b] = ct.get(b, 0) + 1
+    tt, tq = sum(ct.values()), sum(cq.values())
+    for i, bs in feats.items():
+        if not bs:
+            assert i not in out
+            continue
+        want = sum(math.floor(
+            (math.log((ct.get(b, 0) + 1.0) / (tt + B))
+             - math.log((cq[b] + 1.0) / (tq + B))) * 1e6) for b in bs)
+        assert out[i] == (len(bs), want)
+    # target docs should score higher than clearly off-domain docs
+    assert out[0][1] > out[3][1] and out[1][1] > out[3][1]
+    # partition invariance: exact integer sums on any layout
+    out12 = {r["doc_id"]: (r["n_features"], r["logratio_micro"])
+             for r in dsir_logratio_scores(d.repartition(12), "tgt",
+                                           buckets=B).collect()}
+    assert out12 == out
+
+
+def test_dsir_resample_deterministic_gumbel(spark):
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.packing import (
+        dsir_resample,
+    )
+
+    rows = [Row(doc_id=i,
+                text=("alpha beta gamma" if i % 3 == 0
+                      else "delta epsilon zeta"),
+                tgt=(i % 3 == 0)) for i in range(60)]
+    d = spark.createDataFrame(rows)
+    a = [(r["doc_id"], r["key_u"]) for r in
+         dsir_resample(d, "tgt", k=10, buckets=32, seed=3).collect()]
+    b = [(r["doc_id"], r["key_u"]) for r in
+         dsir_resample(d.repartition(16), "tgt", k=10, buckets=32,
+                       seed=3).collect()]
+    assert a == b and len(a) == 10
+    # keys strictly ordered desc with doc_id tiebreak
+    assert a == sorted(a, key=lambda t: (-t[1], t[0]))
+    # a different seed permutes the selection
+    c = [r["doc_id"] for r in
+         dsir_resample(d, "tgt", k=10, buckets=32, seed=4).collect()]
+    assert c != [x for x, _ in a]
