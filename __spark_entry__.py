@@ -2025,6 +2025,15 @@ def q_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apis.termvectors(_read(spark, sf_dir, "documents"), doc_id=7)
 
 
+def q_mtermvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mtermvectors: several docs' term stats in ONE corpus pass
+    (operators/apis.mtermvectors)."""
+    from fluent_plugin_elasticsearch_spark.operators import apis
+
+    return apis.mtermvectors(_read(spark, sf_dir, "documents"),
+                             doc_ids=[3, 7, 11])
+
+
 def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _explain: per-term BM25 breakdown for one (doc, query) pair,
     same formula/quantization as the scoring pipeline."""
@@ -2823,6 +2832,7 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 
 _NEVER_DRIVER_SAMPLED_R6 = [
     "linear_retriever", "sparse_vector", "dsir_logratio", "dsir_resample",
+    "mtermvectors",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -2996,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_lookup": q_terms_lookup,
         "pq_ann_topk": q_pq_ann_topk,
         "termvectors": q_termvectors,
+        "mtermvectors": q_mtermvectors,
         "explain_score": q_explain_score,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
@@ -3387,6 +3398,15 @@ corpus AS (SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS ttf
            FROM base GROUP BY 1)
 SELECT term, term_freq, doc_freq, ttf
 FROM doc_tf JOIN corpus USING (term) ORDER BY term
+""",
+        "mtermvectors": f"""
+WITH base AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+doc_tf AS (SELECT doc_id, term, count(*) AS term_freq FROM base
+           WHERE doc_id IN (3, 7, 11) GROUP BY 1, 2),
+corpus AS (SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS ttf
+           FROM base GROUP BY 1)
+SELECT doc_id, term, term_freq, doc_freq, ttf
+FROM doc_tf JOIN corpus USING (term) ORDER BY doc_id, term
 """,
         "explain_score": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),

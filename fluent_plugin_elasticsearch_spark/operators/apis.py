@@ -51,6 +51,31 @@ def termvectors(docs: DataFrame, doc_id: int, id_col: str = "doc_id",
     return doc_tf.join(corpus, "term").orderBy("term")
 
 
+def mtermvectors(docs: DataFrame, doc_ids: list[int], id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """ES _mtermvectors: termvectors for SEVERAL documents in ONE corpus
+    pass — the whole point of the multi API (ES docs: 'multi termvectors
+    API ... reduces round trips'); calling termvectors per id would
+    rescan the corpus n times for the shared doc_freq/ttf stats. The
+    requested-id filter is an isin pushed to the scan; per-doc tf and
+    the corpus stats are two partial-aggregated groupBys joined on term.
+    Returns (doc_id, term, term_freq, doc_freq, ttf), (doc_id, term) asc."""
+    ids = [int(i) for i in doc_ids]
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(simple_tokens_col(F.col(text_col))).alias("term"),
+    )
+    doc_tf = (
+        base.filter(F.col("doc_id").isin(ids))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    corpus = base.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("ttf"),
+    )
+    return doc_tf.join(corpus, "term").orderBy("doc_id", "term")
+
+
 def explain(docs: DataFrame, doc_id: int, query_terms: list[str],
             id_col: str = "doc_id", text_col: str = "text",
             k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:

@@ -200,3 +200,17 @@ def test_terms_enum(spark, docs, index_dir):
     want = sorted(r["term"] for r in
                   idx.term_stats().filter("term like 't%'").collect())[:5]
     assert got == want
+
+
+def test_mtermvectors_matches_per_doc_termvectors(spark, docs):
+    from fluent_plugin_elasticsearch_spark.operators import apis
+
+    multi = apis.mtermvectors(docs, doc_ids=[0, 2]).collect()
+    for did in (0, 2):
+        single = [(r["term"], r["term_freq"], r["doc_freq"], r["ttf"])
+                  for r in apis.termvectors(docs, doc_id=did).collect()]
+        got = [(r["term"], r["term_freq"], r["doc_freq"], r["ttf"])
+               for r in multi if r["doc_id"] == did]
+        assert got == single
+    # unknown ids simply contribute no rows
+    assert apis.mtermvectors(docs, doc_ids=[999]).count() == 0
