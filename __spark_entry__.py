@@ -1056,6 +1056,31 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "shuffle_key"))
 
 
+def q_es_sql_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES SQL API (_sql, operators/es_sql.py): parsed + lowered to a
+    declarative DataFrame plan — GROUP BY / aggregate / ORDER BY shape.
+    The oracle runs the near-identical ANSI statement in DuckDB."""
+    from fluent_plugin_elasticsearch_spark.operators.es_sql import es_sql_query
+
+    return es_sql_query(
+        {"documents": _read(spark, sf_dir, "documents")},
+        "SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars, "
+        "MAX(n_chars) AS mx FROM documents GROUP BY lang ORDER BY lang")
+
+
+def q_es_sql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES SQL MATCH()/SCORE() (operators/es_sql.py): the full-text
+    predicate lowers to the engine's BM25 scorer, SCORE() surfaces the
+    quantized score_u — bit-identical to the search path's bm25_topk."""
+    from fluent_plugin_elasticsearch_spark.operators.es_sql import es_sql_query
+
+    return es_sql_query(
+        {"documents": _read(spark, sf_dir, "documents")},
+        "SELECT doc_id, SCORE() AS score_u FROM documents "
+        "WHERE MATCH(text, 'merge data') "
+        "ORDER BY SCORE() DESC, doc_id ASC LIMIT 15")
+
+
 def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-ratios (operators/packing.dsir_logratio_scores,
     Xie et al. 2023): hashed unigram+bigram models on target (lang='en')
@@ -2832,7 +2857,7 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 
 _NEVER_DRIVER_SAMPLED_R6 = [
     "linear_retriever", "sparse_vector", "dsir_logratio", "dsir_resample",
-    "mtermvectors",
+    "mtermvectors", "es_sql_group", "es_sql_match",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -2929,6 +2954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_change_point": q_es_change_point,
         "es_ks_test": q_es_ks_test,
         "epoch_shuffle": q_epoch_shuffle,
+        "es_sql_group": q_es_sql_group,
+        "es_sql_match": q_es_sql_match,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -3910,6 +3937,15 @@ SELECT CAST(floor(max(abs(cs / s_tot - CAST(k AS DOUBLE) / CAST(n_tot AS DOUBLE)
                   * 1e6) AS BIGINT) AS ks_d_u
 FROM p
 """,
+        "es_sql_group": """
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+       MAX(n_chars) AS mx
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "es_sql_match": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.bm25",
+            fromlist=["bm25_topk_sql"]).bm25_topk_sql(
+            "documents", ["merge", "data"], k=15),
         "dsir_logratio": __import__(
             "fluent_plugin_elasticsearch_spark.operators.packing",
             fromlist=["dsir_logratio_sql"]).dsir_logratio_sql(
