@@ -200,6 +200,31 @@ class InvertedIndex:
         blocks = self.postings().filter(F.col("term").isin(list(dfs)))
         return blocks.groupBy("shard").applyInPandas(shard_all, TOPK_SCHEMA)
 
+    def sparse_vector_scores(self, query_vector: dict) -> DataFrame:
+        """Index-backed sparse_vector serving: Σ_t round(w·1e3)·tf·1000
+        per doc from tf postings — bit-identical to
+        relevance.sparse_vector_df's BoW-tf form (same planner-side
+        integer query units, same doc-side tf·1000), with work bounded
+        by the query terms' posting data instead of a corpus scan.
+        Returns (doc_id, score_u) for every doc with score_u > 0; the
+        caller orders/limits (the engine-wide quantized tie-break)."""
+        from .relevance import _sparse_query_units
+
+        qus = dict(_sparse_query_units(query_vector))
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score_u long")
+        dfs = self._lookup_dfs(list(qus))
+        if not dfs:
+            return empty
+        units = {t: qus[t] for t in dfs}
+
+        def shard_sparse(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _wand.score_shard_weighted_tf(pdf, units)
+
+        blocks = self.postings().filter(F.col("term").isin(list(dfs)))
+        return blocks.groupBy("shard").applyInPandas(
+            shard_sparse, "doc_id long, score_u long")
+
     def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
         """Dictionary expansion for a prefix clause: every index term
         starting with ``prefix``, from the term_stats table (a dictionary

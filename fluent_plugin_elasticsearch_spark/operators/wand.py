@@ -104,6 +104,38 @@ def score_shard_span_or(pdf: pd.DataFrame, idf_sum: float, k: int,
     return pd.DataFrame({"doc_id": out_ids[order2], "score": out_scores[order2]})
 
 
+def score_shard_weighted_tf(pdf: pd.DataFrame,
+                            weight_units: dict[str, int]) -> pd.DataFrame:
+    """Sparse-vector serving kernel: score_u(d) = Σ_t units(t) · tf · 1000
+    over the query's tokens — the postings-bounded form of
+    relevance.sparse_vector_df's BoW-tf scorer (identical integer
+    contract: units = round(weight·1e3), doc weight = tf·1000, exact
+    int64 per-(term,doc) products summed per doc). No corpus stats, no
+    float path anywhere; work is proportional to the query terms'
+    posting data only. Returns every doc with score_u > 0."""
+    from .codec import segmented_cumsum
+
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score_u": pd.Series([], dtype="int64")})
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    n_per_blk = pdf["n_docs"].to_numpy().astype(np.int64)
+    total = int(n_per_blk.sum())
+    blk_starts = np.concatenate([[0], np.cumsum(n_per_blk)[:-1]])
+    gaps = varint_decode(b"".join(pdf["docs_enc"]), total)
+    ids = segmented_cumsum(gaps, blk_starts, n_per_blk).astype(np.int64)
+    tfs = varint_decode(b"".join(pdf["tfs_enc"]), total).astype(np.int64)
+    w_per_blk = pdf["term"].map(weight_units).to_numpy(dtype=np.int64)
+    contrib = np.repeat(w_per_blk, n_per_blk) * tfs * 1000
+    order_ = np.argsort(ids, kind="stable")
+    sids = ids[order_]
+    starts_ = np.concatenate([[0], np.nonzero(np.diff(sids))[0] + 1])
+    uniq = sids[starts_]
+    scores = np.add.reduceat(contrib[order_], starts_)
+    keep = scores > 0
+    return pd.DataFrame({"doc_id": uniq[keep], "score_u": scores[keep]})
+
+
 def score_shard_matched(pdf: pd.DataFrame, idfs: dict[str, float],
                         avgdl: float, k1: float, b: float,
                         groups: list[list[str]] | None = None,

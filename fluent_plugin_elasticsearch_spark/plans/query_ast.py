@@ -863,8 +863,18 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
             raise UnsupportedQuery(
                 "sparse_vector supports the pre-computed query_vector "
                 "form (inference is not available in this engine)")
-        topk = sparse_vector_df(docs, spec["query_vector"],
-                                k=size or 10, field=spec.get("field", "text"))
+        fld = spec.get("field", "text")
+        f_index = _resolve_index(index, fld)
+        if f_index is not None:
+            # postings-bounded serving: same integer contract as the
+            # DataFrame scorer, work proportional to the query terms'
+            # posting data (search.InvertedIndex.sparse_vector_scores)
+            topk = (f_index.sparse_vector_scores(spec["query_vector"])
+                    .orderBy(F.desc("score_u"), F.asc("doc_id"))
+                    .limit(int(size or 10)))
+        else:
+            topk = sparse_vector_df(docs, spec["query_vector"],
+                                    k=size or 10, field=fld)
         if min_score is not None:
             topk = topk.filter(
                 F.col("score_u") >= int(float(min_score) * 1e6))

@@ -312,3 +312,33 @@ def test_query_string_gate_over_64_terms_raises(spark, field_registry):
     terms = [f"t{i}" for i in range(70)]
     with pytest.raises(ValueError, match="64"):
         field_registry["text"].match_scores(terms, groups=[terms])
+
+
+def test_sparse_vector_index_identity_and_plan(spark, docs, field_registry,
+                                               monkeypatch):
+    from fluent_plugin_elasticsearch_spark.operators import relevance as _rel
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    qv = {"fast": 1.5, "table": 0.7, "zzznope": 2.0}
+    want = _rows(_rel.sparse_vector_df(docs, qv, k=10))
+    idx = field_registry["text"]
+    got = _rows(idx.sparse_vector_scores(qv)
+                .orderBy(F.desc("score_u"), F.asc("doc_id")).limit(10))
+    assert got == want and len(got) == 10
+    # the serving path reads only posting blocks, never the corpus
+    plan = (idx.sparse_vector_scores(qv)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "documents.parquet" not in plan and "postings" in plan
+    # AST route: DF scorer must not run under a registry
+    body = {"query": {"sparse_vector": {"field": "text",
+                                        "query_vector": qv}}, "size": 10}
+    fallback = [r["doc_id"]
+                for r in compile_query(docs, body, index=None).collect()]
+    monkeypatch.setattr(_rel, "sparse_vector_df",
+                        lambda *a, **kw: (_ for _ in ()).throw(
+                            AssertionError("DF scorer ran under registry")))
+    served = [r["doc_id"] for r in
+              compile_query(docs, body, index=field_registry).collect()]
+    assert served == fallback
+    # absent-everywhere query vector → empty result, not an error
+    assert idx.sparse_vector_scores({"zzznope": 1.0}).count() == 0
