@@ -1556,6 +1556,15 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "embeddings"), k=4, iters=2, init_ids=[0, 1, 2, 3])
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semdedup_keep, Abbas et al. 2023):
+    cluster-scoped cosine near-dup removal — kmeans + within-cluster
+    pairs + connected components, keep the min-id per component."""
+    return _sim.semdedup_keep(
+        _read(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.40,
+        init_ids=[0, 1, 2, 3])
+
+
 def q_es_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES categorize_text agg: log messages clustered by digit-masked
     token-prefix pattern (documented contract in plans/aggs.py)."""
@@ -2857,7 +2866,7 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 
 _NEVER_DRIVER_SAMPLED_R6 = [
     "linear_retriever", "sparse_vector", "dsir_logratio", "dsir_resample",
-    "mtermvectors", "es_sql_group", "es_sql_match",
+    "mtermvectors", "es_sql_group", "es_sql_match", "semdedup",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -2954,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_change_point": q_es_change_point,
         "es_ks_test": q_es_ks_test,
         "epoch_shuffle": q_epoch_shuffle,
+        "semdedup": q_semdedup,
         "es_sql_group": q_es_sql_group,
         "es_sql_match": q_es_sql_match,
         "dsir_logratio": q_dsir_logratio,
@@ -3234,6 +3244,9 @@ SELECT CAST(floor(count(*) / 7.0 * 1e2) AS BIGINT) AS r_u FROM events
 """,
         "semantic_clusters": _sim.kmeans_sql(
             "embeddings", k=4, iters=2, init_ids=[0, 1, 2, 3]),
+        "semdedup": _sim.semdedup_sql(
+            "embeddings", k=4, iters=2, threshold=0.40,
+            init_ids=[0, 1, 2, 3]),
         "es_categorize_text": f"""
 WITH keyed AS (
   SELECT array_to_string(

@@ -880,3 +880,84 @@ def embedding_pca(df: DataFrame, out_dim: int = 8, whiten: bool = False,
 
     return df.select(id_col, vec_col).mapInPandas(
         project, "vec_id long, pca array<double>")
+
+
+def semdedup_keep(embeddings: DataFrame, k: int = 4, iters: int = 2,
+                  threshold: float = 0.97,
+                  init_ids: list[int] | None = None,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (public recipe: Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    k-means cluster the embeddings, find cosine near-duplicate pairs
+    WITHIN each cluster only, connected-components the pair graph, keep
+    the min-id member per component. Clustering is what makes the
+    quadratic pair step corpus-scale: O(Σ nᵢ²) bounded per cluster
+    instead of O(n²) overall, and the cluster join key co-partitions
+    the self-join so no cross-cluster pair is ever materialized.
+
+    Composes the engine's oracle-green primitives unchanged —
+    kmeans_clusters (exact integer Lloyd), the JVM fold cosine, and
+    dedup.connected_components (pointer-jumping min-label) — so the
+    result is deterministic on any partitioning. Returns the KEPT rows
+    as (vec_id, cluster), vec_id asc."""
+    from .dedup import connected_components
+
+    assign = kmeans_clusters(embeddings, k=k, iters=iters,
+                             init_ids=init_ids, id_col=id_col,
+                             vec_col=vec_col)
+    ev = (embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"))
+        .join(assign, "vec_id"))
+    a = ev.select(F.col("vec_id").alias("id_a"), "cluster",
+                  F.col("__v").alias("__va"))
+    b = ev.select(F.col("vec_id").alias("id_b"), "cluster",
+                  F.col("__v").alias("__vb"))
+    pairs = (a.join(b, "cluster")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(cosine_col(F.col("__va"), F.col("__vb"))
+                     >= float(threshold))
+             .select("id_a", "id_b"))
+    cc = connected_components(pairs)
+    removed = (cc.filter(F.col("doc_id") != F.col("cluster_id"))
+               .select(F.col("doc_id").alias("vec_id")))
+    return assign.join(removed, "vec_id", "left_anti").orderBy("vec_id")
+
+
+def semdedup_sql(table: str, k: int = 4, iters: int = 2,
+                 threshold: float = 0.97,
+                 init_ids: list[int] | None = None,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """DuckDB mirror of semdedup_keep: the kmeans mirror inlined as a
+    CTE, the same cosine predicate, recursive closure for components."""
+    km = kmeans_sql(table, k=k, iters=iters, init_ids=init_ids,
+                    id_col=id_col, vec_col=vec_col)
+    return f"""
+WITH RECURSIVE assign AS ({km}),
+ev AS (
+  SELECT e.{id_col} AS vec_id, a.cluster, e.{vec_col}::DOUBLE[] AS v
+  FROM {table} e JOIN assign a ON e.{id_col} = a.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ev a JOIN ev b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {float(threshold)}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src AS id, re.r FROM edges e JOIN reach re ON re.id = e.dst
+),
+cl AS (SELECT id, min(r) AS m FROM reach GROUP BY id)
+SELECT a.vec_id, a.cluster FROM assign a
+WHERE a.vec_id NOT IN (SELECT id FROM cl WHERE id <> m)
+ORDER BY a.vec_id
+"""

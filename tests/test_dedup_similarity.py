@@ -501,3 +501,53 @@ def test_knn_body_with_explicit_sort(spark, sf_dir):
         compile_query(docs, {
             "knn": knn, "sort": [{"label": "desc"}],
             "query": {"multi_match": {"query": "x", "fields": ["text"]}}})
+
+
+def test_semdedup_keep_brute_force(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.similarity import (
+        kmeans_clusters,
+        semdedup_keep,
+    )
+
+    # two tight groups far apart + one singleton per group region
+    vecs = {
+        0: [1.0, 0.0, 0.0], 1: [0.999, 0.01, 0.0], 2: [0.998, 0.02, 0.0],
+        3: [0.0, 1.0, 0.0], 4: [0.0, 0.999, 0.01],
+        5: [0.5, 0.5, 0.7],
+    }
+    d = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()])
+    kept = [(r["vec_id"], r["cluster"]) for r in
+            semdedup_keep(d, k=2, iters=2, threshold=0.999,
+                          init_ids=[0, 3]).collect()]
+    # brute force with the same clustering
+    assign = {r["vec_id"]: r["cluster"] for r in
+              kmeans_clusters(d, k=2, iters=2, init_ids=[0, 3]).collect()}
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # union-find over within-cluster pairs >= threshold
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for i in vecs:
+        for j in vecs:
+            if i < j and assign[i] == assign[j] \
+                    and cos(vecs[i], vecs[j]) >= 0.999:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    want = sorted((i, assign[i]) for i in vecs if find(i) == i)
+    assert sorted(kept) == want
+    # the tight group collapsed to its min id; distant points all survive
+    kept_ids = {i for i, _ in kept}
+    assert 0 in kept_ids and not {1, 2} <= kept_ids
