@@ -2059,6 +2059,23 @@ def q_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apis.termvectors(_read(spark, sf_dir, "documents"), doc_id=7)
 
 
+def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester (operators/apis.completion_suggest):
+    weight-ranked prefix autocomplete with skip_duplicates — the
+    completion field is derived deterministically (input = the doc's
+    first token, weight = n_chars)."""
+    from fluent_plugin_elasticsearch_spark.operators.apis import (
+        completion_suggest,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sugg = docs.select(
+        F.element_at(F.split(F.lower("text"), "[^a-z0-9]+"), 1)
+        .alias("input"),
+        F.col("n_chars").alias("weight"), "doc_id")
+    return completion_suggest(sugg, "s", size=10, skip_duplicates=True)
+
+
 def q_mtermvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _mtermvectors: several docs' term stats in ONE corpus pass
     (operators/apis.mtermvectors)."""
@@ -2867,6 +2884,7 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 _NEVER_DRIVER_SAMPLED_R6 = [
     "linear_retriever", "sparse_vector", "dsir_logratio", "dsir_resample",
     "mtermvectors", "es_sql_group", "es_sql_match", "semdedup",
+    "completion_suggest",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3044,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": q_pq_ann_topk,
         "termvectors": q_termvectors,
         "mtermvectors": q_mtermvectors,
+        "completion_suggest": q_completion_suggest,
         "explain_score": q_explain_score,
         "sorted_scan_desc": q_sorted_scan_desc,
         "genid_md5": q_genid_md5,
@@ -3438,6 +3457,21 @@ corpus AS (SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS ttf
            FROM base GROUP BY 1)
 SELECT term, term_freq, doc_freq, ttf
 FROM doc_tf JOIN corpus USING (term) ORDER BY term
+""",
+        "completion_suggest": """
+WITH sugg AS (
+  SELECT regexp_split_to_array(lower(text), '[^a-z0-9]+')[1] AS input,
+         CAST(n_chars AS BIGINT) AS weight, doc_id
+  FROM documents
+),
+best AS (
+  SELECT input, weight, doc_id,
+         row_number() OVER (PARTITION BY input
+                            ORDER BY weight DESC, doc_id ASC) AS rn
+  FROM sugg WHERE starts_with(input, 's')
+)
+SELECT input, weight, doc_id FROM best WHERE rn = 1
+ORDER BY weight DESC, input ASC, doc_id ASC LIMIT 10
 """,
         "mtermvectors": f"""
 WITH base AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),

@@ -51,6 +51,36 @@ def termvectors(docs: DataFrame, doc_id: int, id_col: str = "doc_id",
     return doc_tf.join(corpus, "term").orderBy("term")
 
 
+def completion_suggest(suggestions: DataFrame, prefix: str, size: int = 5,
+                       skip_duplicates: bool = False,
+                       input_col: str = "input", weight_col: str = "weight",
+                       id_col: str = "doc_id") -> DataFrame:
+    """ES completion suggester: WEIGHT-ranked prefix autocomplete over an
+    explicit completion field (per-doc inputs + weight) — the ES
+    contract (suggestions order by weight desc), unlike the df-ranked
+    InvertedIndex.suggest dictionary path. The prefix filter is a
+    StringStartsWith pushed to the scan (ES walks an FST; a pruned
+    column scan is the Spark-shape equivalent — the suggestions table
+    is entry-sized, not corpus-sized). skip_duplicates keeps the best
+    (weight desc, doc_id asc) entry per distinct input text — a window
+    partitioned by the input value, never a global window. Returns
+    (input, weight, doc_id), (weight desc, input asc, doc_id asc)."""
+    from pyspark.sql import Window
+
+    cand = suggestions.select(
+        F.col(input_col).alias("input"),
+        F.col(weight_col).cast("long").alias("weight"),
+        F.col(id_col).alias("doc_id"),
+    ).filter(F.col("input").startswith(prefix))
+    if skip_duplicates:
+        w = Window.partitionBy("input").orderBy(
+            F.desc("weight"), F.asc("doc_id"))
+        cand = (cand.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+    return (cand.orderBy(F.desc("weight"), F.asc("input"), F.asc("doc_id"))
+            .limit(int(size)))
+
+
 def mtermvectors(docs: DataFrame, doc_ids: list[int], id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """ES _mtermvectors: termvectors for SEVERAL documents in ONE corpus

@@ -214,3 +214,29 @@ def test_mtermvectors_matches_per_doc_termvectors(spark, docs):
         assert got == single
     # unknown ids simply contribute no rows
     assert apis.mtermvectors(docs, doc_ids=[999]).count() == 0
+
+
+def test_completion_suggest_weight_ranked(spark):
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.apis import (
+        completion_suggest,
+    )
+
+    sugg = spark.createDataFrame([
+        Row(input="spark", weight=10, doc_id=1),
+        Row(input="spark", weight=50, doc_id=2),
+        Row(input="spawn", weight=30, doc_id=3),
+        Row(input="scala", weight=50, doc_id=4),
+        Row(input="merge", weight=99, doc_id=5),
+    ])
+    out = [(r["input"], r["weight"], r["doc_id"]) for r in
+           completion_suggest(sugg, "sp", size=10).collect()]
+    # weight desc, input asc, doc_id asc; 'merge'/'scala' excluded by prefix
+    assert out == [("spark", 50, 2), ("spawn", 30, 3), ("spark", 10, 1)]
+    dedup = [(r["input"], r["weight"], r["doc_id"]) for r in
+             completion_suggest(sugg, "s", size=10,
+                                skip_duplicates=True).collect()]
+    # best entry per input survives; weight ties break by input asc
+    assert dedup == [("scala", 50, 4), ("spark", 50, 2), ("spawn", 30, 3)]
+    assert completion_suggest(sugg, "zz", size=3).count() == 0
