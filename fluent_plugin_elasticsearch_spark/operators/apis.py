@@ -359,3 +359,87 @@ def terms_enum(docs: DataFrame, field: str, string: str = "",
     return (toks.filter(F.col("term").startswith(string))
             .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
             .orderBy(F.asc("term")).limit(int(size)))
+
+
+class AsyncSearchNotFound(KeyError):
+    """Unknown or deleted async search id."""
+
+
+class AsyncSearch:
+    """ES _async_search: submit returns an id immediately, status/get
+    poll, delete cancels. The Spark-native mapping of ES's task
+    management: each submitted search materializes on a pool thread
+    under its OWN job group with interruptOnCancel, so delete() is
+    sc.cancelJobGroup — real cancellation of the running stages (ES
+    cancels the shard tasks; Spark kills the group's active jobs).
+    Job groups are thread-local in Spark, which is exactly why each
+    search runs on its own pool thread.
+
+    Results are kept until delete() (ES keep_on_completion semantics);
+    get(wait_for_completion_timeout) blocks up to the timeout then
+    reports partial=True if still running — the ES polling contract."""
+
+    def __init__(self, spark, max_concurrent: int = 8):
+        import concurrent.futures
+        import threading
+
+        self._spark = spark
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max_concurrent)
+        self._futures: dict[str, object] = {}
+        self._lock = threading.Lock()
+
+    def submit(self, df: DataFrame) -> str:
+        import uuid
+
+        sid = uuid.uuid4().hex
+        sc = self._spark.sparkContext
+
+        def run():
+            sc.setJobGroup(sid, f"async_search {sid}",
+                           interruptOnCancel=True)
+            try:
+                return df.collect()
+            finally:
+                sc.setJobGroup("", "")
+
+        with self._lock:
+            self._futures[sid] = self._pool.submit(run)
+        return sid
+
+    def _future(self, sid: str):
+        with self._lock:
+            if sid not in self._futures:
+                raise AsyncSearchNotFound(sid)
+            return self._futures[sid]
+
+    def status(self, sid: str) -> dict:
+        fut = self._future(sid)
+        running = not fut.done()
+        failed = (not running) and fut.exception() is not None
+        return {"id": sid, "is_running": running, "is_partial": running,
+                "failed": failed}
+
+    def get(self, sid: str, wait_for_completion_timeout: float | None = None):
+        """Rows when complete; {"is_partial": True} if still running
+        after the wait (the ES polling shape). Raises the search's own
+        exception if it failed, AsyncSearchNotFound if deleted."""
+        import concurrent.futures
+
+        fut = self._future(sid)
+        try:
+            rows = fut.result(timeout=wait_for_completion_timeout)
+            return {"id": sid, "is_partial": False, "rows": rows}
+        except concurrent.futures.TimeoutError:
+            return {"id": sid, "is_partial": True, "rows": None}
+
+    def delete(self, sid: str) -> None:
+        """Cancel + forget: kills the job group's running stages."""
+        fut = self._future(sid)
+        self._spark.sparkContext.cancelJobGroup(sid)
+        fut.cancel()
+        with self._lock:
+            del self._futures[sid]
+
+    def shutdown(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)

@@ -240,3 +240,52 @@ def test_completion_suggest_weight_ranked(spark):
     # best entry per input survives; weight ties break by input asc
     assert dedup == [("scala", 50, 4), ("spark", 50, 2), ("spawn", 30, 3)]
     assert completion_suggest(sugg, "zz", size=3).count() == 0
+
+
+def test_async_search_submit_get_delete(spark):
+    import time
+
+    import pytest as _pytest
+
+    from fluent_plugin_elasticsearch_spark.operators.apis import (
+        AsyncSearch,
+        AsyncSearchNotFound,
+    )
+
+    a = AsyncSearch(spark)
+    # fast search completes and keeps its result until deleted
+    fast = a.submit(spark.range(100).selectExpr("sum(id) AS s"))
+    got = a.get(fast, wait_for_completion_timeout=60)
+    assert got["is_partial"] is False and got["rows"][0]["s"] == 4950
+    st = a.status(fast)
+    assert st["is_running"] is False and st["failed"] is False
+    # a second get still returns (keep_on_completion)
+    assert a.get(fast)["rows"][0]["s"] == 4950
+
+    # slow search: still running at first poll, then cancelled by delete
+    def _sleepy(batches):
+        for b in batches:
+            time.sleep(30)
+            yield b
+
+    slow_df = spark.range(64).repartition(8).mapInPandas(
+        _sleepy, "id long")
+    slow = a.submit(slow_df)
+    time.sleep(2)
+    assert a.status(slow)["is_running"] is True
+    assert a.get(slow, wait_for_completion_timeout=0.5)["is_partial"] is True
+    a.delete(slow)
+    with _pytest.raises(AsyncSearchNotFound):
+        a.status(slow)
+    # failed searches report failed=True and re-raise on get — the
+    # failure must be an EXECUTION-time one (analysis errors raise at
+    # plan construction, before submit)
+    def _boom(batches):
+        raise RuntimeError("shard failure")
+        yield  # pragma: no cover
+
+    bad = a.submit(spark.range(2).mapInPandas(_boom, "id long"))
+    with _pytest.raises(Exception):
+        a.get(bad, wait_for_completion_timeout=60)
+    assert a.status(bad)["failed"] is True
+    a.shutdown()
