@@ -1081,6 +1081,31 @@ def q_es_sql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY SCORE() DESC, doc_id ASC LIMIT 15")
 
 
+def q_esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL pipe (operators/esql.py): FROM | WHERE | STATS ... BY |
+    SORT — each stage a DataFrame transformation, one Catalyst plan."""
+    from fluent_plugin_elasticsearch_spark.operators.esql import esql_query
+
+    return esql_query(
+        {"documents": _read(spark, sf_dir, "documents")},
+        'FROM documents | WHERE n_chars > 100 '
+        '| STATS n = COUNT(*), chars = SUM(n_chars), mx = MAX(n_chars) '
+        'BY lang | SORT lang')
+
+
+def q_esql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL row pipe (operators/esql.py): WHERE + EVAL + RENAME + KEEP +
+    SORT + LIMIT composed; MATCH() is the boolean any-token predicate."""
+    from fluent_plugin_elasticsearch_spark.operators.esql import esql_query
+
+    return esql_query(
+        {"documents": _read(spark, sf_dir, "documents")},
+        'FROM documents | WHERE MATCH(text, "merge data") '
+        'AND lang == "en" | EVAL dk = n_chars / 100, src = source '
+        '| RENAME src AS origin | KEEP doc_id, dk, origin '
+        '| SORT dk DESC, doc_id ASC | LIMIT 25')
+
+
 def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-ratios (operators/packing.dsir_logratio_scores,
     Xie et al. 2023): hashed unigram+bigram models on target (lang='en')
@@ -2884,7 +2909,7 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 _NEVER_DRIVER_SAMPLED_R6 = [
     "linear_retriever", "sparse_vector", "dsir_logratio", "dsir_resample",
     "mtermvectors", "es_sql_group", "es_sql_match", "semdedup",
-    "completion_suggest",
+    "completion_suggest", "esql_stats", "esql_pipe",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -2984,6 +3009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "es_sql_group": q_es_sql_group,
         "es_sql_match": q_es_sql_match,
+        "esql_stats": q_esql_stats,
+        "esql_pipe": q_esql_pipe,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -3983,6 +4010,18 @@ p AS (
 SELECT CAST(floor(max(abs(cs / s_tot - CAST(k AS DOUBLE) / CAST(n_tot AS DOUBLE)))
                   * 1e6) AS BIGINT) AS ks_d_u
 FROM p
+""",
+        "esql_stats": """
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+       MAX(n_chars) AS mx
+FROM documents WHERE n_chars > 100 GROUP BY lang ORDER BY lang
+""",
+        "esql_pipe": f"""
+SELECT doc_id, n_chars / 100 AS dk, source AS origin
+FROM documents
+WHERE len(list_filter({_TOKS}, t -> t IN ('merge', 'data'))) > 0
+  AND lang = 'en'
+ORDER BY dk DESC, doc_id ASC LIMIT 25
 """,
         "es_sql_group": """
 SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,

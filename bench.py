@@ -171,6 +171,23 @@ def run_bench(cores: int, sf_dir: str, n_docs: int, out: dict | None = None) -> 
             fz_lat.append(time.time() - t0)
     res["fuzzy_p50_sec"] = round(statistics.median(sorted(fz_lat)), 4)
 
+    # --- index-backed sparse_vector serving (round-6): weighted-token
+    # dot product from tf postings — the ELSER-style serving clause;
+    # integer kernel, work bounded by the query terms' posting data.
+    from pyspark.sql import functions as F
+
+    sv_lat = []
+    for _pass in range(2):
+        for qv in [{"the": 1.5, "bababa": 2.0, "of": 0.5},
+                   {"madaba": 2.2, "cafe": 1.1},
+                   {"the": 0.3, "a": 0.3, "of": 0.3, "bababa": 3.0}]:
+            t0 = time.time()
+            (idx.sparse_vector_scores(qv)
+             .orderBy(F.desc("score_u"), F.asc("doc_id")).limit(10)
+             .collect())
+            sv_lat.append(time.time() - t0)
+    res["sparse_vector_p50_sec"] = round(statistics.median(sorted(sv_lat)), 4)
+
     # --- sf-dir analytical queries (documents/events/lineitem)
     import __spark_entry__ as entry_mod
 
@@ -368,6 +385,7 @@ def main() -> None:
             "pos_index_build": res["pos_index_build_sec"],
             "match_phrase_p50": res["match_phrase_p50_sec"],
             "fuzzy_p50": res["fuzzy_p50_sec"],
+            "sparse_vector_p50": res["sparse_vector_p50_sec"],
         },
         "sf": sf,
         "docs_per_sec": res["index_build_docs_per_sec"],

@@ -49,8 +49,9 @@ from ..plans.query_ast import UnsupportedQuery
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?)"
     r"|(?P<str>'(?:[^']|'')*')"
+    r'|(?P<dstr>"(?:[^"\\]|\\.)*")'
     r"|(?P<id>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
-    r"|(?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\*|\+|-|/|%))")
+    r"|(?P<op><=|>=|<>|!=|==|=|<|>|\(|\)|,|\*|\+|-|/|%|\|))")
 
 _KEYWORDS = {"select", "from", "where", "group", "by", "having", "order",
              "limit", "as", "and", "or", "not", "in", "between", "like",
@@ -74,6 +75,10 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
             out.append(("num", m.group("num")))
         elif m.lastgroup == "str":
             out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.lastgroup == "dstr":
+            # ES|QL string literal form (double-quoted, backslash escapes)
+            body = m.group("dstr")[1:-1]
+            out.append(("str", re.sub(r'\\(.)', r"\1", body)))
         elif m.lastgroup == "id":
             v = m.group("id")
             out.append(("kw", v.lower()) if v.lower() in _KEYWORDS
@@ -136,9 +141,11 @@ class _Parser:
     def predicate(self):
         e = self.add_expr()
         t = self.peek()
-        if t[0] == "op" and t[1] in ("=", "<>", "!=", "<", "<=", ">", ">="):
+        if t[0] == "op" and t[1] in ("=", "==", "<>", "!=", "<", "<=",
+                                     ">", ">="):
             self.i += 1
-            return ("bin", t[1], e, self.add_expr())
+            op = "=" if t[1] == "==" else t[1]
+            return ("bin", op, e, self.add_expr())
         if t == ("kw", "in"):
             self.i += 1
             self.expect("op", "(")

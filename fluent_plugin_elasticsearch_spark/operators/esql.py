@@ -1,0 +1,218 @@
+"""ES|QL (the Elasticsearch Query Language, ES 8.11+): the piped query
+surface — translated stage by stage onto DataFrame operations.
+
+Reference contract: ES|QL runs over the same indices the plugin writes
+(out_elasticsearch.rb ships docs; `POST /_query {"query": "FROM ..."}`
+is the modern analyst read path). Each pipe stage maps 1:1 to a
+DataFrame transformation, so the whole pipe compiles to ONE declarative
+Catalyst plan — filters still push to the scan, STATS is a partial
+aggregate, nothing is evaluated stage-at-a-time.
+
+Supported stages (everything else raises UnsupportedQuery):
+
+    FROM <index>
+    | WHERE <expr>               -- ES|QL ==/!= comparisons, AND/OR/NOT,
+                                    IN/BETWEEN/LIKE/IS NULL, arithmetic;
+                                    MATCH(field, "q") is the BOOLEAN
+                                    full-text predicate (any query token
+                                    present — ES|QL's WHERE MATCH form;
+                                    scored search stays in the _search
+                                    body surface)
+    | EVAL name = expr [, ...]
+    | KEEP col [, ...]           -- projection (+ order)
+    | DROP col [, ...]
+    | RENAME old AS new [, ...]
+    | STATS [name =] agg [, ...] [BY key [, ...]]
+    | SORT expr [ASC|DESC] [, ...]
+    | LIMIT n
+
+Expressions reuse the ES SQL parser (operators/es_sql) — one grammar,
+two surfaces, which is exactly how ES shares its expression layer.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.query_ast import UnsupportedQuery
+from .es_sql import _Parser, _to_col, _tokenize
+
+
+def _split_stages(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
+    stages, cur, depth = [], [], 0
+    for t in toks:
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        if t == ("op", "|") and depth == 0:
+            stages.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    stages.append(cur)
+    return stages
+
+
+def _stage_name(stage: list[tuple[str, str]]) -> str:
+    if not stage:
+        raise UnsupportedQuery("ES|QL: empty pipe stage")
+    return stage[0][1].lower()
+
+
+def _match_predicate(df: DataFrame, node):
+    """ES|QL WHERE MATCH(field, "q"): boolean any-token-present predicate
+    (the unscored form; default match operator is OR). Compiles to one
+    arrays_overlap against the tokenized field — no join, no shuffle."""
+    from ..extraction import simple_tokens_col
+
+    _, fld, txt = node
+    terms = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+    if not terms:
+        raise UnsupportedQuery("ES|QL: empty MATCH() query")
+    return F.arrays_overlap(
+        simple_tokens_col(F.col(fld)),
+        F.array(*[F.lit(t) for t in terms]))
+
+
+def _where_col(df: DataFrame, node):
+    """Lower a WHERE expression, rewriting MATCH nodes to the boolean
+    predicate (no score_u column exists in the ES|QL pipe)."""
+    if isinstance(node, tuple):
+        if node[0] == "match":
+            return _match_predicate(df, node)
+        if node[0] == "score":
+            raise UnsupportedQuery(
+                "ES|QL: SCORE() needs METADATA _score (unsupported); "
+                "use the _search surface for scored queries")
+        if node[0] in ("bin", "not", "in", "between", "like", "isnull"):
+            rewritten = []
+            for c in node[1:]:
+                if isinstance(c, tuple) and c[0] in (
+                        "match", "bin", "not", "in", "between", "like",
+                        "isnull"):
+                    rewritten.append(_where_col(df, c))
+                else:
+                    rewritten.append(c)
+            kind = node[0]
+            from pyspark.sql import Column
+            if kind == "bin":
+                op, ln, rn = node[1], rewritten[1], rewritten[2]
+                l = ln if isinstance(ln, Column) else _to_col(
+                    ln, has_match=False)
+                r = rn if isinstance(rn, Column) else _to_col(
+                    rn, has_match=False)
+                return {"and": l & r, "or": l | r, "=": l == r,
+                        "<>": l != r, "!=": l != r, "<": l < r,
+                        "<=": l <= r, ">": l > r, ">=": l >= r,
+                        "+": l + r, "-": l - r, "*": l * r, "/": l / r,
+                        "%": l % r}[op]
+            if kind == "not":
+                inner = rewritten[0]
+                if not isinstance(inner, Column):
+                    inner = _to_col(inner, has_match=False)
+                return ~inner
+    return _to_col(node, has_match=False)
+
+
+def esql_query(tables: dict[str, DataFrame], query: str) -> DataFrame:
+    """Run one ES|QL pipe against named tables."""
+    stages = _split_stages(_tokenize(query))
+    head = stages[0]
+    if _stage_name(head) != "from" or len(head) != 2 or head[1][0] != "id":
+        raise UnsupportedQuery("ES|QL: pipe must start with FROM <index>")
+    name = head[1][1]
+    if name not in tables:
+        raise UnsupportedQuery(f"ES|QL: unknown index {name!r}")
+    df = tables[name]
+
+    for stage in stages[1:]:
+        kind = _stage_name(stage)
+        body = stage[1:]
+        p = _Parser(body)
+        if kind == "where":
+            df = df.filter(_where_col(df, p.expr()))
+            if p.peek()[0] != "eof":
+                raise UnsupportedQuery(f"ES|QL: trailing input {p.peek()}")
+        elif kind == "eval":
+            while True:
+                nm = p.next()
+                if nm[0] != "id":
+                    raise UnsupportedQuery("ES|QL: EVAL needs name = expr")
+                p.expect("op", "=")
+                df = df.withColumn(nm[1], _to_col(p.expr(),
+                                                  has_match=False))
+                if not p.accept("op", ","):
+                    break
+            if p.peek()[0] != "eof":
+                raise UnsupportedQuery(f"ES|QL: trailing input {p.peek()}")
+        elif kind == "keep":
+            cols = [p.expect("id")[1]]
+            while p.accept("op", ","):
+                cols.append(p.expect("id")[1])
+            df = df.select(*cols)
+        elif kind == "drop":
+            cols = [p.expect("id")[1]]
+            while p.accept("op", ","):
+                cols.append(p.expect("id")[1])
+            df = df.drop(*cols)
+        elif kind == "rename":
+            while True:
+                old = p.expect("id")[1]
+                p.expect("kw", "as")
+                new = p.expect("id")[1]
+                df = df.withColumnRenamed(old, new)
+                if not p.accept("op", ","):
+                    break
+        elif kind == "stats":
+            aggs = []
+            while True:
+                if (p.peek()[0] == "id" and p.peek(1) == ("op", "=")):
+                    nm = p.next()[1]
+                    p.next()
+                    aggs.append(_to_col(p.expr(), has_match=False,
+                                        allow_agg=True).alias(nm))
+                else:
+                    raise UnsupportedQuery(
+                        "ES|QL: STATS items need `name = agg(...)`")
+                if not p.accept("op", ","):
+                    break
+            keys = []
+            if p.accept("kw", "by") or (p.peek() == ("id", "BY")
+                                        or p.peek() == ("id", "by")):
+                if p.peek()[0] == "id" and p.peek()[1].lower() == "by":
+                    p.next()
+                keys.append(p.expect("id")[1])
+                while p.accept("op", ","):
+                    keys.append(p.expect("id")[1])
+            if keys:
+                df = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+            else:
+                df = df.agg(*aggs)
+        elif kind == "sort":
+            sort_cols = []
+            while True:
+                c = _to_col(p.expr(), has_match=False)
+                if p.accept("kw", "desc"):
+                    sort_cols.append(c.desc())
+                else:
+                    p.accept("kw", "asc")
+                    sort_cols.append(c.asc())
+                if not p.accept("op", ","):
+                    break
+            df = df.orderBy(*sort_cols)
+        elif kind == "limit":
+            t = p.next()
+            if len(body) > 1 and body[0][0] != "num":
+                raise UnsupportedQuery("ES|QL: LIMIT needs an integer")
+            if t[0] != "num" or "." in t[1]:
+                raise UnsupportedQuery("ES|QL: LIMIT needs an integer")
+            df = df.limit(int(t[1]))
+        else:
+            raise UnsupportedQuery(f"ES|QL: stage {kind.upper()} "
+                                   "(supported: WHERE EVAL KEEP DROP "
+                                   "RENAME STATS SORT LIMIT)")
+    return df

@@ -1,0 +1,116 @@
+"""ES|QL pipe surface (operators/esql.py): every stage checked against
+DuckDB running the equivalent SQL, plus the raise sites."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from fluent_plugin_elasticsearch_spark.operators.esql import esql_query
+from fluent_plugin_elasticsearch_spark.plans.query_ast import UnsupportedQuery
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a quick brown cat sits on the mat",
+    "spark engines merge sorted partitions quickly",
+    "the lazy dog sleeps all day in the sun",
+    "quick quick quick repetition here",
+    "merge partition merge partition merge",
+    "wholly unrelated content about gardening roses",
+    "fox and dog are friends in the park",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [Row(doc_id=i, text=t, lang=["en", "fr"][i % 2], n_chars=len(t))
+            for i, t in enumerate(TEXTS)]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def duck(docs):
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    return con
+
+
+def _same_ordered(spark_df, con, sql):
+    got = [tuple(r) for r in spark_df.collect()]
+    want = [tuple(r) for r in con.sql(sql).fetchall()]
+    assert got == want
+
+
+def test_esql_pipe_stages_match_duckdb(spark, docs, duck):
+    out = esql_query({"docs": docs}, """
+        FROM docs
+        | WHERE n_chars > 25 AND lang == "en"
+        | EVAL kchars = n_chars / 10, tag = lang
+        | RENAME tag AS language
+        | KEEP doc_id, kchars, language
+        | SORT kchars DESC, doc_id ASC
+        | LIMIT 3
+    """)
+    _same_ordered(out, duck, """
+        SELECT doc_id, n_chars / 10 AS kchars, lang AS language
+        FROM docs WHERE n_chars > 25 AND lang = 'en'
+        ORDER BY kchars DESC, doc_id ASC LIMIT 3
+    """)
+
+
+def test_esql_stats_by(spark, docs, duck):
+    out = esql_query({"docs": docs}, """
+        FROM docs
+        | STATS n = COUNT(*), total = SUM(n_chars), mx = MAX(n_chars) BY lang
+        | SORT lang
+    """)
+    _same_ordered(out, duck, """
+        SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total,
+               MAX(n_chars) AS mx
+        FROM docs GROUP BY lang ORDER BY lang
+    """)
+    # global stats (no BY)
+    out2 = esql_query({"docs": docs},
+                      "FROM docs | STATS n = COUNT(*)")
+    assert out2.collect()[0]["n"] == len(TEXTS)
+
+
+def test_esql_where_match_boolean(spark, docs):
+    out = esql_query({"docs": docs}, '''
+        FROM docs | WHERE MATCH(text, "quick fox") | KEEP doc_id
+        | SORT doc_id
+    ''')
+    # any-token-present: docs containing 'quick' OR 'fox' (doc 2 has
+    # only 'quickly' — tokens, not substrings)
+    assert [r["doc_id"] for r in out.collect()] == [0, 1, 4, 7]
+    out2 = esql_query({"docs": docs}, '''
+        FROM docs | WHERE MATCH(text, "merge") AND lang == "fr"
+        | KEEP doc_id | SORT doc_id
+    ''')
+    assert [r["doc_id"] for r in out2.collect()] == [5]
+    out3 = esql_query({"docs": docs}, '''
+        FROM docs | WHERE NOT MATCH(text, "the") | KEEP doc_id | SORT doc_id
+    ''')
+    assert [r["doc_id"] for r in out3.collect()] == [2, 4, 5, 6]
+
+
+def test_esql_drop_and_multiline_strings(spark, docs):
+    out = esql_query({"docs": docs},
+                     'FROM docs | DROP text, n_chars | LIMIT 2')
+    assert out.columns == ["doc_id", "lang"]
+
+
+def test_esql_raises_outside_subset(spark, docs):
+    bad = [
+        "FROM nope | LIMIT 1",
+        "docs | LIMIT 1",
+        "FROM docs | GROK text \"%{WORD:w}\"",
+        "FROM docs | STATS COUNT(*) BY lang",
+        "FROM docs | LIMIT 1.5",
+        'FROM docs | WHERE SCORE() > 1',
+        'FROM docs | WHERE MATCH(text, "")',
+    ]
+    for q in bad:
+        with pytest.raises(UnsupportedQuery):
+            esql_query({"docs": docs}, q)
