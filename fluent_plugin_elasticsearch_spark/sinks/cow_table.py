@@ -311,14 +311,23 @@ class CowTable:
                     raise
 
     def compact(self, target_buckets: int | None = None,
-                max_retries: int = 3) -> dict:
+                max_retries: int = 3,
+                sort_by: list[str] | None = None) -> dict:
         """Rewrite EVERY bucket into one fresh generation — coalesces the
         per-generation file fragments that accrue under many small
         upserts (Iceberg's rewrite_data_files).  ``target_buckets``
-        re-buckets the table (e.g. widen 16 → 512 as it grows).  Commits
-        via the same validate-then-swap protocol as upsert: a concurrent
-        writer landing ANY bucket mid-compaction conflicts (compaction
-        touches every bucket) and the compaction re-reads and retries."""
+        re-buckets the table (e.g. widen 16 → 512 as it grows).
+        ``sort_by`` additionally sorts rows WITHIN each rewritten bucket
+        (ES index sorting / Iceberg's sort-order rewrite): parquet
+        row-group min/max stats on the sort columns become tight ranges,
+        so subsequent range/equality scans on those columns prune row
+        groups instead of reading whole buckets — the read-side payoff
+        that makes periodic compaction worth its write cost at scale.
+        The sort is a repartition-by-bucket + partition-local sort (one
+        shuffle, no global order). Commits via the same
+        validate-then-swap protocol as upsert: a concurrent writer
+        landing ANY bucket mid-compaction conflicts (compaction touches
+        every bucket) and the compaction re-reads and retries."""
         for attempt in range(max_retries + 1):
             m = self._load_manifest()
             base = dict(m["buckets"])
@@ -326,8 +335,11 @@ class CowTable:
             n_new = target_buckets if target_buckets is not None else m["n_buckets"]
             self.n_buckets = n_new
             gen_rel = self._new_gen_rel(m["generation"] + 1)
-            self._write_buckets(
-                all_rows.withColumn("__bucket", self._bucket_col()), gen_rel)
+            tagged = all_rows.withColumn("__bucket", self._bucket_col())
+            if sort_by:
+                tagged = (tagged.repartition("__bucket")
+                          .sortWithinPartitions("__bucket", *sort_by))
+            self._write_buckets(tagged, gen_rel)
             try:
                 with self._commit_lock():
                     cur = self._load_manifest()

@@ -304,3 +304,26 @@ def test_delete_ids_large_int64_ids_match(spark, tmp_path):
     t.delete_ids([big])
     rows = [r["doc_id"] for r in t.read().collect()]
     assert rows == [7]
+
+
+def test_compact_sort_by_orders_within_buckets(spark, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    t, _ = _mk(spark, tmp_path, n=200, n_buckets=4)
+    before = {(r["doc_id"], r["v"]) for r in t.read().collect()}
+    t.compact(sort_by=["n"])
+    t2 = CowTable(spark, t.path)
+    assert {(r["doc_id"], r["v"]) for r in t2.read().collect()} == before
+    # every rewritten parquet file is sorted by n — tight row-group
+    # min/max stats are what make sorted compaction pay off on reads
+    m = t2._load_manifest()
+    files = []
+    for rel in set(m["buckets"].values()):
+        files += glob.glob(os.path.join(t2.path, rel, "*.parquet"))
+    assert files
+    for f in files:
+        col = pq.read_table(f, columns=["n"]).column("n").to_pylist()
+        assert col == sorted(col)
