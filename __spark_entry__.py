@@ -1106,6 +1106,17 @@ def q_esql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         '| SORT dk DESC, doc_id ASC | LIMIT 25')
 
 
+def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DISSECT stage (operators/esql.py): literal-delimited field
+    extraction compiled to one anchored regexp_extract per field."""
+    from fluent_plugin_elasticsearch_spark.operators.esql import esql_query
+
+    return esql_query(
+        {"events": _read(spark, sf_dir, "events")},
+        'FROM events | DISSECT props "{\\"k\\": %{kval}}" '
+        '| KEEP event_id, kval | SORT event_id | LIMIT 100')
+
+
 def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-ratios (operators/packing.dsir_logratio_scores,
     Xie et al. 2023): hashed unigram+bigram models on target (lang='en')
@@ -2909,7 +2920,7 @@ _NEVER_DRIVER_SAMPLED_R5 = [
 _NEVER_DRIVER_SAMPLED_R6 = [
     "linear_retriever", "sparse_vector", "dsir_logratio", "dsir_resample",
     "mtermvectors", "es_sql_group", "es_sql_match", "semdedup",
-    "completion_suggest", "esql_stats", "esql_pipe",
+    "completion_suggest", "esql_stats", "esql_pipe", "esql_dissect",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3011,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_sql_match": q_es_sql_match,
         "esql_stats": q_esql_stats,
         "esql_pipe": q_esql_pipe,
+        "esql_dissect": q_esql_dissect,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -4010,6 +4022,10 @@ p AS (
 SELECT CAST(floor(max(abs(cs / s_tot - CAST(k AS DOUBLE) / CAST(n_tot AS DOUBLE)))
                   * 1e6) AS BIGINT) AS ks_d_u
 FROM p
+""",
+        "esql_dissect": r"""
+SELECT event_id, regexp_extract(props, '^\{"k":\ (.*?)\}$', 1) AS kval
+FROM events ORDER BY event_id LIMIT 100
 """,
         "esql_stats": """
 SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,

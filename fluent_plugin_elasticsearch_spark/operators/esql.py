@@ -25,6 +25,9 @@ Supported stages (everything else raises UnsupportedQuery):
     | STATS [name =] agg [, ...] [BY key [, ...]]
     | SORT expr [ASC|DESC] [, ...]
     | LIMIT n
+    | DISSECT col "%{a} - %{b}"  -- literal-delimited extraction, one
+                                    anchored regexp_extract per field
+    | MV_EXPAND col              -- explode a multi-value column
 
 Expressions reuse the ES SQL parser (operators/es_sql) — one grammar,
 two surfaces, which is exactly how ES shares its expression layer.
@@ -118,6 +121,25 @@ def _where_col(df: DataFrame, node):
     return _to_col(node, has_match=False)
 
 
+def _dissect_regex(pattern: str) -> tuple[list[str], str]:
+    """Compile an ES|QL DISSECT pattern ("%{a} - %{b}") to an anchored
+    regex with one capture group per field — literals escaped, fields
+    non-greedy (the dissect contract: literals delimit, the final field
+    runs to the end because the regex is end-anchored)."""
+    parts = re.split(r"(%\{[A-Za-z_][A-Za-z0-9_]*\})", pattern)
+    fields, regex = [], "^"
+    for part in parts:
+        m = re.fullmatch(r"%\{([A-Za-z_][A-Za-z0-9_]*)\}", part)
+        if m:
+            fields.append(m.group(1))
+            regex += "(.*?)"
+        else:
+            regex += re.escape(part)
+    if not fields:
+        raise UnsupportedQuery("ES|QL: DISSECT pattern has no %{field}")
+    return fields, regex + "$"
+
+
 def esql_query(tables: dict[str, DataFrame], query: str) -> DataFrame:
     """Run one ES|QL pipe against named tables."""
     stages = _split_stages(_tokenize(query))
@@ -204,6 +226,19 @@ def esql_query(tables: dict[str, DataFrame], query: str) -> DataFrame:
                 if not p.accept("op", ","):
                     break
             df = df.orderBy(*sort_cols)
+        elif kind == "dissect":
+            col = p.expect("id")[1]
+            pat = p.next()
+            if pat[0] != "str":
+                raise UnsupportedQuery("ES|QL: DISSECT needs a pattern "
+                                       "string")
+            fields, regex = _dissect_regex(pat[1])
+            for i, fname in enumerate(fields, 1):
+                df = df.withColumn(
+                    fname, F.regexp_extract(F.col(col), regex, i))
+        elif kind == "mv_expand":
+            col = p.expect("id")[1]
+            df = df.withColumn(col, F.explode(F.col(col)))
         elif kind == "limit":
             t = p.next()
             if len(body) > 1 and body[0][0] != "num":
@@ -214,5 +249,6 @@ def esql_query(tables: dict[str, DataFrame], query: str) -> DataFrame:
         else:
             raise UnsupportedQuery(f"ES|QL: stage {kind.upper()} "
                                    "(supported: WHERE EVAL KEEP DROP "
-                                   "RENAME STATS SORT LIMIT)")
+                                   "RENAME STATS SORT LIMIT DISSECT "
+                                   "MV_EXPAND)")
     return df

@@ -114,3 +114,26 @@ def test_esql_raises_outside_subset(spark, docs):
     for q in bad:
         with pytest.raises(UnsupportedQuery):
             esql_query({"docs": docs}, q)
+
+
+def test_esql_dissect_and_mv_expand(spark):
+    from pyspark.sql import Row as _Row
+
+    logs = spark.createDataFrame([
+        _Row(id=1, line="GET /index.html 200", tags=["a", "b"]),
+        _Row(id=2, line="POST /api/v1 503", tags=["c"]),
+    ])
+    out = esql_query({"logs": logs}, '''
+        FROM logs | DISSECT line "%{verb} %{path} %{status}"
+        | KEEP id, verb, path, status | SORT id
+    ''')
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(1, "GET", "/index.html", "200"),
+                    (2, "POST", "/api/v1", "503")]
+    out2 = esql_query({"logs": logs}, '''
+        FROM logs | MV_EXPAND tags | KEEP id, tags | SORT id, tags
+    ''')
+    assert [tuple(r) for r in out2.collect()] == [
+        (1, "a"), (1, "b"), (2, "c")]
+    with pytest.raises(UnsupportedQuery, match="no %"):
+        esql_query({"logs": logs}, 'FROM logs | DISSECT line "nofields"')
