@@ -1117,6 +1117,21 @@ def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
         '| KEEP event_id, kval | SORT event_id | LIMIT 100')
 
 
+def q_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ENRICH stage (operators/esql.py): the lookup join — the
+    policy table broadcasts (ES materializes enrich indices per node;
+    the Spark shape is a broadcast hash join, no main-stream shuffle)."""
+    from fluent_plugin_elasticsearch_spark.operators.esql import esql_query
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("uid"), "c_name")
+    return esql_query(
+        {"events": _read(spark, sf_dir, "events")},
+        'FROM events | ENRICH cust ON user_id WITH c_name '
+        '| KEEP event_id, user_id, c_name | SORT event_id | LIMIT 200',
+        enrich_policies={"cust": (cust, "uid")})
+
+
 def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-ratios (operators/packing.dsir_logratio_scores,
     Xie et al. 2023): hashed unigram+bigram models on target (lang='en')
@@ -2921,6 +2936,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "linear_retriever", "sparse_vector", "dsir_logratio", "dsir_resample",
     "mtermvectors", "es_sql_group", "es_sql_match", "semdedup",
     "completion_suggest", "esql_stats", "esql_pipe", "esql_dissect",
+    "esql_enrich",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3023,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_stats": q_esql_stats,
         "esql_pipe": q_esql_pipe,
         "esql_dissect": q_esql_dissect,
+        "esql_enrich": q_esql_enrich,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -4022,6 +4039,11 @@ p AS (
 SELECT CAST(floor(max(abs(cs / s_tot - CAST(k AS DOUBLE) / CAST(n_tot AS DOUBLE)))
                   * 1e6) AS BIGINT) AS ks_d_u
 FROM p
+""",
+        "esql_enrich": """
+SELECT e.event_id, e.user_id, c.c_name
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id LIMIT 200
 """,
         "esql_dissect": r"""
 SELECT event_id, regexp_extract(props, '^\{"k":\ (.*?)\}$', 1) AS kval

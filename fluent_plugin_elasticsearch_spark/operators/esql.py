@@ -27,7 +27,11 @@ Supported stages (everything else raises UnsupportedQuery):
     | LIMIT n
     | DISSECT col "%{a} - %{b}"  -- literal-delimited extraction, one
                                     anchored regexp_extract per field
+    | GROK col "%{WORD:verb}"    -- classic log-pattern extraction
+                                    (WORD NOTSPACE DATA GREEDYDATA INT
+                                    NUMBER IP LOGLEVEL)
     | MV_EXPAND col              -- explode a multi-value column
+    | ENRICH policy ON key [WITH f1, ...]  -- broadcast lookup join
 
 Expressions reuse the ES SQL parser (operators/es_sql) — one grammar,
 two surfaces, which is exactly how ES shares its expression layer.
@@ -121,6 +125,47 @@ def _where_col(df: DataFrame, node):
     return _to_col(node, has_match=False)
 
 
+# the classic grok pattern subset log pipelines lean on (fluentd/
+# logstash heritage — the reference's own domain); each maps to a plain
+# regex fragment both Spark (Java regex) and DuckDB (RE2) accept
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+}
+
+
+def _grok_regex(pattern: str) -> tuple[list[str], str]:
+    """Compile an ES|QL GROK pattern ("%{WORD:verb} %{NUMBER:ms}") to an
+    anchored regex with one capture group per named field. Unnamed
+    patterns (%{WORD}) match without capturing; unknown pattern names
+    raise (the supported set is the classic log-pipeline subset)."""
+    out, fields, pos = "^", [], 0
+    for m in re.finditer(r"%\{(\w+)(?::(\w+))?\}", pattern):
+        out += re.escape(pattern[pos:m.start()])
+        pname, fname = m.group(1), m.group(2)
+        if pname not in _GROK_PATTERNS:
+            raise UnsupportedQuery(
+                f"ES|QL: GROK pattern %{{{pname}}} (supported: "
+                f"{sorted(_GROK_PATTERNS)})")
+        frag = _GROK_PATTERNS[pname]
+        if fname:
+            fields.append(fname)
+            out += f"({frag})"
+        else:
+            out += f"(?:{frag})"
+        pos = m.end()
+    out += re.escape(pattern[pos:])
+    if not fields:
+        raise UnsupportedQuery("ES|QL: GROK pattern has no named field")
+    return fields, out + "$"
+
+
 def _dissect_regex(pattern: str) -> tuple[list[str], str]:
     """Compile an ES|QL DISSECT pattern ("%{a} - %{b}") to an anchored
     regex with one capture group per field — literals escaped, fields
@@ -140,8 +185,11 @@ def _dissect_regex(pattern: str) -> tuple[list[str], str]:
     return fields, regex + "$"
 
 
-def esql_query(tables: dict[str, DataFrame], query: str) -> DataFrame:
-    """Run one ES|QL pipe against named tables."""
+def esql_query(tables: dict[str, DataFrame], query: str,
+               enrich_policies: dict[str, tuple[DataFrame, str]]
+               | None = None) -> DataFrame:
+    """Run one ES|QL pipe against named tables. ``enrich_policies``
+    maps policy name -> (lookup DataFrame, match_field) for ENRICH."""
     stages = _split_stages(_tokenize(query))
     head = stages[0]
     if _stage_name(head) != "from" or len(head) != 2 or head[1][0] != "id":
@@ -236,9 +284,45 @@ def esql_query(tables: dict[str, DataFrame], query: str) -> DataFrame:
             for i, fname in enumerate(fields, 1):
                 df = df.withColumn(
                     fname, F.regexp_extract(F.col(col), regex, i))
+        elif kind == "grok":
+            col = p.expect("id")[1]
+            pat = p.next()
+            if pat[0] != "str":
+                raise UnsupportedQuery("ES|QL: GROK needs a pattern string")
+            fields, regex = _grok_regex(pat[1])
+            for i, fname in enumerate(fields, 1):
+                df = df.withColumn(
+                    fname, F.regexp_extract(F.col(col), regex, i))
         elif kind == "mv_expand":
             col = p.expect("id")[1]
             df = df.withColumn(col, F.explode(F.col(col)))
+        elif kind == "enrich":
+            # ES|QL ENRICH policy ON key [WITH f1, f2]: the lookup join —
+            # enrich policies are SMALL reference tables by contract
+            # (ES materializes them onto every node; the Spark shape is
+            # a broadcast hash join, no shuffle of the main stream)
+            policy = p.next()[1]
+            if policy not in (enrich_policies or {}):
+                raise UnsupportedQuery(
+                    f"ES|QL: unknown enrich policy {policy!r}")
+            lookup, match_field = enrich_policies[policy]
+            if not (p.peek()[0] == "id" and p.peek()[1].lower() == "on"):
+                raise UnsupportedQuery("ES|QL: ENRICH needs ON <field>")
+            p.next()
+            key = p.expect("id")[1]
+            cols = None
+            if p.peek()[0] == "id" and p.peek()[1].lower() == "with":
+                p.next()
+                cols = [p.expect("id")[1]]
+                while p.accept("op", ","):
+                    cols.append(p.expect("id")[1])
+            side = lookup
+            if cols is not None:
+                side = side.select(match_field, *cols)
+            side = side.withColumnRenamed(match_field, "__enrich_key")
+            df = (df.join(F.broadcast(side),
+                          df[key] == F.col("__enrich_key"), "left")
+                  .drop("__enrich_key"))
         elif kind == "limit":
             t = p.next()
             if len(body) > 1 and body[0][0] != "num":

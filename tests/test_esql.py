@@ -105,7 +105,8 @@ def test_esql_raises_outside_subset(spark, docs):
     bad = [
         "FROM nope | LIMIT 1",
         "docs | LIMIT 1",
-        "FROM docs | GROK text \"%{WORD:w}\"",
+        "FROM docs | LOOKUP j ON x",
+        "FROM docs | ENRICH nope ON doc_id",
         "FROM docs | STATS COUNT(*) BY lang",
         "FROM docs | LIMIT 1.5",
         'FROM docs | WHERE SCORE() > 1',
@@ -137,3 +138,42 @@ def test_esql_dissect_and_mv_expand(spark):
         (1, "a"), (1, "b"), (2, "c")]
     with pytest.raises(UnsupportedQuery, match="no %"):
         esql_query({"logs": logs}, 'FROM logs | DISSECT line "nofields"')
+
+
+def test_esql_grok_and_enrich(spark):
+    from pyspark.sql import Row as _Row
+
+    logs = spark.createDataFrame([
+        _Row(id=1, line="GET /a 200 12.5ms from 10.0.0.1 INFO"),
+        _Row(id=2, line="POST /b 503 999ms from 192.168.1.9 ERROR"),
+    ])
+    out = esql_query({"logs": logs}, '''
+        FROM logs
+        | GROK line "%{WORD:verb} %{NOTSPACE} %{INT:status} %{NUMBER:ms}ms from %{IP:ip} %{LOGLEVEL:lvl}"
+        | KEEP id, verb, status, ms, ip, lvl | SORT id
+    ''')
+    assert [tuple(r) for r in out.collect()] == [
+        (1, "GET", "200", "12.5", "10.0.0.1", "INFO"),
+        (2, "POST", "503", "999", "192.168.1.9", "ERROR")]
+    with pytest.raises(UnsupportedQuery, match="GROK pattern %"):
+        esql_query({"logs": logs}, 'FROM logs | GROK line "%{NOPE:x}"')
+    with pytest.raises(UnsupportedQuery, match="no named field"):
+        esql_query({"logs": logs}, 'FROM logs | GROK line "%{WORD}"')
+
+    users = spark.createDataFrame([
+        _Row(uid=1, name="ada", tier="gold"),
+        _Row(uid=2, name="bob", tier="free"),
+    ])
+    ev = spark.createDataFrame([
+        _Row(eid=10, uid=1), _Row(eid=11, uid=2), _Row(eid=12, uid=9)])
+    out2 = esql_query(
+        {"ev": ev},
+        'FROM ev | ENRICH users_policy ON uid WITH tier | SORT eid',
+        enrich_policies={"users_policy": (users, "uid")})
+    assert [(r["eid"], r["tier"]) for r in out2.collect()] == [
+        (10, "gold"), (11, "free"), (12, None)]
+    # the lookup side must broadcast — no shuffle of the main stream
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(UnsupportedQuery, match="unknown enrich"):
+        esql_query({"ev": ev}, 'FROM ev | ENRICH nope ON uid')
