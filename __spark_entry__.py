@@ -1117,6 +1117,22 @@ def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
         '| KEEP event_id, kval | SORT event_id | LIMIT 100')
 
 
+def q_justext_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style boilerplate block classification (textquality.
+    justext_blocks, Pomikálek 2011): per-block stopword-density +
+    length rules with neighbor resolution. Docs are given real block
+    structure (prose | nav chrome | prose) so every class is exercised."""
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        justext_blocks,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.lit("Home About Contact"),
+                    F.col("text")).alias("text"))
+    return justext_blocks(docs)
+
+
 def q_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL ENRICH stage (operators/esql.py): the lookup join — the
     policy table broadcasts (ES materializes enrich indices per node;
@@ -2936,7 +2952,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "linear_retriever", "sparse_vector", "dsir_logratio", "dsir_resample",
     "mtermvectors", "es_sql_group", "es_sql_match", "semdedup",
     "completion_suggest", "esql_stats", "esql_pipe", "esql_dissect",
-    "esql_enrich",
+    "esql_enrich", "justext_blocks",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3040,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_pipe": q_esql_pipe,
         "esql_dissect": q_esql_dissect,
         "esql_enrich": q_esql_enrich,
+        "justext_blocks": q_justext_blocks,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -4040,6 +4057,11 @@ SELECT CAST(floor(max(abs(cs / s_tot - CAST(k AS DOUBLE) / CAST(n_tot AS DOUBLE)
                   * 1e6) AS BIGINT) AS ks_d_u
 FROM p
 """,
+        "justext_blocks": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.textquality",
+            fromlist=["justext_blocks_sql"]).justext_blocks_sql(
+            "(SELECT doc_id, text || chr(10) || 'Home About Contact' || "
+            "chr(10) || text AS text FROM documents)"),
         "esql_enrich": """
 SELECT e.event_id, e.user_id, c.c_name
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey

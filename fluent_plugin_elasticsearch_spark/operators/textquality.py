@@ -586,3 +586,114 @@ SELECT t.doc_id,
        CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed
 FROM toks t LEFT JOIN covl c USING (doc_id)
 """
+
+
+def justext_blocks(docs: DataFrame, stopwords: list[str] | None = None,
+                   len_low: int = 40, sw_high_u: int = 320_000,
+                   sw_low_u: int = 170_000, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """jusText-style per-document boilerplate block classification
+    (public recipe: Pomikálek 2011, the context-sensitive
+    paragraph classifier behind CommonCrawl text extraction): split each
+    doc into newline-delimited blocks, score each block by length and
+    stopword density, classify, then resolve borderline blocks by their
+    NEIGHBORS — navigation chrome is short/stopword-poor, prose is long/
+    stopword-rich, and a borderline block sandwiched next to prose is
+    prose.
+
+    Engine-exact contract: density is floor-quantized to ×1e6 integer
+    BEFORE any threshold compare, so classification is bit-identical to
+    the DuckDB mirror. Simplified-but-pinned rules (cls0):
+      good  if n_chars >= len_low and sw_u >= sw_high_u
+      near  if n_chars >= len_low and sw_u >= sw_low_u
+      bad   otherwise
+    Context pass: near → good iff an adjacent block (same doc, block
+    order) is good, else bad — one doc-keyed window (lag/lead), never a
+    global window.
+
+    Plan: one map-side posexplode of the per-doc block array, pure
+    column expressions for the features, one keyed window. Returns
+    (doc_id, block_idx, block_text, n_chars, sw_u, cls)."""
+    from pyspark.sql import Window
+
+    sws = stopwords if stopwords is not None else LANG_MARKERS["en"]
+    arr = F.array(*[F.lit(s) for s in sws])
+    blocks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n+"))
+        .alias("block_idx", "block_text"))
+    toks = simple_tokens_col(F.col("block_text"))
+    total = F.size(toks)
+    matched = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    feat = blocks.select(
+        "doc_id", "block_idx", "block_text",
+        F.length("block_text").alias("n_chars"),
+        F.when(total > 0, F.floor(matched * F.lit(1_000_000) / total)
+               .cast("long")).otherwise(F.lit(0)).alias("sw_u"))
+    cls0 = (F.when((F.col("n_chars") >= len_low)
+                   & (F.col("sw_u") >= sw_high_u), F.lit("good"))
+            .when((F.col("n_chars") >= len_low)
+                  & (F.col("sw_u") >= sw_low_u), F.lit("near"))
+            .otherwise(F.lit("bad")))
+    feat = feat.withColumn("cls0", cls0)
+    w = Window.partitionBy("doc_id").orderBy("block_idx")
+    near_good = (F.lag("cls0").over(w) == "good") | (
+        F.lead("cls0").over(w) == "good")
+    cls = (F.when(F.col("cls0") == "near",
+                  F.when(F.coalesce(near_good, F.lit(False)),
+                         F.lit("good")).otherwise(F.lit("bad")))
+           .otherwise(F.col("cls0")))
+    return (feat.withColumn("cls", cls).drop("cls0")
+            .orderBy("doc_id", "block_idx"))
+
+
+def justext_blocks_sql(table: str, stopwords: list[str] | None = None,
+                       len_low: int = 40, sw_high_u: int = 320_000,
+                       sw_low_u: int = 170_000, id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """DuckDB mirror of justext_blocks — same split, same quantized
+    density, same neighbor resolution."""
+    sws = stopwords if stopwords is not None else LANG_MARKERS["en"]
+    lits = ", ".join("'" + s.replace("'", "''") + "'" for s in sws)
+    toks = ("list_filter(regexp_split_to_array(lower(block_text), "
+            "'[^a-z0-9]+'), t -> t <> '')")
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, i - 1 AS block_idx, arr[i] AS block_text
+  FROM (SELECT {id_col} AS doc_id,
+               regexp_split_to_array({text_col}, '\\n+') AS arr,
+               unnest(generate_series(1,
+                 len(regexp_split_to_array({text_col}, '\\n+')))) AS i
+        FROM {table})
+),
+feat AS (
+  SELECT doc_id, block_idx, block_text,
+         length(block_text) AS n_chars,
+         CASE WHEN len({toks}) > 0
+              THEN CAST(floor(len(list_filter({toks},
+                     t -> t IN ({lits}))) * 1000000.0 / len({toks}))
+                   AS BIGINT)
+              ELSE 0 END AS sw_u
+  FROM blocks
+),
+c0 AS (
+  SELECT *, CASE WHEN n_chars >= {len_low} AND sw_u >= {sw_high_u}
+                 THEN 'good'
+                 WHEN n_chars >= {len_low} AND sw_u >= {sw_low_u}
+                 THEN 'near'
+                 ELSE 'bad' END AS cls0
+  FROM feat
+),
+ctx AS (
+  SELECT *,
+         lag(cls0) OVER (PARTITION BY doc_id ORDER BY block_idx) AS pc,
+         lead(cls0) OVER (PARTITION BY doc_id ORDER BY block_idx) AS nc
+  FROM c0
+)
+SELECT doc_id, block_idx, block_text, n_chars, sw_u,
+       CASE WHEN cls0 = 'near'
+            THEN CASE WHEN coalesce(pc = 'good' OR nc = 'good', FALSE)
+                      THEN 'good' ELSE 'bad' END
+            ELSE cls0 END AS cls
+FROM ctx ORDER BY doc_id, block_idx
+"""

@@ -293,3 +293,30 @@ def test_analyze_synonyms_and_shingles(spark):
     want = dict(con.execute(
         f"SELECT doc_id, {toks} FROM t").fetchall())
     assert {k: list(v) for k, v in want.items()} == sh
+
+
+def test_justext_blocks_classification_and_context(spark):
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        justext_blocks,
+    )
+
+    prose = ("the quick brown fox is in the park and it is a fine day "
+             "for all of the dogs that run with it")          # dense, long
+    nav = "Home About Contact Privacy Terms Careers Sitemap"  # 0 stopwords
+    near = ("colorless green ideas sleep furiously with the wind in "
+            + ", ".join(["x"] * 6))        # 3/15 stopwords → near band
+    d = spark.createDataFrame([
+        Row(doc_id=0, text="\n".join([prose, near, nav])),
+        Row(doc_id=1, text="\n".join([nav, near, nav])),
+        Row(doc_id=2, text="short\n" + prose),
+    ])
+    out = {(r["doc_id"], r["block_idx"]): r["cls"]
+           for r in justext_blocks(d).collect()}
+    assert out[(0, 0)] == "good"       # dense prose
+    assert out[(0, 1)] == "good"       # near, rescued by the good neighbor
+    assert out[(0, 2)] == "bad"        # nav chrome
+    assert out[(1, 1)] == "bad"        # near with only bad neighbors
+    assert out[(2, 0)] == "bad"        # too short
+    assert out[(2, 1)] == "good"
