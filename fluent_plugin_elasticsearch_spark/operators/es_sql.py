@@ -59,7 +59,11 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "having", "order",
 _AGGS = {"count", "sum", "avg", "min", "max"}
 _FUNCS = {"abs": F.abs, "lower": F.lower, "upper": F.upper,
           "length": F.length, "round": F.round, "floor": F.floor,
-          "ceil": F.ceil}
+          "ceil": F.ceil, "concat": F.concat, "coalesce": F.coalesce,
+          "trim": F.trim, "starts_with": F.startswith}
+# special-lowered (not a 1:1 pyspark function): SUBSTRING (1-based with
+# literal bounds), CASE (ES|QL's function-style cond/value chain)
+_SPECIAL_FUNCS = {"substring", "case"}
 
 
 def _tokenize(sql: str) -> list[tuple[str, str]]:
@@ -244,7 +248,7 @@ class _Parser:
                     arg = self.expr()
                     self.expect("op", ")")
                     return ("agg", low, arg, distinct)
-                if low in _FUNCS:
+                if low in _FUNCS or low in _SPECIAL_FUNCS:
                     args = [self.expr()]
                     while self.accept("op", ","):
                         args.append(self.expr())
@@ -359,6 +363,34 @@ def _to_col(node, *, has_match: bool, allow_agg: bool = False) -> Column:
         e = _to_col(node[1], has_match=has_match)
         return e.isNotNull() if node[2] else e.isNull()
     if kind == "func":
+        if node[1] == "substring":
+            # ES|QL SUBSTRING(str, start[, length]) — 1-based, literal
+            # bounds (Spark's substring takes ints, not columns)
+            args = node[2]
+            if len(args) not in (2, 3) or any(
+                    a[0] != "lit" or not isinstance(a[1], int)
+                    for a in args[1:]):
+                raise UnsupportedQuery(
+                    "SUBSTRING needs (expr, int-literal start[, length])")
+            s = _to_col(args[0], has_match=has_match, allow_agg=allow_agg)
+            start = args[1][1]
+            ln = args[2][1] if len(args) == 3 else (1 << 30)
+            return F.substring(s, start, ln)
+        if node[1] == "case":
+            # ES|QL CASE(cond1, val1[, cond2, val2 ...][, default])
+            args = [_to_col(a, has_match=has_match, allow_agg=allow_agg)
+                    for a in node[2]]
+            if len(args) < 2:
+                raise UnsupportedQuery("CASE needs cond, value pairs")
+            out = None
+            i = 0
+            while i + 1 < len(args):
+                out = (F.when(args[i], args[i + 1]) if out is None
+                       else out.when(args[i], args[i + 1]))
+                i += 2
+            if i < len(args):  # trailing default
+                out = out.otherwise(args[i])
+            return out
         fn = _FUNCS[node[1]]
         return fn(*[_to_col(a, has_match=has_match, allow_agg=allow_agg)
                     for a in node[2]])

@@ -177,3 +177,29 @@ def test_esql_grok_and_enrich(spark):
     assert "BroadcastHashJoin" in plan
     with pytest.raises(UnsupportedQuery, match="unknown enrich"):
         esql_query({"ev": ev}, 'FROM ev | ENRICH nope ON uid')
+
+
+def test_esql_scalar_functions_and_case(spark, docs, duck):
+    out = esql_query({"docs": docs}, '''
+        FROM docs
+        | EVAL head = SUBSTRING(text, 1, 5),
+               tag = CASE(n_chars > 40, "long", n_chars > 30, "mid", "tiny"),
+               full = CONCAT(lang, "-", head)
+        | KEEP doc_id, head, tag, full | SORT doc_id
+    ''')
+    _same_ordered(out, duck, """
+        SELECT doc_id, substring(text, 1, 5) AS head,
+               CASE WHEN n_chars > 40 THEN 'long'
+                    WHEN n_chars > 30 THEN 'mid' ELSE 'tiny' END AS tag,
+               lang || '-' || substring(text, 1, 5) AS full
+        FROM docs ORDER BY doc_id
+    """)
+    out2 = esql_query({"docs": docs}, '''
+        FROM docs | WHERE STARTS_WITH(text, "the") | KEEP doc_id | SORT doc_id
+    ''')
+    assert [r["doc_id"] for r in out2.collect()] == [0, 3]
+    with pytest.raises(UnsupportedQuery, match="SUBSTRING"):
+        esql_query({"docs": docs},
+                   "FROM docs | EVAL x = SUBSTRING(text, n_chars)")
+    with pytest.raises(UnsupportedQuery, match="CASE"):
+        esql_query({"docs": docs}, "FROM docs | EVAL x = CASE(doc_id)")
