@@ -2143,6 +2143,22 @@ def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return completion_suggest(sugg, "s", size=10, skip_duplicates=True)
 
 
+def q_termvectors_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors with positions=true (operators/apis.termvectors):
+    per-term 1-based token positions inside the doc, ascending."""
+    from fluent_plugin_elasticsearch_spark.operators import apis
+
+    out = apis.termvectors(_read(spark, sf_dir, "documents"), doc_id=7,
+                           positions=True)
+    # positions joined to a string for the driver comparator (array
+    # normalization differs between result transports; the operator
+    # itself returns the real array<int>)
+    return out.select(
+        "term", "term_freq", "doc_freq", "ttf",
+        F.array_join(F.col("positions").cast("array<string>"), ",")
+        .alias("positions"))
+
+
 def q_mtermvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _mtermvectors: several docs' term stats in ONE corpus pass
     (operators/apis.mtermvectors)."""
@@ -2952,7 +2968,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "linear_retriever", "sparse_vector", "dsir_logratio", "dsir_resample",
     "mtermvectors", "es_sql_group", "es_sql_match", "semdedup",
     "completion_suggest", "esql_stats", "esql_pipe", "esql_dissect",
-    "esql_enrich", "justext_blocks",
+    "esql_enrich", "justext_blocks", "termvectors_positions",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3135,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": q_pq_ann_topk,
         "termvectors": q_termvectors,
         "mtermvectors": q_mtermvectors,
+        "termvectors_positions": q_termvectors_positions,
         "completion_suggest": q_completion_suggest,
         "explain_score": q_explain_score,
         "sorted_scan_desc": q_sorted_scan_desc,
@@ -3545,6 +3562,20 @@ best AS (
 )
 SELECT input, weight, doc_id FROM best WHERE rn = 1
 ORDER BY weight DESC, input ASC, doc_id ASC LIMIT 10
+""",
+        "termvectors_positions": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+base AS (SELECT doc_id, unnest(tokens) AS term FROM tk),
+p AS (SELECT tokens[i] AS term, i
+      FROM (SELECT tokens, unnest(generate_series(1, len(tokens))) AS i
+            FROM tk WHERE doc_id = 7)),
+pos AS (SELECT term, count(*) AS term_freq,
+               array_to_string(list(i ORDER BY i), ',') AS positions
+        FROM p GROUP BY term),
+corpus AS (SELECT term, count(DISTINCT doc_id) AS doc_freq,
+                  count(*) AS ttf FROM base GROUP BY term)
+SELECT term, term_freq, doc_freq, ttf, positions
+FROM pos JOIN corpus USING (term) ORDER BY term
 """,
         "mtermvectors": f"""
 WITH base AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),

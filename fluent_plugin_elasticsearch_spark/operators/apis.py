@@ -31,24 +31,41 @@ def analyze(spark, text: str, tokenizer: str = "simple") -> DataFrame:
 
 
 def termvectors(docs: DataFrame, doc_id: int, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                positions: bool = False) -> DataFrame:
     """ES _termvectors: per-term stats for ONE document — term_freq plus
     corpus-level doc_freq and ttf (total term frequency). One corpus pass
     for the global stats, filter-pushdown for the doc row.
-    Returns (term, term_freq, doc_freq, ttf), term asc."""
+    ``positions=True`` adds the ES positions payload: the term's 1-based
+    token positions within the doc, ascending (posexplode + an ordered
+    collect bounded by the single doc's length).
+    Returns (term, term_freq, doc_freq, ttf[, positions]), term asc."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(simple_tokens_col(F.col(text_col))).alias("term"),
     )
-    doc_tf = (
-        base.filter(F.col("doc_id") == doc_id)
-        .groupBy("term").agg(F.count(F.lit(1)).alias("term_freq"))
-    )
+    if positions:
+        doc_tf = (
+            docs.filter(F.col(id_col) == doc_id)
+            .select(F.posexplode(simple_tokens_col(F.col(text_col)))
+                    .alias("pos", "term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("term_freq"),
+                 F.sort_array(F.collect_list(F.col("pos") + 1))
+                 .alias("positions"))
+        )
+    else:
+        doc_tf = (
+            base.filter(F.col("doc_id") == doc_id)
+            .groupBy("term").agg(F.count(F.lit(1)).alias("term_freq"))
+        )
     corpus = base.groupBy("term").agg(
         F.countDistinct("doc_id").alias("doc_freq"),
         F.count(F.lit(1)).alias("ttf"),
     )
-    return doc_tf.join(corpus, "term").orderBy("term")
+    cols = ["term", "term_freq", "doc_freq", "ttf"] + (
+        ["positions"] if positions else [])
+    return doc_tf.join(corpus, "term").select(*cols).orderBy("term")
 
 
 def completion_suggest(suggestions: DataFrame, prefix: str, size: int = 5,

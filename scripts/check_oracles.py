@@ -44,6 +44,10 @@ def row_order_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def _norm(v) -> str:
+    if hasattr(v, "tolist"):  # numpy scalar OR array from pandas itertuples
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_norm(x) for x in v) + "]"
     if hasattr(v, "item"):  # numpy scalar from pandas itertuples
         v = v.item()
     if v is None or v != v:  # None or NaN

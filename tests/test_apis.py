@@ -289,3 +289,21 @@ def test_async_search_submit_get_delete(spark):
         a.get(bad, wait_for_completion_timeout=60)
     assert a.status(bad)["failed"] is True
     a.shutdown()
+
+
+def test_termvectors_positions(spark, docs):
+    from fluent_plugin_elasticsearch_spark.operators import apis
+
+    out = {r["term"]: (r["term_freq"], r["positions"]) for r in
+           apis.termvectors(docs, doc_id=0, positions=True).collect()}
+    # doc 0: "the cat sat on the mat"
+    assert out["the"] == (2, [1, 5])
+    assert out["cat"] == (1, [2])
+    assert out["mat"] == (1, [6])
+    assert all(p == sorted(p) for _, p in out.values())
+    # stats columns unchanged vs the positions-less form
+    plain = {r["term"]: (r["term_freq"], r["doc_freq"], r["ttf"]) for r in
+             apis.termvectors(docs, doc_id=0).collect()}
+    got = {r["term"]: (r["term_freq"], r["doc_freq"], r["ttf"]) for r in
+           apis.termvectors(docs, doc_id=0, positions=True).collect()}
+    assert got == plain
