@@ -1117,6 +1117,25 @@ def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
         '| KEEP event_id, kval | SORT event_id | LIMIT 100')
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain keys (textquality.
+    url_normalize): tracking params, default ports, fragments, and
+    trailing slashes stripped; co.uk-style second-level suffixes
+    recognized. URLs synthesized deterministically from doc columns."""
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        url_normalize,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("HTTPS://WWW."), F.upper("source"),
+                 F.lit(".Example.co.uk:443/docs/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("/?utm_source=feed&lang="), F.col("lang"),
+                 F.lit("#top")).alias("url"))
+    return url_normalize(docs)
+
+
 def q_justext_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jusText-style boilerplate block classification (textquality.
     justext_blocks, Pomikálek 2011): per-block stopword-density +
@@ -2969,6 +2988,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "mtermvectors", "es_sql_group", "es_sql_match", "semdedup",
     "completion_suggest", "esql_stats", "esql_pipe", "esql_dissect",
     "esql_enrich", "justext_blocks", "termvectors_positions",
+    "url_normalize",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3073,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_dissect": q_esql_dissect,
         "esql_enrich": q_esql_enrich,
         "justext_blocks": q_justext_blocks,
+        "url_normalize": q_url_normalize,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -4088,6 +4109,13 @@ SELECT CAST(floor(max(abs(cs / s_tot - CAST(k AS DOUBLE) / CAST(n_tot AS DOUBLE)
                   * 1e6) AS BIGINT) AS ks_d_u
 FROM p
 """,
+        "url_normalize": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.textquality",
+            fromlist=["url_normalize_sql"]).url_normalize_sql(
+            "(SELECT doc_id, 'HTTPS://WWW.' || upper(source) || "
+            "'.Example.co.uk:443/docs/' || CAST(doc_id AS VARCHAR) || "
+            "'/?utm_source=feed&lang=' || lang || '#top' AS url "
+            "FROM documents)"),
         "justext_blocks": __import__(
             "fluent_plugin_elasticsearch_spark.operators.textquality",
             fromlist=["justext_blocks_sql"]).justext_blocks_sql(

@@ -697,3 +697,73 @@ SELECT doc_id, block_idx, block_text, n_chars, sw_u,
             ELSE cls0 END AS cls
 FROM ctx ORDER BY doc_id, block_idx
 """
+
+
+# two-level public suffixes the registered-domain heuristic recognizes
+# (the common ccTLD second-level registries; a full PSL is data, not code)
+_TWO_LEVEL_SUFFIXES = ["ac.uk", "co.in", "co.jp", "co.kr", "co.uk",
+                       "com.au", "com.br", "org.uk"]
+_TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+
+
+def canonical_url_col(u: Column) -> Column:
+    """URL canonicalization for dedup keys (the CCNet/web-pipeline
+    recipe): lowercase scheme+host, strip default :80/:443 ports, drop
+    the fragment, drop utm_*/fbclid/gclid tracking params, trim dangling
+    ?/& and trailing slashes. Pure column expressions — a regexp chain
+    in whole-stage codegen, one pass over the string, no UDF."""
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = u.substr(F.length(head) + 1, F.length(u))
+    head = F.regexp_replace(F.lower(head), r":(80|443)$", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, _TRACKING_PARAM_RE, "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    return F.regexp_replace(F.concat(head, rest), r"/+$", "")
+
+
+def registered_domain_col(u: Column) -> Column:
+    """Registered domain (the pay-level domain web pipelines group and
+    rate-limit by): the host's last two labels, or last three when the
+    two-label tail is a known second-level public suffix (co.uk form)."""
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    sfx = F.array(*[F.lit(s) for s in _TWO_LEVEL_SUFFIXES])
+    return F.when(F.array_contains(sfx, last2)
+                  & (last3 != F.lit("")), last3).otherwise(last2)
+
+
+def url_normalize(docs: DataFrame, url_col: str = "url",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_url, domain) — the URL dedup/grouping keys."""
+    u = F.col(url_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        canonical_url_col(u).alias("canonical_url"),
+        registered_domain_col(u).alias("domain"))
+
+
+def url_normalize_sql(table: str, url_expr: str = "url",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB mirror of url_normalize — same regex chain ('g' flags:
+    DuckDB replaces first-match by default, Spark replaces all)."""
+    sfx = ", ".join(f"'{s}'" for s in _TWO_LEVEL_SUFFIXES)
+    head = (f"regexp_extract({url_expr}, "
+            "'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)")
+    rest = f"substring({url_expr}, length({head}) + 1)"
+    head_c = f"regexp_replace(lower({head}), ':(80|443)$', '')"
+    rest_c = (f"regexp_replace(regexp_replace(regexp_replace({rest}, "
+              f"'#.*$', '', 'g'), '{_TRACKING_PARAM_RE}', '', 'g'), "
+              "'[?&]+$', '', 'g')")
+    host = (f"lower(regexp_extract({url_expr}, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))")
+    return f"""
+SELECT {id_col} AS doc_id,
+       regexp_replace({head_c} || {rest_c}, '/+$', '', 'g') AS canonical_url,
+       CASE WHEN regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)
+                 IN ({sfx})
+             AND regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+            THEN regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+            ELSE regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) END AS domain
+FROM {table}
+"""

@@ -320,3 +320,37 @@ def test_justext_blocks_classification_and_context(spark):
     assert out[(1, 1)] == "bad"        # near with only bad neighbors
     assert out[(2, 0)] == "bad"        # too short
     assert out[(2, 1)] == "good"
+
+
+def test_url_canonicalization_and_domain(spark):
+    import duckdb
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        url_normalize,
+        url_normalize_sql,
+    )
+
+    urls = [
+        "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&q=1#frag",
+        "http://sub.shop.co.uk:80/a/b/",
+        "https://example.com/?utm_campaign=a&fbclid=zz",
+        "https://api.example.com.au/v1?q=2&utm_medium=m&r=3",
+        "http://plain.org",
+    ]
+    d = spark.createDataFrame(
+        [Row(doc_id=i, url=u) for i, u in enumerate(urls)])
+    got = {r["doc_id"]: (r["canonical_url"], r["domain"])
+           for r in url_normalize(d).collect()}
+    assert got[0] == ("https://www.example.com/Path/?q=1", "example.com")
+    assert got[1] == ("http://sub.shop.co.uk/a/b", "shop.co.uk")
+    assert got[2] == ("https://example.com", "example.com")
+    assert got[3] == ("https://api.example.com.au/v1?q=2&r=3",
+                      "example.com.au")
+    assert got[4] == ("http://plain.org", "plain.org")
+    # DuckDB mirror bit-identical
+    con = duckdb.connect()
+    con.register("t", d.toPandas())
+    want = {r[0]: (r[1], r[2])
+            for r in con.sql(url_normalize_sql("t")).fetchall()}
+    assert want == got
