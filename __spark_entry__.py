@@ -1891,6 +1891,29 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(docs, make_query_registry(spark, _PERC_QUERIES))
 
 
+_PERC_RANGE_QUERIES = [
+    (1, ["merge", "data"], 1, "n_chars", 200.0, None),
+    (2, ["scan"], 1, "n_chars", None, 220.0),
+    (3, ["table"], 1, None, None, None),
+    (4, ["key", "row"], 2, "doc_id", 50.0, 300.0),
+]
+
+
+def q_percolate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator with filter context (operators/percolate.
+    percolate_ranged): match(terms, msm) AND a per-query numeric range,
+    evaluated after the reverse term join against a doc-side field map
+    — heterogeneous range fields in ONE plan."""
+    from fluent_plugin_elasticsearch_spark.operators.percolate import (
+        make_ranged_registry,
+        percolate_ranged,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    reg = make_ranged_registry(spark, _PERC_RANGE_QUERIES)
+    return percolate_ranged(docs, reg, ["n_chars", "doc_id"])
+
+
 def q_es_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant_text: tokens over-represented in docs mentioning
     'spark' vs the whole corpus (per-doc rates, JLH, min_doc_count 3)."""
@@ -2988,7 +3011,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "mtermvectors", "es_sql_group", "es_sql_match", "semdedup",
     "completion_suggest", "esql_stats", "esql_pipe", "esql_dissect",
     "esql_enrich", "justext_blocks", "termvectors_positions",
-    "url_normalize",
+    "url_normalize", "percolate_range",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3094,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_enrich": q_esql_enrich,
         "justext_blocks": q_justext_blocks,
         "url_normalize": q_url_normalize,
+        "percolate_range": q_percolate_range,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -4109,6 +4133,10 @@ SELECT CAST(floor(max(abs(cs / s_tot - CAST(k AS DOUBLE) / CAST(n_tot AS DOUBLE)
                   * 1e6) AS BIGINT) AS ks_d_u
 FROM p
 """,
+        "percolate_range": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.percolate",
+            fromlist=["percolate_ranged_sql"]).percolate_ranged_sql(
+            "documents", _PERC_RANGE_QUERIES),
         "url_normalize": __import__(
             "fluent_plugin_elasticsearch_spark.operators.textquality",
             fromlist=["url_normalize_sql"]).url_normalize_sql(

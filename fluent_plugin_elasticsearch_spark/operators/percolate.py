@@ -141,3 +141,85 @@ def percolate_stream(stream_docs: DataFrame, registry: DataFrame,
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def make_ranged_registry(spark, queries: list[tuple]) -> DataFrame:
+    """Registry rows (query_id, terms, msm, range_field, gte, lte) —
+    the percolator bool form: match(terms, msm) AND an optional numeric
+    range filter. None range_field = no filter; None gte/lte = open."""
+    rows = []
+    for q in queries:
+        qid, terms, msm, rf, gte, lte = q
+        rows.append((int(qid), list(terms), int(msm), rf,
+                     None if gte is None else float(gte),
+                     None if lte is None else float(lte)))
+    return spark.createDataFrame(
+        rows, "query_id long, terms array<string>, msm int, "
+              "range_field string, gte double, lte double")
+
+
+def percolate_ranged(docs: DataFrame, registry: DataFrame,
+                     numeric_fields: list[str],
+                     id_col: str = "doc_id", text_col: str = "text",
+                     small_registry: bool = True,
+                     ordered: bool = True) -> DataFrame:
+    """ES percolator with FILTER CONTEXT: each stored query is
+    match(terms, msm) AND an optional numeric range over one of the
+    declared ``numeric_fields`` (the alerting shape: "message contains X
+    AND value > 5"). Same reverse term join as percolate(); the range is
+    evaluated AFTER the match join against a doc-side field→value MAP
+    built once from the declared fields — heterogeneous per-query range
+    fields stay one plan, and the per-query range spec is a broadcast
+    (registries are small by contract). Open bounds are NULL; a query
+    with NULL range_field behaves exactly like percolate()."""
+    pairs = _percolate_compiled(
+        docs, compile_registry(registry.select("query_id", "terms", "msm")),
+        id_col, text_col, small_registry, ordered=False)
+    specs = registry.select("query_id", "range_field", "gte", "lte")
+    dmap = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.create_map(*[x for f in numeric_fields
+                       for x in (F.lit(f), F.col(f).cast("double"))])
+        .alias("__nf"))
+    v = F.element_at("__nf", F.col("range_field"))
+    out = (pairs.join(F.broadcast(specs), "query_id")
+           .join(dmap, "doc_id")
+           .filter(F.col("range_field").isNull()
+                   | ((F.col("gte").isNull() | (v >= F.col("gte")))
+                      & (F.col("lte").isNull() | (v <= F.col("lte")))))
+           .select("doc_id", "query_id", "n_matched"))
+    return out.orderBy("doc_id", "query_id") if ordered else out
+
+
+def percolate_ranged_sql(table: str, queries: list[tuple],
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """DuckDB mirror of percolate_ranged, registry inlined as VALUES."""
+    lit = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    num = lambda x: "NULL" if x is None else repr(float(x))  # noqa: E731
+    rows = ", ".join(
+        f"({qid}, {lit(t)}, {msm}, "
+        f"{'NULL' if rf is None else lit(rf)}, {num(gte)}, {num(lte)})"
+        for qid, terms, msm, rf, gte, lte in queries
+        for t in sorted(set(terms)))
+    fields = sorted({rf for _, _, _, rf, _, _ in queries if rf is not None})
+    case = ("CASE r.rf " + " ".join(
+        f"WHEN {lit(f)} THEN CAST(d.{f} AS DOUBLE)" for f in fields)
+        + " END") if fields else "NULL"
+    return f"""
+WITH reg(query_id, term, msm, rf, gte, lte) AS (VALUES {rows}),
+doc_terms AS (
+  SELECT src.*, t.term
+  FROM {table} src, unnest(list_distinct(
+    list_filter(regexp_split_to_array(lower(src.{text_col}), '[^a-z0-9]+'),
+                t -> t <> ''))) AS t(term)
+)
+SELECT d.{id_col} AS doc_id, r.query_id, count(*) AS n_matched
+FROM doc_terms d JOIN reg r USING (term)
+WHERE r.rf IS NULL
+   OR ((r.gte IS NULL OR {case} >= r.gte)
+       AND (r.lte IS NULL OR {case} <= r.lte))
+GROUP BY d.{id_col}, r.query_id, r.msm
+HAVING count(*) >= r.msm
+ORDER BY doc_id, query_id
+"""

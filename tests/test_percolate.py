@@ -128,3 +128,37 @@ def test_percolate_query_clause(spark):
     with pytest.raises(UnsupportedQuery, match="registry"):
         compile_query(reg.drop("msm"), {"query": {"percolate": {
             "document": {"text": "alpha"}}}})
+
+
+def test_percolate_ranged_filter_context(spark):
+    import duckdb
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.percolate import (
+        make_ranged_registry,
+        percolate_ranged,
+        percolate_ranged_sql,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="error disk full", value=9.0),
+        Row(doc_id=1, text="error disk full", value=2.0),
+        Row(doc_id=2, text="ok all good", value=99.0),
+        Row(doc_id=3, text="error cpu hot", value=5.0),
+    ])
+    qs = [
+        (1, ["error"], 1, "value", 5.0, None),       # error AND value>=5
+        (2, ["disk", "full"], 2, None, None, None),  # plain match
+        (3, ["error"], 1, "value", None, 3.0),       # error AND value<=3
+        (4, ["ok"], 1, "doc_id", 0.0, 1.0),          # never (doc 2 is id 2)
+    ]
+    reg = make_ranged_registry(spark, qs)
+    got = [(r["doc_id"], r["query_id"]) for r in
+           percolate_ranged(docs, reg, ["value", "doc_id"]).collect()]
+    assert got == [(0, 1), (0, 2), (1, 2), (1, 3), (3, 1)]
+    # DuckDB mirror identical
+    con = duckdb.connect()
+    con.register("t", docs.toPandas())
+    want = [(r[0], r[1]) for r in
+            con.sql(percolate_ranged_sql("t", qs)).fetchall()]
+    assert want == got
