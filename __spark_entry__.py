@@ -1675,6 +1675,21 @@ def q_es_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "v_max": {"max": {"field": "value_u"}}}}}})["s"]
 
 
+def q_es_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES random_sampler agg (8.2): probabilistic md5-deterministic
+    corpus sample, doc_count scaled back by 1/p; sub-aggs restricted to
+    scale-invariant metrics (plans/aggs.py raises on sum-like)."""
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_u", F.floor(F.col("value") * 1e2).cast("long"))
+    return compile_aggs(ev, {"aggs": {"s": {
+        "random_sampler": {"probability": 0.35, "seed": 7,
+                           "id_field": "event_id"},
+        "aggs": {"v_min": {"min": {"field": "value_u"}},
+                 "v_max": {"max": {"field": "value_u"}}}}}})["s"]
+
+
 def q_count_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _count API: count-only aggregate of a compiled query body
     (sources/scan.count_query — column-pruned count plan)."""
@@ -3011,7 +3026,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "mtermvectors", "es_sql_group", "es_sql_match", "semdedup",
     "completion_suggest", "esql_stats", "esql_pipe", "esql_dissect",
     "esql_enrich", "justext_blocks", "termvectors_positions",
-    "url_normalize", "percolate_range",
+    "url_normalize", "percolate_range", "es_random_sampler",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3118,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "justext_blocks": q_justext_blocks,
         "url_normalize": q_url_normalize,
         "percolate_range": q_percolate_range,
+        "es_random_sampler": q_es_random_sampler,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -3418,6 +3434,16 @@ WITH sample AS (
 )
 SELECT count(*) AS doc_count, CAST(sum(value_u) AS BIGINT) AS v_sum,
        max(value_u) AS v_max
+FROM sample
+""",
+        "es_random_sampler": f"""
+WITH sample AS (
+  SELECT CAST(floor(value * 1e2) AS BIGINT) AS value_u FROM events
+  WHERE CAST('0x' || substring(md5('7|' || CAST(event_id AS VARCHAR)),
+             1, 15) AS UBIGINT) < {int(0.35 * float(1 << 60))}
+)
+SELECT CAST(floor(count(*) / 0.35) AS BIGINT) AS doc_count,
+       min(value_u) AS v_min, max(value_u) AS v_max
 FROM sample
 """,
         "count_api": """

@@ -701,6 +701,39 @@ def compile_aggs(docs: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                 .orderBy(F.asc("__smp")).limit(n).drop("__smp", "__rank"))
             out[name] = sampled.agg(
                 F.count(F.lit(1)).alias("doc_count"), *_metric_cols(sub or {}))
+        elif kind == "random_sampler":
+            # ES random_sampler agg (8.2, x-pack): probabilistic sample of
+            # the corpus with results scaled back — the speed-vs-accuracy
+            # knob for huge aggs. Deterministic variant: keep a doc iff
+            # the md5(seed|id) 60-bit uniform falls below p·2^60 (the
+            # stratified_sample idiom), so the SAME docs are sampled on
+            # any engine/partitioning. doc_count is the scaled estimate
+            # floor(n_sampled / p). Sub-aggs must be scale-INVARIANT
+            # (avg/min/max/percentiles...); count-proportional sub-aggs
+            # (sum, value_count, cardinality) would need ES's internal
+            # scaling and raise loudly instead of returning unscaled
+            # numbers.
+            p = float(inner["probability"])
+            if not 0.0 < p <= 1.0:
+                raise UnsupportedQuery("random_sampler probability in (0,1]")
+            seed = int(inner.get("seed", 0))
+            id_c = inner.get("id_field", "doc_id")
+            scale_dependent = {"sum", "value_count", "cardinality"}
+            for sname, sspec in (sub or {}).items():
+                kinds = set(sspec) & scale_dependent
+                if kinds:
+                    raise UnsupportedQuery(
+                        f"random_sampler sub-agg {sname!r}: {sorted(kinds)} "
+                        "are count-proportional (need scaling); use "
+                        "scale-invariant metrics")
+            thr = int(p * float(1 << 60))
+            u = F.conv(F.substring(F.md5(F.concat(
+                F.lit(f"{seed}|"), F.col(id_c).cast("string"))), 1, 15),
+                16, 10).cast("decimal(20,0)")
+            sampled = base.filter(u < F.lit(thr).cast("decimal(20,0)"))
+            out[name] = sampled.agg(
+                F.floor(F.count(F.lit(1)) / F.lit(p)).cast("long")
+                .alias("doc_count"), *_metric_cols(sub or {}))
         elif kind in ("range", "date_range"):
             out[name] = _range_agg(base, kind, inner, sub)
         elif kind == "geo_distance":

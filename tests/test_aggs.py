@@ -1239,3 +1239,42 @@ def test_bucket_count_ks_test(events):
                                      "calendar_interval": "day"}},
             "ks": {"bucket_count_ks_test": {"buckets_path": "d>_count",
                                             "alternatives": ["less"]}}}})
+
+
+def test_random_sampler_deterministic_and_raises(spark):
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.plans.aggs import compile_aggs
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import (
+        UnsupportedQuery,
+    )
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, v=i * 10) for i in range(200)])
+    spec = {"aggs": {"s": {
+        "random_sampler": {"probability": 0.4, "seed": 3},
+        "aggs": {"v_min": {"min": {"field": "v"}},
+                 "v_max": {"max": {"field": "v"}}}}}}
+    row = compile_aggs(d, spec)["s"].collect()[0]
+    # brute force the md5 selection
+    thr = int(0.4 * float(1 << 60))
+    picked = [i for i in range(200)
+              if int(hashlib.md5(f"3|{i}".encode()).hexdigest()[:15], 16)
+              < thr]
+    import math
+
+    assert row["doc_count"] == math.floor(len(picked) / 0.4)
+    assert row["v_min"] == min(picked) * 10
+    assert row["v_max"] == max(picked) * 10
+    # identical on any partitioning
+    row2 = compile_aggs(d.repartition(13), spec)["s"].collect()[0]
+    assert tuple(row) == tuple(row2)
+    with pytest.raises(UnsupportedQuery, match="count-proportional"):
+        compile_aggs(d, {"aggs": {"s": {
+            "random_sampler": {"probability": 0.4},
+            "aggs": {"t": {"sum": {"field": "v"}}}}}})
+    with pytest.raises(UnsupportedQuery, match="probability"):
+        compile_aggs(d, {"aggs": {"s": {
+            "random_sampler": {"probability": 1.5}}}})
