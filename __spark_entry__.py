@@ -186,6 +186,17 @@ def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), ["spark", "merge"], "lang", k=10)
 
 
+def q_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing with inner_hits: the top-k collapse groups
+    expanded to each group's top inner_size hits (relevance.
+    collapse_inner_hits) — the '3 results per domain' SERP shape."""
+    from fluent_plugin_elasticsearch_spark.operators import relevance as rel
+
+    return rel.collapse_inner_hits(
+        _read(spark, sf_dir, "documents"), ["spark", "merge"], "lang",
+        inner_size=3, k=4)
+
+
 def q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_phrase_prefix: adjacency with the last term as a prefix
     (search-as-you-type)."""
@@ -3027,6 +3038,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "completion_suggest", "esql_stats", "esql_pipe", "esql_dissect",
     "esql_enrich", "justext_blocks", "termvectors_positions",
     "url_normalize", "percolate_range", "es_random_sampler",
+    "collapse_inner_hits",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3134,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "percolate_range": q_percolate_range,
         "es_random_sampler": q_es_random_sampler,
+        "collapse_inner_hits": q_collapse_inner_hits,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -3333,6 +3346,8 @@ def oracle_sql() -> dict[str, str]:
             "documents", ["spark", "window"], "n_chars", factor=0.01,
             modifier="log1p", k=20),
         "collapse": _rel.collapse_sql("documents", ["spark", "merge"], "lang", k=10),
+        "collapse_inner_hits": _rel.collapse_inner_hits_sql(
+            "documents", ["spark", "merge"], "lang", inner_size=3, k=4),
         "match_phrase_prefix": _rel.match_phrase_prefix_sql(
             "documents", ["merge", "par"], k=20),
         "fuzzy_match": _rel.fuzzy_match_sql(

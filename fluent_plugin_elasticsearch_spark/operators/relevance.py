@@ -268,6 +268,67 @@ LIMIT {k}
 """
 
 
+def collapse_inner_hits(docs: DataFrame, query_terms: list[str],
+                        collapse_field: str, inner_size: int = 3,
+                        k: int = 10, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """ES field collapsing WITH inner_hits: the global top-k collapse
+    groups (ranked by each group's best hit, exactly collapse_topk's
+    cut) expanded to each group's top ``inner_size`` hits — the
+    "3 results per domain" SERP shape. Two keyed windows (both
+    partitioned by the collapse field — group-bounded state, no global
+    funnel); the k winning groups then come back as a BROADCAST join so
+    the expansion never reshuffles the scored corpus. Returns
+    (doc_id, <collapse_field>, score_u, inner_rank) ordered by the
+    group's best hit (desc, group-best doc asc), inner_rank asc."""
+    from pyspark.sql import Window
+
+    best = (collapse_topk(docs, query_terms, collapse_field, k=k,
+                          id_col=id_col, text_col=text_col, k1=k1, b=b)
+            .select(F.col(collapse_field),
+                    F.col("score_u").alias("__best_u"),
+                    F.col("doc_id").alias("__best_doc")))
+    scores = bm25_scores_df(docs, query_terms, id_col, text_col, k1, b)
+    keyed = scores.join(
+        docs.select(F.col(id_col).alias("doc_id"), collapse_field), "doc_id")
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.desc("score_u"), F.asc("doc_id"))
+    return (keyed.join(F.broadcast(best), collapse_field)
+            .withColumn("inner_rank", F.row_number().over(w))
+            .filter(F.col("inner_rank") <= int(inner_size))
+            .select("doc_id", collapse_field, "score_u", "inner_rank")
+            .orderBy(F.desc("__best_u"), F.asc("__best_doc"),
+                     F.asc("inner_rank")))
+
+
+def collapse_inner_hits_sql(table: str, query_terms: list[str],
+                            collapse_field: str, inner_size: int = 3,
+                            k: int = 10, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB mirror of collapse_inner_hits."""
+    cte = _scores_cte(0, table, text_col, query_terms, id_col, k1, b)
+    return f"""
+WITH {cte},
+keyed AS (
+  SELECT s.doc_id, v.{collapse_field}, s.s_0 AS score_u,
+         row_number() OVER (PARTITION BY v.{collapse_field}
+                            ORDER BY s.s_0 DESC, s.doc_id ASC) AS inner_rank
+  FROM q0_scores s JOIN {table} v ON s.doc_id = v.{id_col}
+),
+best AS (
+  SELECT {collapse_field}, score_u AS best_u, doc_id AS best_doc
+  FROM keyed WHERE inner_rank = 1
+  ORDER BY score_u DESC, doc_id ASC LIMIT {k}
+)
+SELECT kd.doc_id, kd.{collapse_field}, kd.score_u, kd.inner_rank
+FROM keyed kd JOIN best b USING ({collapse_field})
+WHERE kd.inner_rank <= {int(inner_size)}
+ORDER BY b.best_u DESC, b.best_doc ASC, kd.inner_rank ASC
+"""
+
+
 def match_phrase_prefix_df(docs: DataFrame, phrase_terms: list[str],
                            k: int = 10, id_col: str = "doc_id",
                            text_col: str = "text",

@@ -842,3 +842,24 @@ def test_bigram_logprob(docs, duck, spark):
     sc = {x["doc_id"]: x["mean_nll_micro"]
           for x in tq.bigram_logprob_scores(aug).collect()}
     assert sc[999] > sc[0]
+
+
+def test_collapse_inner_hits(docs, duck):
+    out = rel.collapse_inner_hits(docs, ["quick", "merge"], "lang",
+                                  inner_size=2, k=2)
+    rows = [(r["doc_id"], r["lang"], r["score_u"], r["inner_rank"])
+            for r in out.collect()]
+    want = [tuple(r) for r in duck.sql(rel.collapse_inner_hits_sql(
+        "docs", ["quick", "merge"], "lang", inner_size=2, k=2)).fetchall()]
+    assert rows == [(int(a), b, int(c), int(d)) for a, b, c, d in want]
+    # group structure: each group contributes <= inner_size hits, ranks
+    # start at 1 and the rank-1 hit is the group's best
+    by_lang = {}
+    for d, lang, s, r in rows:
+        by_lang.setdefault(lang, []).append((r, s, d))
+    for lang, hits in by_lang.items():
+        hits.sort()
+        assert [r for r, _, _ in hits] == list(range(1, len(hits) + 1))
+        assert len(hits) <= 2
+        scores = [(-s, d) for _, s, d in hits]
+        assert scores == sorted(scores)
