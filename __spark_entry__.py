@@ -1147,6 +1147,22 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_normalize(docs)
 
 
+def q_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-line removal (textquality.dedup_doc_lines):
+    first occurrence of each line kept in order, zero shuffle. Docs get
+    injected per-page chrome repeats so the operator has work to do."""
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        dedup_doc_lines,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n", F.lit("cookie banner"), F.col("text"),
+                    F.lit("cookie banner"), F.col("source"),
+                    F.col("text")).alias("text"))
+    return dedup_doc_lines(docs)
+
+
 def q_justext_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jusText-style boilerplate block classification (textquality.
     justext_blocks, Pomikálek 2011): per-block stopword-density +
@@ -3038,7 +3054,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "completion_suggest", "esql_stats", "esql_pipe", "esql_dissect",
     "esql_enrich", "justext_blocks", "termvectors_positions",
     "url_normalize", "percolate_range", "es_random_sampler",
-    "collapse_inner_hits",
+    "collapse_inner_hits", "dedup_doc_lines",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3147,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_range": q_percolate_range,
         "es_random_sampler": q_es_random_sampler,
         "collapse_inner_hits": q_collapse_inner_hits,
+        "dedup_doc_lines": q_dedup_doc_lines,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -4174,6 +4191,12 @@ SELECT CAST(floor(max(abs(cs / s_tot - CAST(k AS DOUBLE) / CAST(n_tot AS DOUBLE)
                   * 1e6) AS BIGINT) AS ks_d_u
 FROM p
 """,
+        "dedup_doc_lines": __import__(
+            "fluent_plugin_elasticsearch_spark.operators.textquality",
+            fromlist=["dedup_doc_lines_sql"]).dedup_doc_lines_sql(
+            "(SELECT doc_id, 'cookie banner' || chr(10) || text || "
+            "chr(10) || 'cookie banner' || chr(10) || source || "
+            "chr(10) || text AS text FROM documents)"),
         "percolate_range": __import__(
             "fluent_plugin_elasticsearch_spark.operators.percolate",
             fromlist=["percolate_ranged_sql"]).percolate_ranged_sql(

@@ -767,3 +767,51 @@ SELECT {id_col} AS doc_id,
             ELSE regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) END AS domain
 FROM {table}
 """
+
+
+def dedup_doc_lines(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """WITHIN-document repeated-line removal — the per-doc half of the
+    CCNet line dedup (remove_repeated_lines is the corpus-wide half):
+    keep only the FIRST occurrence of each line inside a doc, in
+    original order. Templated pages repeat their own chrome (cookie
+    banners, share bars) several times per page; this strips the
+    repeats without any cross-doc state. Pure column expressions —
+    split, keep index i iff it is the line's first occurrence
+    (array_position == i), reassemble — zero shuffle, zero explode.
+    Returns (doc_id, text, n_lines, n_removed)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines,
+                    lambda x, i: F.array_position(lines, x) == i + 1)
+    # materialize under temp names FIRST: aliasing the output column back
+    # to `text` in the same select makes later expressions re-resolve
+    # against the NEW column (Catalyst splits the projection), silently
+    # deduping the already-deduped text
+    staged = docs.select(F.col(id_col).alias("doc_id"),
+                         lines.alias("__lines"), kept.alias("__kept"))
+    return staged.select(
+        "doc_id",
+        F.array_join("__kept", "\n").alias("text"),
+        F.size("__lines").alias("n_lines"),
+        (F.size("__lines") - F.size("__kept")).alias("n_removed"))
+
+
+def dedup_doc_lines_sql(table: str, id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """DuckDB mirror of dedup_doc_lines (list comprehension form)."""
+    return f"""
+WITH l AS (
+  SELECT {id_col} AS doc_id,
+         regexp_split_to_array({text_col}, '\\n') AS lines
+  FROM {table}
+),
+k AS (
+  SELECT doc_id, lines,
+         [lines[i] FOR i IN generate_series(1, len(lines))
+          IF list_position(lines, lines[i]) = i] AS kept
+  FROM l
+)
+SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+       len(lines) AS n_lines, len(lines) - len(kept) AS n_removed
+FROM k
+"""

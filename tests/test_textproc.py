@@ -354,3 +354,22 @@ def test_url_canonicalization_and_domain(spark):
     want = {r[0]: (r[1], r[2])
             for r in con.sql(url_normalize_sql("t")).fetchall()}
     assert want == got
+
+
+def test_dedup_doc_lines(spark):
+    from pyspark.sql import Row
+
+    from fluent_plugin_elasticsearch_spark.operators.textquality import (
+        dedup_doc_lines,
+    )
+
+    d = spark.createDataFrame([
+        Row(doc_id=0, text="nav\nbody one\nnav\nbody two\nbody one"),
+        Row(doc_id=1, text="only"),
+        Row(doc_id=2, text="a\na\na"),
+    ])
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+           for r in dedup_doc_lines(d).collect()}
+    assert got[0] == ("nav\nbody one\nbody two", 5, 2)
+    assert got[1] == ("only", 1, 0)
+    assert got[2] == ("a", 3, 2)
