@@ -307,12 +307,17 @@ def dsir_logratio_scores(docs: DataFrame, target_pred: str,
     bs = bx.groupBy("b").agg(
         F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
         F.count(F.lit(1)).alias("cq"))
-    tot = bs.agg(F.sum("ct").alias("tt"), F.sum("cq").alias("tq"))
-    lr = (bs.crossJoin(F.broadcast(tot))
-          .select("b", F.floor(
-              (F.log((F.col("ct") + 1.0) / (F.col("tt") + float(buckets)))
-               - F.log((F.col("cq") + 1.0) / (F.col("tq") + float(buckets))))
-              * 1e6).cast("long").alias("lr_u")))
+    # totals as a whole-frame window over bs — bs is ≤ `buckets` rows by
+    # construction, so the single-partition window is bounded (the
+    # pipeline-agg pattern); a separate agg + crossJoin would RECOMPUTE
+    # the corpus feature expansion for the totals (a third corpus scan)
+    wall = Window.partitionBy(F.lit(0))
+    tt = F.sum("ct").over(wall)
+    tq = F.sum("cq").over(wall)
+    lr = bs.select("b", F.floor(
+        (F.log((F.col("ct") + 1.0) / (tt + float(buckets)))
+         - F.log((F.col("cq") + 1.0) / (tq + float(buckets))))
+        * 1e6).cast("long").alias("lr_u"))
     return (bx.join(F.broadcast(lr), "b")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_features"),
