@@ -2420,6 +2420,23 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.8 knn `similarity` cutoff: hits of the k nearest below the
+    minimum cosine are dropped (fewer than k rows may return)."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    body = {"knn": {"field": "embedding", "query_vector": [1.0] * 64,
+                    "k": 10, "similarity": 0.26}}
+    out = compile_query(docs, body)
+    return out.select(
+        "doc_id", F.floor(F.col("cosine") * 1e6).cast("long")
+        .alias("cosine_u"), "rank"
+    )
+
+
 def q_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES 8 kNN search body through the query AST (cosine top-k against a
     literal query vector)."""
@@ -3054,7 +3071,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "completion_suggest", "esql_stats", "esql_pipe", "esql_dissect",
     "esql_enrich", "justext_blocks", "termvectors_positions",
     "url_normalize", "percolate_range", "es_random_sampler",
-    "collapse_inner_hits", "dedup_doc_lines",
+    "collapse_inner_hits", "dedup_doc_lines", "knn_similarity",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3164,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_random_sampler": q_es_random_sampler,
         "collapse_inner_hits": q_collapse_inner_hits,
         "dedup_doc_lines": q_dedup_doc_lines,
+        "knn_similarity": q_knn_similarity,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -4652,6 +4670,24 @@ FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents)
 SELECT term, count(*) AS df FROM t WHERE term LIKE 's%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+""",
+        "knn_similarity": f"""
+WITH q AS (SELECT [{", ".join(["1.0"] * 64)}]::DOUBLE[] AS qv),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+topk AS (
+  SELECT doc_id, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT)
+           AS rank
+  FROM scored ORDER BY cosine DESC, doc_id ASC LIMIT 10
+)
+SELECT doc_id, CAST(floor(cosine * 1e6) AS BIGINT) AS cosine_u, rank
+FROM topk WHERE cosine >= 0.26 ORDER BY rank
 """,
         "knn_query": f"""
 WITH q AS (SELECT [{", ".join(["1.0"] * 64)}]::DOUBLE[] AS qv),

@@ -634,6 +634,11 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         qdf = spark.createDataFrame([(0, qv)], f"query_id long, {field} array<double>")
         emb = cand.withColumn(field, F.transform(field, lambda x: x.cast("double")))
         top = cosine_topk(emb, qdf, k=k, id_col="doc_id", vec_col=field)
+        if spec.get("similarity") is not None:
+            # ES 8.8 knn `similarity` cutoff: hits below the minimum
+            # cosine are dropped from the k nearest (fewer than k rows
+            # may return — the ES contract)
+            top = top.filter(F.col("cosine") >= float(spec["similarity"]))
         if query:
             # additive hybrid: score = query score_u + floor(cosine·boost·1e6)
             # over the UNION of the two top-k hit sets (both bounded,

@@ -551,3 +551,21 @@ def test_semdedup_keep_brute_force(spark):
     # the tight group collapsed to its min id; distant points all survive
     kept_ids = {i for i, _ in kept}
     assert 0 in kept_ids and not {1, 2} <= kept_ids
+
+
+def test_knn_similarity_cutoff(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    knn = {"field": "embedding", "query_vector": [1.0] * 64, "k": 5}
+    full = compile_query(docs, {"knn": knn}).collect()
+    cut = compile_query(docs, {"knn": {**knn, "similarity":
+                                       full[2]["cosine"]}}).collect()
+    # exactly the hits at or above the 3rd-best cosine survive, ranks kept
+    assert [r["doc_id"] for r in cut] == [r["doc_id"] for r in full[:3]]
+    assert [r["rank"] for r in cut] == [1, 2, 3]
+    # an impossible threshold returns zero rows, not an error
+    assert compile_query(docs, {"knn": {**knn, "similarity": 2.0}}).count() == 0
