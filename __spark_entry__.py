@@ -746,6 +746,31 @@ def q_linear_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "linear_u")
 
 
+def q_retriever_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.16 composable retriever TREE (plans/query_ast.py): rrf over
+    (a linear retriever over two standards) + a standard span_or —
+    nested retrievers compile recursively, each node window-bounded."""
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
+
+    docs = _read(spark, sf_dir, "documents")
+    out = compile_query(docs, {"retriever": {"rrf": {"retrievers": [
+        {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {"span_near": {
+                "clauses": [{"span_term": {"text": "table"}},
+                            {"span_term": {"text": "table"}}],
+                "slop": 0, "in_order": True}}}},
+             "weight": 2.0, "normalizer": "minmax"},
+            {"retriever": {"standard": {"query": {"simple_query_string": {
+                "query": "merge + data | scan*"}}}},
+             "weight": 1.0, "normalizer": "l2_norm"},
+        ], "rank_window_size": 40}},
+        {"standard": {"query": {"span_or": {"clauses": [
+            {"span_term": {"text": "data"}},
+            {"span_term": {"text": "merge"}}]}}}},
+    ], "rank_constant": 60, "rank_window_size": 40}}, "size": 15})
+    return out.select("doc_id", "rrf_u")
+
+
 def q_percolate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percolate QUERY clause (plans/query_ast.py): one inline
     document matched against a stored-query registry — a pure filter
@@ -3072,6 +3097,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "esql_enrich", "justext_blocks", "termvectors_positions",
     "url_normalize", "percolate_range", "es_random_sampler",
     "collapse_inner_hits", "dedup_doc_lines", "knn_similarity",
+    "retriever_tree",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3182,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_inner_hits": q_collapse_inner_hits,
         "dedup_doc_lines": q_dedup_doc_lines,
         "knn_similarity": q_knn_similarity,
+        "retriever_tree": q_retriever_tree,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -3863,6 +3890,64 @@ SELECT doc_id, rrf_u FROM f ORDER BY rrf_u DESC, doc_id ASC LIMIT 15
             "fluent_plugin_elasticsearch_spark.operators.relevance",
             fromlist=["sparse_vector_sql"]).sparse_vector_sql(
             "documents", _SPARSE_QV, k=15),
+        "retriever_tree": (lambda mp=__import__(
+            "fluent_plugin_elasticsearch_spark.operators.relevance",
+            fromlist=["span_near_sql"]).span_near_sql(
+                "documents", "table", "table", slop=0, k=40),
+            sq=__import__(
+            "fluent_plugin_elasticsearch_spark.operators.simple_query",
+            fromlist=["simple_query_string_sql"]).simple_query_string_sql(
+                "documents", "merge + data | scan*", k=40),
+            so=__import__(
+            "fluent_plugin_elasticsearch_spark.operators.relevance",
+            fromlist=["span_or_sql"]).span_or_sql(
+                "documents", ["data", "merge"], k=40): f"""
+WITH s0 AS ({mp}),
+n0 AS (
+  SELECT doc_id,
+         CASE WHEN max(score_u / 1e6) OVER () = min(score_u / 1e6) OVER ()
+              THEN CASE WHEN score_u / 1e6 > 0 THEN 1.0 ELSE 0.0 END
+              ELSE (score_u / 1e6 - min(score_u / 1e6) OVER ())
+                   / (max(score_u / 1e6) OVER () - min(score_u / 1e6) OVER ())
+         END AS n
+  FROM s0
+),
+s1 AS ({sq}),
+n1 AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(sum((score_u / 1e6) * (score_u / 1e6)) OVER ()) = 0
+              THEN 0.0
+              ELSE (score_u / 1e6)
+                   / sqrt(sum((score_u / 1e6) * (score_u / 1e6)) OVER ())
+         END AS n
+  FROM s1
+),
+lin AS (
+  SELECT coalesce(n0.doc_id, n1.doc_id) AS doc_id,
+         CAST(floor((coalesce(n0.n, 0.0) * 2.0
+                   + coalesce(n1.n, 0.0) * 1.0) * 1e9) AS BIGINT) AS lu
+  FROM n0 FULL OUTER JOIN n1 ON n0.doc_id = n1.doc_id
+  ORDER BY lu DESC, doc_id ASC LIMIT 40
+),
+r0 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY lu DESC, doc_id ASC) AS r
+  FROM lin
+),
+s2 AS ({so}),
+r1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_u DESC, doc_id ASC) AS r
+  FROM s2
+),
+f AS (
+  SELECT coalesce(r0.doc_id, r1.doc_id) AS doc_id,
+         CAST(floor((CASE WHEN r0.r IS NOT NULL THEN 1.0 / (60 + r0.r)
+                          ELSE 0.0 END
+                   + CASE WHEN r1.r IS NOT NULL THEN 1.0 / (60 + r1.r)
+                          ELSE 0.0 END) * 1e9) AS BIGINT) AS rrf_u
+  FROM r0 FULL OUTER JOIN r1 ON r0.doc_id = r1.doc_id
+)
+SELECT doc_id, rrf_u FROM f ORDER BY rrf_u DESC, doc_id ASC LIMIT 15
+""")(),
         "linear_retriever": (lambda mp=__import__(
             "fluent_plugin_elasticsearch_spark.operators.relevance",
             fromlist=["span_near_sql"]).span_near_sql(

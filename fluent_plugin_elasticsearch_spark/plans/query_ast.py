@@ -424,6 +424,37 @@ def haversine_m_sql(lat_expr: str, lon_expr: str,
     )
 
 
+def _compile_sub_retriever(docs: DataFrame, r: dict[str, Any], window: int,
+                           *, index=None) -> DataFrame:
+    """One node of an ES 8.16 retriever TREE: a standard retriever
+    (compiled through the query compiler) or a nested rrf/linear
+    retriever (compiled recursively — ES retriever trees compose, e.g.
+    rrf over a linear over standards). Returns a scored frame carrying
+    doc_id + score_u (the engine-wide quantized long, score desc /
+    doc_id asc deterministic), bounded by the caller's
+    rank_window_size."""
+    if "standard" in r:
+        sub = compile_query(docs, {"query": r["standard"]["query"],
+                                   "size": window}, index=index)
+    elif "rrf" in r or "linear" in r:
+        sub = compile_query(docs, {"retriever": r, "size": window},
+                            index=index)
+        for c in ("rrf_u", "linear_u"):
+            if c in sub.columns:
+                sub = sub.withColumnRenamed(c, "score_u")
+    else:
+        raise UnsupportedQuery(
+            "retriever nodes must be standard, rrf, or linear")
+    if "score_u" not in sub.columns:
+        if "score" in sub.columns:  # index-served float form
+            sub = sub.withColumn(
+                "score_u", F.floor(F.col("score") * 1e6).cast("long"))
+        else:
+            raise UnsupportedQuery(
+                "retrievers must produce scored results")
+    return sub
+
+
 def _compile_linear_retriever(docs: DataFrame, lin: dict[str, Any],
                               size, *, index=None) -> DataFrame:
     """ES 8.16 linear retriever: score(d) = Σᵢ wᵢ · normᵢ(sᵢ(d)) over the
@@ -454,22 +485,12 @@ def _compile_linear_retriever(docs: DataFrame, lin: dict[str, Any],
             raise UnsupportedQuery(
                 "linear retriever entries need a nested 'retriever'")
         inner = r["retriever"]
-        if "standard" not in inner:
-            raise UnsupportedQuery("linear supports standard sub-retrievers")
         norm = r.get("normalizer", "none")
         if norm not in ("minmax", "l2_norm", "none"):
             raise UnsupportedQuery(f"linear normalizer {norm!r}")
         weights.append(float(r.get("weight", 1.0)))
         norms.append(norm)
-        sub = compile_query(docs, {"query": inner["standard"]["query"],
-                                   "size": window}, index=index)
-        if "score_u" not in sub.columns:
-            if "score" in sub.columns:
-                sub = sub.withColumn(
-                    "score_u", F.floor(F.col("score") * 1e6).cast("long"))
-            else:
-                raise UnsupportedQuery(
-                    "linear sub-retrievers must produce scored results")
+        sub = _compile_sub_retriever(docs, inner, window, index=index)
         sub = sub.select("doc_id", "score_u").limit(window)
         s = F.col("score_u").cast("double") / 1e6
         if norm == "minmax":
@@ -546,17 +567,9 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
                                              F.asc("doc_id"))
         fused = None
         for i, r in enumerate(retrievers):
-            if not isinstance(r, dict) or "standard" not in r:
-                raise UnsupportedQuery("rrf supports standard retrievers")
-            sub = compile_query(docs, {"query": r["standard"]["query"],
-                                       "size": window}, index=index)
-            if "score_u" not in sub.columns:
-                if "score" in sub.columns:  # index-served float form
-                    sub = sub.withColumn(
-                        "score_u", F.floor(F.col("score") * 1e6).cast("long"))
-                else:
-                    raise UnsupportedQuery(
-                        "rrf retrievers must produce scored results")
+            if not isinstance(r, dict):
+                raise UnsupportedQuery("rrf retriever entries must be dicts")
+            sub = _compile_sub_retriever(docs, r, window, index=index)
             ranked = (sub.select("doc_id", "score_u").limit(window)
                       .withColumn(f"r{i}", F.row_number().over(w))
                       .select("doc_id", f"r{i}"))

@@ -844,6 +844,59 @@ def test_bigram_logprob(docs, duck, spark):
     assert sc[999] > sc[0]
 
 
+def test_retriever_tree_rrf_over_linear(spark, docs):
+    """ES retriever trees compose: rrf over (linear over standards) +
+    a standard — brute-forced from the sub-scorers."""
+    import math as m
+
+    lin_spec = {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {"span_or": {"clauses": [
+            {"span_term": {"text": "quick"}},
+            {"span_term": {"text": "fox"}}]}}}},
+         "weight": 2.0, "normalizer": "minmax"},
+        {"retriever": {"standard": {"query": {"span_or": {"clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_term": {"text": "partition"}}]}}}},
+         "weight": 1.0, "normalizer": "l2_norm"},
+    ], "rank_window_size": 10}}
+    body = {"retriever": {"rrf": {"retrievers": [
+        lin_spec,
+        {"standard": {"query": {"span_or": {"clauses": [
+            {"span_term": {"text": "dog"}}]}}}},
+    ], "rank_constant": 60, "rank_window_size": 10}}, "size": 8}
+    rows = [(r["doc_id"], r["rrf_u"])
+            for r in compile_query(docs, body).collect()]
+    # brute force: linear fused values first
+    a = [(r["doc_id"], r["score_u"] / 1e6)
+         for r in rel.span_or_df(docs, ["quick", "fox"], k=10).collect()]
+    bq = [(r["doc_id"], r["score_u"] / 1e6)
+          for r in rel.span_or_df(docs, ["merge", "partition"],
+                                  k=10).collect()]
+    exp = {}
+    mn, mx = min(s for _, s in a), max(s for _, s in a)
+    for d, s in a:
+        n = (1.0 if s > 0 else 0.0) if mx == mn else (s - mn) / (mx - mn)
+        exp[d] = exp.get(d, 0.0) + 2.0 * n
+    l2 = m.sqrt(sum(s * s for _, s in bq))
+    for d, s in bq:
+        exp[d] = exp.get(d, 0.0) + (0.0 if l2 == 0 else s / l2)
+    lin_ranked = [d for _, d in sorted(
+        ((-m.floor(v * 1e9), d) for d, v in exp.items()))]
+    dog = [r["doc_id"] for r in rel.span_or_df(docs, ["dog"],
+                                               k=10).collect()]
+    want = {}
+    for rank, d in enumerate(lin_ranked, 1):
+        want[d] = want.get(d, 0.0) + 1.0 / (60 + rank)
+    for rank, d in enumerate(dog, 1):
+        want[d] = want.get(d, 0.0) + 1.0 / (60 + rank)
+    top = sorted(((m.floor(v * 1e9), d) for d, v in want.items()),
+                 key=lambda t: (-t[0], t[1]))[:8]
+    assert rows == [(d, u) for u, d in top]
+    with pytest.raises(UnsupportedQuery, match="standard, rrf, or linear"):
+        compile_query(docs, {"retriever": {"rrf": {"retrievers": [
+            {"knn": {}}, {"standard": {"query": {"match_all": {}}}}]}}})
+
+
 def test_collapse_inner_hits(docs, duck):
     out = rel.collapse_inner_hits(docs, ["quick", "merge"], "lang",
                                   inner_size=2, k=2)
