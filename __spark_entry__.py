@@ -1219,6 +1219,21 @@ def q_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         enrich_policies={"cust": (cust, "uid")})
 
 
+def q_esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL LOOKUP JOIN (8.18): left join against a lookup index on a
+    shared field — broadcast by the lookup-index smallness contract."""
+    from fluent_plugin_elasticsearch_spark.operators.esql import esql_query
+
+    nation = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nkey"), "n_name")
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nkey"))
+    return esql_query(
+        {"cust": cust, "nation": nation},
+        'FROM cust | LOOKUP JOIN nation ON nkey '
+        '| KEEP c_custkey, nkey, n_name | SORT c_custkey | LIMIT 100')
+
+
 def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-ratios (operators/packing.dsir_logratio_scores,
     Xie et al. 2023): hashed unigram+bigram models on target (lang='en')
@@ -3097,7 +3112,7 @@ _NEVER_DRIVER_SAMPLED_R6 = [
     "esql_enrich", "justext_blocks", "termvectors_positions",
     "url_normalize", "percolate_range", "es_random_sampler",
     "collapse_inner_hits", "dedup_doc_lines", "knn_similarity",
-    "retriever_tree",
+    "retriever_tree", "esql_lookup_join",
     "multi_match_phrase", "multi_match_phrase_prefix",
     "es_sibling_buckets", "es_stats_percentiles_bucket", "es_normalize",
     "es_geohash_grid", "es_diversified_sampler", "remove_boilerplate_lines",
@@ -3209,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_doc_lines": q_dedup_doc_lines,
         "knn_similarity": q_knn_similarity,
         "retriever_tree": q_retriever_tree,
+        "esql_lookup_join": q_esql_lookup_join,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "terms_enum": q_terms_enum,
@@ -4316,6 +4332,11 @@ FROM p
             fromlist=["justext_blocks_sql"]).justext_blocks_sql(
             "(SELECT doc_id, text || chr(10) || 'Home About Contact' || "
             "chr(10) || text AS text FROM documents)"),
+        "esql_lookup_join": """
+SELECT c.c_custkey, c.c_nationkey AS nkey, n.n_name
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY c.c_custkey LIMIT 100
+""",
         "esql_enrich": """
 SELECT e.event_id, e.user_id, c.c_name
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey

@@ -32,6 +32,8 @@ Supported stages (everything else raises UnsupportedQuery):
                                     NUMBER IP LOGLEVEL)
     | MV_EXPAND col              -- explode a multi-value column
     | ENRICH policy ON key [WITH f1, ...]  -- broadcast lookup join
+    | LOOKUP JOIN index ON key   -- 8.18 table join (lookup index =
+                                    small by ES contract → broadcast)
 
 Expressions reuse the ES SQL parser (operators/es_sql) — one grammar,
 two surfaces, which is exactly how ES shares its expression layer.
@@ -296,6 +298,28 @@ def esql_query(tables: dict[str, DataFrame], query: str,
         elif kind == "mv_expand":
             col = p.expect("id")[1]
             df = df.withColumn(col, F.explode(F.col(col)))
+        elif kind == "lookup":
+            # ES|QL LOOKUP JOIN (8.18): left join against a lookup-mode
+            # index on a shared field name. Lookup indices are
+            # single-shard/replicated by ES contract — i.e. small — so
+            # the Spark shape is a broadcast hash join, like ENRICH but
+            # table-addressed and joining on a SHARED column name.
+            if not (p.peek()[0] == "id" and p.peek()[1].lower() == "join"):
+                raise UnsupportedQuery("ES|QL: expected LOOKUP JOIN")
+            p.next()
+            lname = p.expect("id")[1]
+            if lname not in tables:
+                raise UnsupportedQuery(
+                    f"ES|QL: unknown lookup index {lname!r}")
+            if not (p.peek()[0] == "id" and p.peek()[1].lower() == "on"):
+                raise UnsupportedQuery("ES|QL: LOOKUP JOIN needs ON <field>")
+            p.next()
+            key = p.expect("id")[1]
+            side = tables[lname]
+            if key not in side.columns:
+                raise UnsupportedQuery(
+                    f"ES|QL: lookup index {lname!r} has no field {key!r}")
+            df = df.join(F.broadcast(side), key, "left")
         elif kind == "enrich":
             # ES|QL ENRICH policy ON key [WITH f1, f2]: the lookup join —
             # enrich policies are SMALL reference tables by contract
@@ -333,6 +357,6 @@ def esql_query(tables: dict[str, DataFrame], query: str,
         else:
             raise UnsupportedQuery(f"ES|QL: stage {kind.upper()} "
                                    "(supported: WHERE EVAL KEEP DROP "
-                                   "RENAME STATS SORT LIMIT DISSECT "
-                                   "MV_EXPAND)")
+                                   "RENAME STATS SORT LIMIT DISSECT GROK "
+                                   "MV_EXPAND ENRICH LOOKUP JOIN)")
     return df

@@ -203,3 +203,23 @@ def test_esql_scalar_functions_and_case(spark, docs, duck):
                    "FROM docs | EVAL x = SUBSTRING(text, n_chars)")
     with pytest.raises(UnsupportedQuery, match="CASE"):
         esql_query({"docs": docs}, "FROM docs | EVAL x = CASE(doc_id)")
+
+
+def test_esql_lookup_join(spark):
+    from pyspark.sql import Row as _Row
+
+    ev = spark.createDataFrame([
+        _Row(eid=10, uid=1), _Row(eid=11, uid=2), _Row(eid=12, uid=9)])
+    users = spark.createDataFrame([
+        _Row(uid=1, tier="gold"), _Row(uid=2, tier="free")])
+    out = esql_query({"ev": ev, "users": users},
+                     'FROM ev | LOOKUP JOIN users ON uid | SORT eid')
+    assert [(r["eid"], r["tier"]) for r in out.collect()] == [
+        (10, "gold"), (11, "free"), (12, None)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(UnsupportedQuery, match="unknown lookup"):
+        esql_query({"ev": ev}, 'FROM ev | LOOKUP JOIN nope ON uid')
+    with pytest.raises(UnsupportedQuery, match="no field"):
+        esql_query({"ev": ev, "users": users},
+                   'FROM ev | LOOKUP JOIN users ON eid')
