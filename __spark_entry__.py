@@ -43,14 +43,31 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _read_dist(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Heavy-compute scans only: the test tables are single-row-group
+    parquet files, so the scan yields ONE split and every per-row kernel
+    (regex, hashing, tokenization, vector math) serializes on one core
+    (guide §2.5 input skew / §6 input split size). One round-robin
+    repartition to core count spreads the rows; results are unchanged
+    (row order is not part of any declared query's contract — the driver
+    hash is order-insensitive). Scale-adaptive: keyed to
+    defaultParallelism, and a no-op whenever the source already scans
+    with enough splits (as any real multi-file table would)."""
+    df = _read(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 # --- query implementations --------------------------------------------------
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _bm25.bm25_topk_df(_read(spark, sf_dir, "documents"), FLAGSHIP_TERMS, k=10)
+    return _bm25.bm25_topk_df(_read_dist(spark, sf_dir, "documents"), FLAGSHIP_TERMS, k=10)
 
 
 def q_bm25_topk_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _bm25.bm25_topk_df(_read(spark, sf_dir, "documents"), BM25_TERMS_2, k=10)
+    return _bm25.bm25_topk_df(_read_dist(spark, sf_dir, "documents"), BM25_TERMS_2, k=10)
 
 
 def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2309,13 +2326,13 @@ def q_sorted_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_genid_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T11 — deterministic id generation, md5 + base64 (genid filter)."""
-    ev = _read(spark, sf_dir, "events")
+    ev = _read_dist(spark, sf_dir, "events")
     seed = _genid.genid_seed(["user_id", "event_type"], separator="_")
     return ev.select(F.col("event_id"), _genid.genid_hash(seed, "md5").alias("_hash"))
 
 
 def q_genid_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events")
+    ev = _read_dist(spark, sf_dir, "events")
     seed = _genid.genid_seed(["user_id", "event_type"], separator="_")
     return ev.select(F.col("event_id"), _genid.genid_hash(seed, "sha256").alias("_hash"))
 
@@ -2413,12 +2430,12 @@ def q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.exact_dedup(_read(spark, sf_dir, "documents"))
+    return _dedup.exact_dedup(_read_dist(spark, sf_dir, "documents"))
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ORDER BY doc_id in both engines: pins row order for the driver hash
-    return _tq.token_counts(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+    return _tq.token_counts(_read_dist(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2434,13 +2451,13 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _tq.lang_id_scores(_read(spark, sf_dir, "documents")).select(
+    return _tq.lang_id_scores(_read_dist(spark, sf_dir, "documents")).select(
         "doc_id", "predicted_lang", "en_hits", "de_hits", "es_hits", "fr_hits"
     )
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q = _tq.quality_score(_read(spark, sf_dir, "documents"))
+    q = _tq.quality_score(_read_dist(spark, sf_dir, "documents"))
     return q.select(
         "doc_id", "n_tokens", F.floor(F.col("quality") * 1e6).cast("long").alias("quality_u"), "keep"
     )
@@ -2448,7 +2465,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs the vec_id=0 embedding (float64 math)."""
-    emb = _read(spark, sf_dir, "embeddings").select(
+    emb = _read_dist(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     qdf = emb.filter(F.col("vec_id") == 0).select(
@@ -3069,15 +3086,25 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 window coverage: row_number per key (affinity pick pattern)."""
-    from pyspark.sql import Window
+    """§2.6 window coverage: latest row per key (affinity pick pattern).
 
+    Round-7 plan (guide §2.3 "aggregate before you shuffle"): the
+    row_number window shuffled AND sorted every event row; max_by on the
+    (ts, -event_id) ordering struct is the same (ts desc, event_id asc)
+    pick but runs as a hash aggregate with map-side partial aggregation —
+    only ~|users| x partitions partial rows cross the exchange. Result
+    set identical (event_id unique => ordering key unique => both forms
+    deterministic); the driver hash is row-order-insensitive."""
     ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    pick = F.max_by(
+        F.struct("event_id", "event_type"),
+        F.struct(F.col("ts"), (-F.col("event_id")).alias("neg_id")),
+    )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type")
+        ev.groupBy("user_id")
+        .agg(pick.alias("__m"))
+        .select("user_id", F.col("__m.event_id").alias("event_id"),
+                F.col("__m.event_type").alias("event_type"))
     )
 
 

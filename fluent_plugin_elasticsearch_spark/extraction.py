@@ -68,6 +68,20 @@ def tokenize_simple_tf_udf(text: pd.Series) -> pd.DataFrame:
     return _tf_struct(text, tokenize_simple)
 
 
+# Fused extract+tokenize variants: chained pandas UDFs (extract_text_udf →
+# tokenize_*_tf_udf) plan as TWO ArrowEvalPython nodes, shipping the
+# extracted text JVM→Python→JVM→Python. One fused UDF is one crossing and
+# the raw html column crosses exactly once (guide §4.1).
+@F.pandas_udf(_TF_SCHEMA)
+def tokenize_unicode_tf_html_udf(html: pd.Series) -> pd.DataFrame:
+    return _tf_struct(html.map(extract_text), tokenize_unicode)
+
+
+@F.pandas_udf(_TF_SCHEMA)
+def tokenize_simple_tf_html_udf(html: pd.Series) -> pd.DataFrame:
+    return _tf_struct(html.map(extract_text), tokenize_simple)
+
+
 def simple_tokens_col(text: Column) -> Column:
     """JVM-side equivalent of textproc.tokenize_simple: stays inside
     whole-stage codegen (no Python worker roundtrip). Same semantics as

@@ -73,12 +73,24 @@ def genid_seed_entire_record(record_cols: list[str], separator: str = "_",
     return body
 
 
+# raw digest size per hash type: base64 of <= 57 bytes stays under the
+# 76-char MIME line limit, so only sha512 (64 bytes -> 88 chars) ever gets
+# the \r\n chunk break inserted by Spark's base64.
+_DIGEST_BYTES = {"md5": 16, "sha1": 20, "sha256": 32, "sha512": 64}
+
+
 def genid_hash(seed: Column, hash_type: str = "sha1") -> Column:
     """_hash = Base64(raw digest(seed)) — encode_hash,
     filter_elasticsearch_genid.rb:64-75. Spark's base64 is MIME-chunked
     (inserts \\r\\n every 76 chars — visible on sha512 digests); the
-    reference uses strict (unchunked) encoding, so strip the breaks."""
-    return F.regexp_replace(F.base64(_DIGEST[hash_type](seed)), "[\\r\\n]", "")
+    reference uses strict (unchunked) encoding, so strip the breaks.
+    md5/sha1/sha256 digests encode to <= 44 chars — never chunked — so the
+    strip regex is a per-row no-op there and is skipped (round-7: one
+    regex pass less over every generated id)."""
+    b64 = F.base64(_DIGEST[hash_type](seed))
+    if _DIGEST_BYTES[hash_type] <= 57:
+        return b64
+    return F.regexp_replace(b64, "[\\r\\n]", "")
 
 
 def genid_random() -> Column:

@@ -59,8 +59,10 @@ from .. import BM25_B, BM25_K1
 from ..extraction import (
     extract_text_udf,
     simple_tokens_col,
+    tokenize_simple_tf_html_udf,
     tokenize_simple_tf_udf,
     tokenize_simple_udf,
+    tokenize_unicode_tf_html_udf,
     tokenize_unicode_tf_udf,
     tokenize_unicode_udf,
 )
@@ -91,6 +93,12 @@ TF_TOKENIZERS = {
     "unicode": tokenize_unicode_tf_udf,
     "simple_udf": tokenize_simple_tf_udf,
     "simple": tokenize_simple_tf_udf,
+}
+
+TF_HTML_TOKENIZERS = {
+    "unicode": tokenize_unicode_tf_html_udf,
+    "simple_udf": tokenize_simple_tf_html_udf,
+    "simple": tokenize_simple_tf_html_udf,
 }
 
 
@@ -250,11 +258,11 @@ def build_compute_only(
     if docs.rdd.getNumPartitions() < input_partitions:
         docs = docs.repartition(input_partitions)
     if text_col is None:
-        docs = docs.withColumn("__text", extract_text_udf(F.col(html_col)))
-        text_col = "__text"
+        tok_udf = TF_HTML_TOKENIZERS[tokenizer](F.col(html_col))
+    else:
+        tok_udf = TF_TOKENIZERS[tokenizer](F.col(text_col))
     toks = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    TF_TOKENIZERS[tokenizer](F.col(text_col)).alias("tk"))
+        docs.select(F.col(id_col).alias("doc_id"), tok_udf.alias("tk"))
         .select("doc_id", F.col("tk.tfs").alias("tfs"), F.col("tk.doc_len").alias("doc_len"))
         .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
         .withColumn("salt", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(n_salts)).cast("int"))
@@ -264,9 +272,10 @@ def build_compute_only(
         .groupBy("shard", "salt")
         .applyInPandas(_encode_partials, PARTIAL_SCHEMA)
     )
-    blocks = partials.groupBy("shard", "term_bucket").applyInPandas(
-        _make_merge_fn(avgdl, k1, b, block_size), BLOCK_SCHEMA
-    )
+    # same two-exchange shape as build_index (compute proxy fidelity)
+    blocks = partials.repartition(2 * n_shards, "shard").groupBy(
+        "shard", "term_bucket"
+    ).applyInPandas(_make_merge_fn(avgdl, k1, b, block_size), BLOCK_SCHEMA)
     from pyspark.sql import Observation
 
     obs = Observation("compute_only")
@@ -339,23 +348,25 @@ def build_index(
         docs = docs.repartition(input_partitions)
 
     # per-doc term-frequency maps straight out of the (extraction +)
-    # tokenizer UDF: the corpus-scale (doc, term) groupBy is fused away
-    if text_col is None:
-        docs = docs.withColumn("__text", extract_text_udf(F.col(html_col)))
-        text_col = "__text"
+    # tokenizer UDF: the corpus-scale (doc, term) groupBy is fused away.
+    # When extracting from html, the extract+tokenize chain is ONE fused
+    # pandas UDF (guide §4.1): chained UDFs plan as two ArrowEvalPython
+    # nodes and ship the extracted text across the boundary twice.
+    from_html = text_col is None
+    in_col = html_col if from_html else text_col
     base_cols = [F.col(id_col).alias("doc_id")] + ([F.col(url_col).alias("url")] if url_col else [])
     if with_positions:
         from .positions import make_pos_tokenizer_udf
 
-        tok_udf = make_pos_tokenizer_udf(tokenizer)
+        tok_udf = make_pos_tokenizer_udf(tokenizer, from_html=from_html)
         payload_cols = [F.col("tk.terms").alias("terms"), F.col("tk.tfs").alias("tfs"),
                         F.col("tk.poss").alias("poss")]
         payload_names = ["terms", "tfs", "poss"]
     else:
-        tok_udf = TF_TOKENIZERS[tokenizer]
+        tok_udf = (TF_HTML_TOKENIZERS if from_html else TF_TOKENIZERS)[tokenizer]
         payload_cols = [F.col("tk.tfs").alias("tfs")]
         payload_names = ["tfs"]
-    toks = docs.select(*base_cols, tok_udf(F.col(text_col)).alias("tk"))
+    toks = docs.select(*base_cols, tok_udf(F.col(in_col)).alias("tk"))
     toks = (
         toks.select("doc_id", *(["url"] if url_col else []),
                     *payload_cols, F.col("tk.doc_len").alias("doc_len"))
@@ -479,6 +490,16 @@ def build_index(
             .groupBy("shard", "salt")
             .applyInPandas(phase1_fn, phase1_schema)
         )
+        # Exchange fusion (guide §2.4): hash-partition the COMPACT partials
+        # by shard once — HashPartitioning(shard) satisfies the phase-2
+        # ClusteredDistribution(shard, term_bucket), and the merge output
+        # lands physically shard-clustered, so the write's partitionBy
+        # (shard) needs NO further exchange. The old plan paid a THIRD
+        # exchange moving the full encoded blocks (the heaviest rows) just
+        # to co-locate shards for the writer. 2x buckets halve the
+        # balls-in-bins collision tail (each shard still lands whole in
+        # one bucket, so every shard dir keeps exactly one file per run).
+        partials = partials.repartition(2 * len(group), "shard")
         blocks = partials.groupBy("shard", "term_bucket").applyInPandas(merge_fn, block_schema)
         # per-shard metrics observed DURING the write (3 conditional aggs
         # per shard) — no second pass over the written postings
@@ -510,9 +531,15 @@ def build_index(
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(write_doc_stats)
+            # Sort leads with `shard` so the writer's required ordering
+            # (partition columns first) is ALREADY satisfied: the previous
+            # sortWithinPartitions("term", ...) was silently re-sorted by
+            # the writer's own (shard)-only sort, which left files
+            # term-UNsorted (verified on round-6 output). Now files come
+            # out genuinely (term, first_doc)-sorted, so parquet min/max
+            # row-group pruning on `term` works at scale (guide §6).
             (
-                blocks.repartition("shard")
-                .sortWithinPartitions("term", "first_doc")
+                blocks.sortWithinPartitions("shard", "term", "first_doc")
                 .write.mode("append")
                 .partitionBy("shard")
                 .parquet(os.path.join(out_dir, "postings"))

@@ -94,16 +94,23 @@ def _pos_struct(series: pd.Series, tokenize) -> pd.DataFrame:
     )
 
 
-def make_pos_tokenizer_udf(tokenizer: str):
+def make_pos_tokenizer_udf(tokenizer: str, from_html: bool = False):
     from pyspark.sql import functions as F
 
-    from ..textproc import tokenize_simple, tokenize_unicode
+    from ..textproc import extract_text, tokenize_simple, tokenize_unicode
 
     fn = tokenize_unicode if tokenizer == "unicode" else tokenize_simple
 
-    @F.pandas_udf(_POS_SCHEMA)
-    def tok(text: pd.Series) -> pd.DataFrame:
-        return _pos_struct(text, fn)
+    if from_html:
+        # fused extract+tokenize: one Python crossing instead of two
+        # chained ArrowEvalPython nodes (guide §4.1)
+        @F.pandas_udf(_POS_SCHEMA)
+        def tok(html: pd.Series) -> pd.DataFrame:
+            return _pos_struct(html.map(extract_text), fn)
+    else:
+        @F.pandas_udf(_POS_SCHEMA)
+        def tok(text: pd.Series) -> pd.DataFrame:
+            return _pos_struct(text, fn)
 
     return tok
 

@@ -28,34 +28,56 @@ def _marker_hits(tokens: Column, markers: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
+def _marker_count_col(text: Column, markers: list[str]) -> Column:
+    """Count of tokens equal to any marker, WITHOUT materializing the token
+    array: tokens are maximal [a-z0-9]+ runs of lower(text), so a marker
+    occurrence is the marker string bounded by (?<![a-z0-9]) / (?![a-z0-9])
+    lookarounds — zero-width, so adjacent hits ("the the") both count. One
+    codegen'd regexp_count per language replaces the interpreted
+    ArrayFilter+array_contains pass per token (guide §4.1: HOFs are
+    CodegenFallback). Exactly equal to _marker_hits over simple_tokens_col
+    because each match must span a whole token (both lookarounds) and
+    markers are distinct literals."""
+    pat = "(?<![a-z0-9])(" + "|".join(markers) + ")(?![a-z0-9])"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
 def lang_id_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, predicted_lang, <lang>_hits...) — argmax of stopword-marker
     hit counts; 'und' (undetermined) when nothing matches. Deterministic
-    tie-break: language name ascending."""
-    toks = simple_tokens_col(F.col(text_col))
-    out = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
-    for lang, markers in LANG_MARKERS.items():
-        out = out.withColumn(f"{lang}_hits", _marker_hits(F.col("__toks"), markers))
+    tie-break: language name ascending. One projection over the scan, all
+    whole-stage codegen (round-7: regexp_count replaced the per-token
+    interpreted HOF filters — same integers, ~2x faster)."""
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[
+            _marker_count_col(F.col(text_col), markers).alias(f"{lang}_hits")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"{lang}_hits") for lang in langs])
     pred = F.when(best == 0, F.lit("und"))
     for lang in langs:  # ascending name order = deterministic tie-break
         pred = pred.when(F.col(f"{lang}_hits") == best, F.lit(lang))
-    return out.withColumn("predicted_lang", pred).drop("__toks")
+    return out.withColumn("predicted_lang", pred)
 
 
 def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc quality features: char/token counts, mean token length,
     stopword ratio, alnum ratio, uppercase ratio — the standard cheap
     quality filters for web corpora."""
+    # round-7: every feature is a codegen'd regexp_count over the raw text
+    # — no token-array materialization, no interpreted HOF, no replaced-
+    # string allocation. Each form is exactly equal to its predecessor:
+    # token count == count of maximal [a-z0-9]+ runs; kept-char counts
+    # == length(regexp_replace(...striped...)) by complementarity.
     c = F.col(text_col)
-    toks = simple_tokens_col(c)
-    n_tok = F.size(toks)
-    stop_arr = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_tok = F.regexp_count(F.lower(c), F.lit("[a-z0-9]+"))
+    n_stop = _marker_count_col(c, LANG_MARKERS["en"])
     n_chars = F.length(c)
-    n_alnum = F.length(F.regexp_replace(c, r"[^a-zA-Z0-9]", ""))
-    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    n_alnum = F.regexp_count(c, F.lit("[a-zA-Z0-9]"))
+    n_upper = F.regexp_count(c, F.lit("[A-Z]"))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars"),
@@ -90,21 +112,18 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace tokens + BPE-ish subword estimate (≈ chars/4 for long
     words — the usual quick corpus-size estimator)."""
+    # round-7: codegen regexp_count forms (the old ArrayAggregate lambda was
+    # interpreted per token). Exact equalities: word_tokens == number of
+    # maximal [a-z0-9]+ runs; Σ ceil(len/4) == matches of the greedy
+    # "[a-z0-9]{1,4}" chunking (ceil(len/4) chunks per run, and the old
+    # len<=4 branch returned 1 == ceil(len/4) for len in 1..4).
     c = F.col(text_col)
-    toks = simple_tokens_col(c)
     ws = F.size(F.split(F.trim(c), r"\s+"))
-    bpe_est = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + F.when(F.length(t) <= 4, 1).otherwise(
-            F.ceil(F.length(t) / 4.0).cast("long")
-        ),
-    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         ws.alias("ws_tokens"),
-        F.size(toks).alias("word_tokens"),
-        bpe_est.alias("bpe_est_tokens"),
+        F.regexp_count(F.lower(c), F.lit("[a-z0-9]+")).alias("word_tokens"),
+        F.regexp_count(F.lower(c), F.lit("[a-z0-9]{1,4}")).cast("long").alias("bpe_est_tokens"),
     )
 
 
