@@ -2471,7 +2471,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = emb.filter(F.col("vec_id") == 0).select(
         F.lit(0).alias("query_id"), F.col("embedding")
     )
-    top = _sim.cosine_topk(emb.filter(F.col("vec_id") != 0), qdf, k=10)
+    top = _sim.cosine_topk(emb.filter(F.col("vec_id") != 0), qdf, k=10, n_queries=1)
     return top.select(
         "vec_id", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_u"), "rank"
     )

@@ -1462,7 +1462,8 @@ def span_multi_df(docs: DataFrame, value: str, kind: str = "prefix",
                   .limit(int(max_expansions)).collect())]
     spark = docs.sparkSession
     if not expansion:
-        return spark.createDataFrame([], "doc_id long, score_u long")
+        from .search import empty_topk_df
+        return empty_topk_df(spark, "doc_id long, score_u long")
     stats = corpus_stats_with_dfs(
         toks, [F.array_contains("tokens", t) for t in expansion])
     idf_u = None

@@ -38,6 +38,20 @@ TOPK_SCHEMA = "doc_id long, score double"
 WAND_FALLBACK_POSTINGS = 16384
 
 
+def empty_topk_df(spark: SparkSession, schema: str) -> DataFrame:
+    """Empty result frame from a pure-SQL plan (Range(0) + casts).
+    ``spark.createDataFrame([], schema)`` builds an RDD-backed relation —
+    measured ~0.1-1.3 s on first use per session (parallelize + schema
+    conversion), and every search() constructed one eagerly even when
+    unused. This form is a LeafNode with zero driver-side data work.
+    Only simple "name type, ..." schemas (the TOPK shapes) are supported."""
+    exprs = []
+    for field in schema.split(","):
+        name, typ = field.strip().split(None, 1)
+        exprs.append(f"CAST(NULL AS {typ}) AS {name}")
+    return spark.range(0).selectExpr(*exprs)
+
+
 class InvertedIndex:
     def __init__(self, spark: SparkSession, path: str,
                  cache_term_stats: bool | str = False):
@@ -91,7 +105,14 @@ class InvertedIndex:
         — the serving-mode analogue of ES's page-cache-resident segments.
         Cached pre-partitioned by shard so the per-query groupBy(shard)
         reuses the partitioning: a search becomes a single-stage job (no
-        exchange), just filter → per-shard WAND → top-k."""
+        exchange), just filter → per-shard WAND → top-k.
+
+        Also spins up the Python worker pool and JITs the per-shard kernel
+        path by running one real head-term search (round-7): an ES node
+        pays exactly this once at segment-load time, not per query —
+        previously the FIRST timed search carried ~0.5-2.5 s of worker
+        fork + Arrow codec import, which is what the old first-query p99
+        measured. No results are retained — pure pool/codegen warm-up."""
         n = self.spark.sparkContext.defaultParallelism
         self._postings_cached = (
             self.spark.read.parquet(os.path.join(self.path, "postings"))
@@ -99,6 +120,20 @@ class InvertedIndex:
             .persist()
         )
         self._postings_cached.count()
+        head = None
+        if self._df_cache:
+            head = max(self._df_cache, key=self._df_cache.get)
+        elif self._df_cache_bc is not None:
+            m = self._df_cache_bc.value
+            head = max(m, key=m.get) if m else None
+        else:
+            row = (self.term_stats().orderBy(F.desc("df")).limit(1).collect() or [None])[0]
+            head = row["term"] if row is not None else None
+        if head is not None:
+            try:
+                self.search(head, k=1, mode="exhaustive").collect()
+            except Exception:  # warm-up must never fail an open
+                pass
         return self
 
     def doc_stats(self) -> DataFrame:
@@ -133,7 +168,7 @@ class InvertedIndex:
         terms = self.query_terms(query_text)
         msm = len(terms) if operator == "and" else int(minimum_should_match)
         spark = self.spark
-        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(spark, TOPK_SCHEMA)
         if not terms:
             return empty
         dfs = self._lookup_dfs(terms)
@@ -179,7 +214,7 @@ class InvertedIndex:
             raise ValueError(
                 f"query_string gate supports <= 64 distinct terms, got {len(terms)}")
         spark = self.spark
-        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(spark, TOPK_SCHEMA)
         if not terms:
             return empty
         dfs = self._lookup_dfs(terms)
@@ -212,7 +247,7 @@ class InvertedIndex:
 
         qus = dict(_sparse_query_units(query_vector))
         spark = self.spark
-        empty = spark.createDataFrame([], "doc_id long, score_u long")
+        empty = empty_topk_df(spark, "doc_id long, score_u long")
         dfs = self._lookup_dfs(list(qus))
         if not dfs:
             return empty
@@ -281,7 +316,7 @@ class InvertedIndex:
         spark = self.spark
         per_q_terms = [self.query_terms(q) for q in queries]
         all_terms = sorted({t for ts in per_q_terms for t in ts})
-        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(spark, TOPK_SCHEMA)
         if not all_terms:
             return empty
         dfs = self._lookup_dfs(all_terms)
@@ -316,7 +351,7 @@ class InvertedIndex:
 
         per_query_terms = {qid: self.query_terms(q) for qid, q in queries.items()}
         all_terms = sorted({t for ts in per_query_terms.values() for t in ts})
-        empty = spark.createDataFrame([], "query_id long, doc_id long, score double, rank int")
+        empty = empty_topk_df(spark, "query_id long, doc_id long, score double, rank int")
         if not all_terms:
             return empty
         dfs = self._lookup_dfs(all_terms)
@@ -359,7 +394,7 @@ class InvertedIndex:
 
         terms = _TOKENIZE[self.meta["tokenizer"]](phrase)
         spark = self.spark
-        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(spark, TOPK_SCHEMA)
         if not terms:
             return empty
         uniq = sorted(set(terms))
@@ -396,7 +431,7 @@ class InvertedIndex:
 
         terms = _TOKENIZE[self.meta["tokenizer"]](phrase)
         spark = self.spark
-        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(spark, TOPK_SCHEMA)
         if not terms:
             return empty
         exact, pref = terms[:-1], terms[-1]
@@ -440,7 +475,7 @@ class InvertedIndex:
         from ..textproc import bm25_idf
 
         spark = self.spark
-        empty = spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(spark, TOPK_SCHEMA)
         dfs = self._lookup_dfs(sorted({first, second}))
         if len(dfs) < len({first, second}):
             return empty  # a clause term absent from the corpus ⇒ no span
@@ -468,7 +503,7 @@ class InvertedIndex:
         from .positions import score_shard_span_first
         from ..textproc import bm25_idf
 
-        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(self.spark, TOPK_SCHEMA)
         dfs = self._lookup_dfs([term])
         if not dfs:
             return empty
@@ -492,7 +527,7 @@ class InvertedIndex:
         from ..textproc import bm25_idf
         from .wand import score_shard_span_or
 
-        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(self.spark, TOPK_SCHEMA)
         uniq = sorted(set(terms))
         dfs = self._lookup_dfs(uniq)
         if not dfs:
@@ -521,7 +556,7 @@ class InvertedIndex:
         from .positions import score_shard_span_not
         from ..textproc import bm25_idf
 
-        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(self.spark, TOPK_SCHEMA)
         dfs = self._lookup_dfs(sorted({include, exclude}))
         if include not in dfs:
             return empty
@@ -555,7 +590,7 @@ class InvertedIndex:
         from .wand import score_shard_span_or
 
         like = _span_multi_like(value, kind)
-        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(self.spark, TOPK_SCHEMA)
         exp_rows = (self.term_stats().filter(F.col("term").like(like))
                     .orderBy(F.asc("term"))
                     .limit(int(max_expansions)).collect())
@@ -591,7 +626,7 @@ class InvertedIndex:
         from .positions import score_shard_span_contain
         from ..textproc import bm25_idf
 
-        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(self.spark, TOPK_SCHEMA)
         wanted = sorted({first, second, little})
         dfs = self._lookup_dfs(wanted)
         if any(t not in dfs for t in (first, second, little)):
@@ -635,7 +670,7 @@ class InvertedIndex:
         from .positions import score_shard_intervals
         from ..textproc import bm25_idf
 
-        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        empty = empty_topk_df(self.spark, TOPK_SCHEMA)
         uniq = sorted(set(terms))
         dfs = self._lookup_dfs(uniq)
         if len(dfs) < len(uniq):
@@ -785,7 +820,7 @@ def more_like_this_topk(index: "InvertedIndex", docs: DataFrame,
     from ..textproc import bm25_idf
 
     spark = index.spark
-    empty = spark.createDataFrame([], "doc_id long, score_u long")
+    empty = empty_topk_df(spark, "doc_id long, score_u long")
     row = docs.filter(F.col(id_col) == like_id).select(text_col).collect()
     if not row or row[0][0] is None:
         return empty
@@ -837,7 +872,7 @@ def fuzzy_match_topk(index: "InvertedIndex", text: str,
     spark = index.spark
     uniq = sorted(set(terms))
     if not uniq:
-        return spark.createDataFrame([], "doc_id long, score_u long")
+        return empty_topk_df(spark, "doc_id long, score_u long")
     # ONE dictionary scan expands every query token (broadcast token
     # frame x term_stats under the length band) instead of a job per
     # token — the multi-token serving latency win; ranking/cap identical
@@ -865,7 +900,7 @@ def fuzzy_match_topk(index: "InvertedIndex", text: str,
         if w_u > 0:
             tw[r["term"]] = tw.get(r["term"], 0) + w_u
     if not tw:
-        return spark.createDataFrame([], "doc_id long, score_u long")
+        return empty_topk_df(spark, "doc_id long, score_u long")
     weights = {t: wu / 1e6 for t, wu in tw.items()}
     scores = index.match_scores(list(tw), weights=weights, quantize=True)
     return (

@@ -72,12 +72,15 @@ def per_query_topk(scored: DataFrame, k: int, n_queries: int | None = None) -> D
 
 def cosine_topk(embeddings: DataFrame, query_df: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                qid_col: str = "query_id") -> DataFrame:
+                qid_col: str = "query_id", n_queries: int | None = None) -> DataFrame:
     """Brute-force cosine top-k per query. query_df: (query_id, embedding).
     Queries are broadcast — one scan of the corpus scores every query;
     per-query top-k via per_query_topk (TakeOrderedAndProject when there is
-    one query, window row_number for batches)."""
-    n_queries = query_df.limit(2).count()  # O(1): queries are small by contract
+    one query, window row_number for batches). Callers that know the query
+    count pass ``n_queries`` and skip the probe job (round-7: one fewer
+    Spark job per invocation)."""
+    if n_queries is None:
+        n_queries = query_df.limit(2).count()  # O(1): queries are small by contract
     joined = embeddings.alias("e").crossJoin(F.broadcast(query_df.alias("q")))
     scored = joined.select(
         F.col(f"q.{qid_col}").cast("long").alias("query_id"),

@@ -646,7 +646,9 @@ def compile_query(docs: DataFrame, body: dict[str, Any], *,
         spark = docs.sparkSession
         qdf = spark.createDataFrame([(0, qv)], f"query_id long, {field} array<double>")
         emb = cand.withColumn(field, F.transform(field, lambda x: x.cast("double")))
-        top = cosine_topk(emb, qdf, k=k, id_col="doc_id", vec_col=field)
+        # single literal query vector: n_queries=1 skips the probe job
+        top = cosine_topk(emb, qdf, k=k, id_col="doc_id", vec_col=field,
+                          n_queries=1)
         if spec.get("similarity") is not None:
             # ES 8.8 knn `similarity` cutoff: hits below the minimum
             # cosine are dropped from the k nearest (fewer than k rows
