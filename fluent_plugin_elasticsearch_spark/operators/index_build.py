@@ -272,10 +272,14 @@ def build_compute_only(
         .groupBy("shard", "salt")
         .applyInPandas(_encode_partials, PARTIAL_SCHEMA)
     )
-    # same two-exchange shape as build_index (compute proxy fidelity)
-    blocks = partials.repartition(2 * n_shards, "shard").groupBy(
-        "shard", "term_bucket"
-    ).applyInPandas(_make_merge_fn(avgdl, k1, b, block_size), BLOCK_SCHEMA)
+    # same scale-adaptive exchange shape as build_index (compute proxy
+    # fidelity); no write here, so the non-fused path needs no block
+    # exchange either
+    if n_shards >= 2 * spark.sparkContext.defaultParallelism:
+        partials = partials.repartition(2 * n_shards, "shard")
+    blocks = partials.groupBy("shard", "term_bucket").applyInPandas(
+        _make_merge_fn(avgdl, k1, b, block_size), BLOCK_SCHEMA
+    )
     from pyspark.sql import Observation
 
     obs = Observation("compute_only")
@@ -490,17 +494,25 @@ def build_index(
             .groupBy("shard", "salt")
             .applyInPandas(phase1_fn, phase1_schema)
         )
-        # Exchange fusion (guide §2.4): hash-partition the COMPACT partials
-        # by shard once — HashPartitioning(shard) satisfies the phase-2
-        # ClusteredDistribution(shard, term_bucket), and the merge output
-        # lands physically shard-clustered, so the write's partitionBy
-        # (shard) needs NO further exchange. The old plan paid a THIRD
-        # exchange moving the full encoded blocks (the heaviest rows) just
-        # to co-locate shards for the writer. 2x buckets halve the
-        # balls-in-bins collision tail (each shard still lands whole in
-        # one bucket, so every shard dir keeps exactly one file per run).
-        partials = partials.repartition(2 * len(group), "shard")
+        # Exchange fusion (guide §2.4), scale-adaptive: when the shard
+        # count dwarfs the core count (any real cluster build), hash-
+        # partition the COMPACT partials by shard once —
+        # HashPartitioning(shard) satisfies the phase-2
+        # ClusteredDistribution(shard, term_bucket) and the merge output
+        # lands shard-clustered, so the write's partitionBy(shard) needs
+        # NO third exchange of the full encoded blocks (the heaviest
+        # rows). At sandbox scale (shards ≈ cores) the interleaved A/B
+        # measured the opposite trade — shard-granular phase-2 tasks lose
+        # more to balls-in-bins imbalance than the (tmpfs-cheap) block
+        # exchange costs — so small builds keep the fine-grained
+        # (shard, term_bucket) exchange and pay the extra block exchange
+        # at write. Both paths produce identical files.
+        fuse_exchange = len(group) >= 2 * spark.sparkContext.defaultParallelism
+        if fuse_exchange:
+            partials = partials.repartition(2 * len(group), "shard")
         blocks = partials.groupBy("shard", "term_bucket").applyInPandas(merge_fn, block_schema)
+        if not fuse_exchange:
+            blocks = blocks.repartition("shard")
         # per-shard metrics observed DURING the write (3 conditional aggs
         # per shard) — no second pass over the written postings
         obs = Observation(f"shard_metrics_{gi}")
