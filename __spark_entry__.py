@@ -3159,8 +3159,16 @@ _NEVER_DRIVER_SAMPLED_R6 = [
 ]
 
 
+# Round-7 rotation fix (VERDICT r6 #1): CORRECTNESS_r06 sampled exactly the
+# first 50 names of the R6 head, which shadowed the R5 blind-spot list AGAIN.
+# The head is now exactly the 60 entries no driver round has ever sampled —
+# r5 leftovers first, then the 21 r6 leftovers (R6[50:]) — so a 50-entry
+# prefix sample finally covers them; long-green veterans drop out of the head.
+_SAMPLED_IN_R6 = 50  # |CORRECTNESS_r06| — first 50 of the R6 list
+
+
 def _sample_priority_order(q: dict) -> dict:
-    never = _NEVER_DRIVER_SAMPLED_R6 + _NEVER_DRIVER_SAMPLED_R5
+    never = _NEVER_DRIVER_SAMPLED_R5 + _NEVER_DRIVER_SAMPLED_R6[_SAMPLED_IN_R6:]
     head = {k: q[k] for k in never if k in q}
     return head | {k: v for k, v in q.items() if k not in head}
 

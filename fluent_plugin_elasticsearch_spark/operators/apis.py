@@ -216,14 +216,54 @@ def rank_eval(docs: DataFrame, requests: list[dict], metric: dict,
         raise ValueError(f"unsupported rank_eval metric: {mkind}")
     k = int(mspec.get("k", 10))
     thr = int(mspec.get("relevant_rating_threshold", 1))
+
+    # Round-7 (VERDICT r6 #3): when an InvertedIndex serves plain `match`
+    # requests, ALL of them ride ONE search_batch job — one posting decode
+    # for the whole evaluation set — instead of a per-request driver loop
+    # (serial at 1000-request eval sets). search_batch is rank-identical
+    # to search() per request (tests/test_rank_identity.py), which is all
+    # the metrics consume. Anything not a bare one-field string match
+    # falls back to the full per-request compiler, unchanged.
+    def _plain_match(b: dict) -> bool:
+        return (
+            set(b) <= {"query", "size"}
+            and isinstance(b.get("query"), dict)
+            and set(b["query"]) == {"match"}
+            and isinstance(b["query"]["match"], dict)
+            and len(b["query"]["match"]) == 1
+            and isinstance(next(iter(b["query"]["match"].values())), str)
+        )
+
+    batched_hits: dict[int, list[int]] = {}
+    if index is not None and hasattr(index, "search_batch"):
+        eligible = [i for i, req in enumerate(requests)
+                    if _plain_match(req["request"])]
+        if len(eligible) > 1:
+            qtexts = {
+                i: next(iter(requests[i]["request"]["query"]["match"].values()))
+                for i in eligible
+            }
+            got = index.search_batch(qtexts, k=k).collect()
+            for i in eligible:
+                batched_hits[i] = []
+            for r in got:
+                batched_hits[int(r["query_id"])].append(
+                    (int(r["rank"]), int(r["doc_id"])))
+            batched_hits = {
+                i: [d for _, d in sorted(v)] for i, v in batched_hits.items()
+            }
+
     rows = []
-    for req in requests:
+    for ri, req in enumerate(requests):
         body = dict(req["request"])
         body["size"] = k
         ratings = {int(r["_id"]): int(r["rating"]) for r in req["ratings"]}
-        hits = [int(r["doc_id"])
-                for r in compile_query(docs, body, index=index)
-                .select("doc_id").collect()][:k]
+        if ri in batched_hits:
+            hits = batched_hits[ri][:k]
+        else:
+            hits = [int(r["doc_id"])
+                    for r in compile_query(docs, body, index=index)
+                    .select("doc_id").collect()][:k]
         rated = [ratings.get(d) for d in hits]
         unrated = sum(1 for r in rated if r is None)
         if mkind == "precision":

@@ -73,7 +73,17 @@ class CowTable:
 
     def _load_manifest(self) -> dict:
         with open(self._manifest_path()) as f:
-            return json.load(f)
+            m = json.load(f)
+        # Keep the hash modulus in lockstep with the snapshot just read
+        # (ADVICE r6): a concurrent compact(target_buckets=...) changes
+        # n_buckets; a retry loop that reloaded the manifest but hashed
+        # with the stale modulus would compute wrong touched-bucket sets
+        # and commit rows into buckets that don't match their id hash —
+        # silently missed/duplicated docs on later bucket-pruned reads.
+        nb = m.get("n_buckets")
+        if nb is not None and nb != self.n_buckets:
+            self.n_buckets = nb
+        return m
 
     def _swap_manifest(self, m: dict) -> None:
         """Atomic snapshot swap: temp write + os.replace (POSIX rename)."""
@@ -342,7 +352,11 @@ class CowTable:
             self._write_buckets(tagged, gen_rel)
             try:
                 with self._commit_lock():
+                    # _load_manifest syncs self.n_buckets to the CURRENT
+                    # manifest; this compact is about to replace it with
+                    # n_new, so re-pin after the check
                     cur = self._load_manifest()
+                    self.n_buckets = n_new
                     if cur["buckets"] != base:
                         raise CommitConflict("table changed during compact")
                     cur["n_buckets"] = n_new

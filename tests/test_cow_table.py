@@ -327,3 +327,29 @@ def test_compact_sort_by_orders_within_buckets(spark, tmp_path):
     for f in files:
         col = pq.read_table(f, columns=["n"]).column("n").to_pylist()
         assert col == sorted(col)
+
+
+def test_stale_handle_rehashes_after_concurrent_rebucket(spark, tmp_path):
+    """ADVICE r6 (medium): a handle opened before another writer's
+    compact(target_buckets=...) must pick up the new bucket modulus when
+    it reloads the manifest — hashing with the stale modulus would commit
+    rows into buckets that don't match their id hash, silently breaking
+    later bucket-pruned reads."""
+    t1 = CowTable(spark, str(tmp_path / "t"), id_col="doc_id", n_buckets=4)
+    t1.create(spark.createDataFrame([Row(doc_id=i, v=f"a{i}")
+                                     for i in range(40)]))
+    t2 = CowTable(spark, t1.path)          # second writer handle
+    assert t2.n_buckets == 4
+    t1.compact(target_buckets=8)           # re-bucket under t2's feet
+    t2.upsert(spark.createDataFrame([Row(doc_id=i, v=f"b{i}")
+                                     for i in range(0, 40, 3)]))
+    assert t2.n_buckets == 8               # modulus refreshed on reload
+    # every updated row must be found by a bucket-PRUNED id read
+    got = {r["doc_id"]: r["v"] for r in t2.read().collect()}
+    for i in range(40):
+        assert got[i] == (f"b{i}" if i % 3 == 0 else f"a{i}")
+    # delete_ids prunes by hash — only correct if rows live where the
+    # current modulus says they do
+    t2.delete_ids([0, 3, 6])
+    left = {r["doc_id"] for r in t2.read().collect()}
+    assert left == set(range(40)) - {0, 3, 6}

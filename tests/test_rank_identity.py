@@ -214,3 +214,50 @@ def test_suggest_term_spelling_correction(spark, index_dir, docs_tokens):
     want = {t for t in vocab if t != "bababc" and lev("bababc", t) <= 2}
     got_all = {r["term"] for r in idx.suggest_term("bababc", max_edits=2, size=10000).collect()}
     assert got_all == want
+
+
+def test_rank_eval_batched_single_job(spark, index_dir):
+    """VERDICT r6 #3: with an index, a multi-request rank_eval of plain
+    match bodies rides ONE search_batch call (one posting decode for the
+    whole eval set) and returns exactly what the per-request loop
+    returns."""
+    from fluent_plugin_elasticsearch_spark.operators.apis import rank_eval
+
+    idx = InvertedIndex(spark, index_dir)
+    docs = idx.doc_stats().select("doc_id")
+    some = [r["doc_id"] for r in docs.limit(6).collect()]
+    requests = [
+        {"id": f"q{i}", "request": {"query": {"match": {"text": q}}},
+         "ratings": [{"_id": some[i % len(some)], "rating": 2},
+                     {"_id": some[(i + 1) % len(some)], "rating": 1}]}
+        for i, q in enumerate(
+            ["the", "of and", "baba", "the café", "of the baba", "and"] * 2)
+    ]
+
+    calls = {"batch": 0, "single": 0}
+    orig_batch, orig_search = idx.search_batch, idx.search
+
+    def counting_batch(*a, **kw):
+        calls["batch"] += 1
+        return orig_batch(*a, **kw)
+
+    def counting_search(*a, **kw):
+        calls["single"] += 1
+        return orig_search(*a, **kw)
+
+    idx.search_batch, idx.search = counting_batch, counting_search
+    try:
+        got = rank_eval(docs, requests, {"dcg": {"k": 5}}, index=idx).collect()
+    finally:
+        idx.search_batch, idx.search = orig_batch, orig_search
+    assert calls["batch"] == 1 and calls["single"] == 0
+
+    # equality with the unbatched path: strip search_batch so the loop runs
+    class LoopOnly:
+        def __getattr__(self, name):
+            if name == "search_batch":
+                raise AttributeError(name)
+            return getattr(idx, name)
+
+    loop = rank_eval(docs, requests, {"dcg": {"k": 5}}, index=LoopOnly()).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, loop))
