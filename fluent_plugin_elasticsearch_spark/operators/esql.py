@@ -349,10 +349,10 @@ def esql_query(tables: dict[str, DataFrame], query: str,
                   .drop("__enrich_key"))
         elif kind == "limit":
             t = p.next()
-            if len(body) > 1 and body[0][0] != "num":
-                raise UnsupportedQuery("ES|QL: LIMIT needs an integer")
             if t[0] != "num" or "." in t[1]:
                 raise UnsupportedQuery("ES|QL: LIMIT needs an integer")
+            if p.peek()[0] != "eof":  # 'LIMIT 5 extra' must raise (ADVICE r6)
+                raise UnsupportedQuery("ES|QL: LIMIT takes a single integer")
             df = df.limit(int(t[1]))
         else:
             raise UnsupportedQuery(f"ES|QL: stage {kind.upper()} "

@@ -223,3 +223,19 @@ def test_esql_lookup_join(spark):
     with pytest.raises(UnsupportedQuery, match="no field"):
         esql_query({"ev": ev, "users": users},
                    'FROM ev | LOOKUP JOIN users ON eid')
+
+
+def test_limit_rejects_trailing_tokens(spark):
+    """ADVICE r6: 'LIMIT 5 extra' must raise like WHERE/EVAL do, not
+    silently ignore the garbage."""
+    from pyspark.sql import Row
+
+    import pytest
+
+    from fluent_plugin_elasticsearch_spark.operators.esql import esql_query
+    from fluent_plugin_elasticsearch_spark.plans.query_ast import UnsupportedQuery
+
+    df = spark.createDataFrame([Row(a=i) for i in range(10)])
+    assert esql_query({"t": df}, "FROM t | LIMIT 5").count() == 5
+    with pytest.raises(UnsupportedQuery):
+        esql_query({"t": df}, "FROM t | LIMIT 5 extra").count()
