@@ -585,12 +585,23 @@ def build_index(
     # (per-shard posting count per term sums to exact df) — no second
     # tokenize/explode pass over the corpus.
     if all_shards:
-        (
+        ts = (
             spark.read.parquet(os.path.join(out_dir, "postings"))
             .groupBy("term")
             .agg(F.sum("n_docs").alias("df"))
-            .repartitionByRange(max(1, n_shards // 2), "term")
-            .sortWithinPartitions("term")
+        )
+        # Range partitioning gives term-range file pruning for the
+        # per-query pruned lookup mode, but its sampling pass executes
+        # the aggregation subtree twice — worth it only at cluster-scale
+        # vocabularies. Small builds write ONE term-sorted file: row-group
+        # min/max stats give the same pruning granularity there, minus a
+        # whole job (A/B: 0.96 -> 0.63 s at the 100k-doc bench index).
+        if n_shards >= 2 * spark.sparkContext.defaultParallelism:
+            ts = ts.repartitionByRange(max(1, n_shards // 2), "term")
+        else:
+            ts = ts.repartition(1)
+        (
+            ts.sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "term_stats"))
         )
