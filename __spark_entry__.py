@@ -2201,9 +2201,16 @@ def q_hybrid_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/query_ast.compile_query knn branch)."""
     from fluent_plugin_elasticsearch_spark.plans.query_ast import compile_query
 
+    # LEFT join: the oracle scores the multi_match side over the FULL
+    # documents table and the knn side over the embeddings table. An inner
+    # join silently shrank the BM25 corpus (n/avgdl/df) wherever coverage
+    # is partial (sf0.1: 2000 of 5000 docs have embeddings) — caught by an
+    # sf0.1 oracle sweep this round. Docs without an embedding get a NULL
+    # cosine (never NaN), which sorts after every real hit, so the knn
+    # top-k is exactly the oracle's scan of the embeddings table.
     docs = _read(spark, sf_dir, "documents").join(
         _read(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id"),
-        "doc_id")
+        "doc_id", "left")
     body = {
         "query": {"multi_match": {"query": "fast table src1",
                                   "fields": ["text", "source"]}},

@@ -8,7 +8,8 @@ SUM: a global window cumsum would funnel the corpus through one partition,
 so we do the classic two-pass — per-partition subtotals (tiny driver
 collect, one row per partition), exclusive partition bases broadcast back,
 then a partition-local window adds the base. Ordering is pinned to
-(doc_id) via repartitionByRange + sortWithinPartitions, so the layout is
+(doc_id) via driver-computed literal bucket boundaries (a pure function
+of each row's doc_id — see _with_global_offset), so the layout is
 deterministic on any cluster size.
 """
 
@@ -21,13 +22,32 @@ from pyspark.sql import functions as F
 def _with_global_offset(df: DataFrame, order_col: str, weight_col: str,
                         num_partitions: int | None = None) -> DataFrame:
     """(…, offset) — exclusive prefix sum of `weight_col` in `order_col`
-    order, computed scalably (range partition → local cumsum + broadcast
-    partition bases; no single-partition window)."""
+    order, computed scalably (ordered buckets → local cumsum + broadcast
+    bucket bases; no single-partition window).
+
+    The bucket id MUST be a pure function of the row's `order_col` value:
+    the totals pass and the final pass are two separate Spark evaluations,
+    and the earlier `repartitionByRange + spark_partition_id()` form
+    assigned DIFFERENT partition boundaries in each (the range
+    partitioner re-samples per plan, and AQE coalesces the two plans'
+    exchanges independently — verified: same lineage, two evaluations,
+    different pid→count maps), silently mis-basing every offset after the
+    first moved boundary. Bucket boundaries are therefore computed ONCE on
+    the driver (one approxQuantile job over `order_col`) and baked into
+    the plan as literals; monotone in `order_col`, so bucket-local cumsum
+    + exclusive bucket bases is the exact global prefix sum at any
+    parallelism, under any AQE decision."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n, order_col).sortWithinPartitions(order_col)
-    part = part.withColumn("__pid", F.spark_partition_id())
-    # pass 1: per-partition totals — one tiny row per partition
+    bnds: list[float] = []
+    if n > 1:
+        probs = [i / n for i in range(1, n)]
+        bnds = sorted(set(df.stat.approxQuantile(order_col, probs, 1.0 / (4 * n))))
+    bucket = F.lit(0)
+    for b in bnds:
+        bucket = bucket + F.when(F.col(order_col) > b, 1).otherwise(0)
+    part = df.withColumn("__pid", bucket.cast("int"))
+    # pass 1: per-bucket totals — one tiny row per bucket
     totals = {
         r["__pid"]: r["t"]
         for r in part.groupBy("__pid").agg(F.sum(weight_col).alias("t")).collect()

@@ -45,6 +45,32 @@ def test_pack_documents_parallelism_invariant(spark, sized_docs):
     assert a == b
 
 
+def test_pack_documents_bucket_is_data_derived(spark, sized_docs):
+    """Regression (round 7): the prefix-sum bucket must be a pure function
+    of the order column, never spark_partition_id(). The totals pass and
+    the final pass are two separate Spark evaluations; the old
+    repartitionByRange + spark_partition_id() form let the range
+    partitioner re-sample boundaries per plan (and AQE coalesce each
+    plan's exchange independently), so the broadcast bases could mismatch
+    the final pids — observed as wrong offsets on a 5000-doc corpus."""
+    plan = pack_documents(sized_docs, 512)._jdf.queryExecution().analyzed().toString()
+    assert "spark_partition_id" not in plan.lower()
+
+
+def test_pack_documents_5000_docs_matches_bruteforce(spark):
+    """Brute-force equality at the corpus size that exposed the round-7
+    bucket-consistency bug, with a shuffled, highly-partitioned input."""
+    rows = [Row(doc_id=d, n_tokens=(d * 131) % 97)
+            for d in ((i * 2654435761) % 5000 for i in range(5000))]
+    docs = spark.createDataFrame(list({r.doc_id: r for r in rows}.values()))
+    got = {r["doc_id"]: r["offset"]
+           for r in pack_documents(docs.repartition(32), 512).collect()}
+    offset = 0
+    for row in sorted({r.doc_id: r for r in rows}.values(), key=lambda r: r.doc_id):
+        assert got[row.doc_id] == offset
+        offset += row.n_tokens
+
+
 def test_pack_documents_no_global_single_partition(spark, sized_docs):
     plan = pack_documents(sized_docs, 512)._jdf.queryExecution().executedPlan().toString()
     # the window must be partitioned (by __pid), never a global sort window
